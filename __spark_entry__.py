@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship parse->enrich->route fan-out on sf0.001
+queries()     -> one entry per implemented operator (SURVEY.md section 2)
+oracle_sql()  -> DuckDB-equivalent SQL per query (correctness gate)
+
+The transcripts input table (BASELINE.json input_hint) is synthesized
+deterministically from the driver's events table and materialized under
+data/<sf>/transcripts.parquet so both engines read identical bytes
+(skewer_spark/datagen.py).
 """
 
 from __future__ import annotations
@@ -16,23 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.queries import q_route_fanout
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ensure_transcripts(sf)
+    return q_route_fanout(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from skewer_spark.queries import build_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.queries import ORACLE_SF_DIR, build_oracles
+
+    ensure_transcripts(ORACLE_SF_DIR)
+    return build_oracles()

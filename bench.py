@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline parse->enrich->route->aggregate pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: rows, throughput_rows_per_sec, cpus (informational).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input scale dir
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SKEWER_BENCH_REPEAT  input multiplier (default 10 -> ~1M turns at sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("SKEWER_BENCH_REPEAT", "10"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    from skewer_spark import aggregate as agg
+    from skewer_spark import enrich as enr
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.parsing import parse_transcripts
+    from skewer_spark.routing import rules as R
+    from skewer_spark.session import get_spark
+
+    path = ensure_transcripts(sf_dir, repeat=repeat)
+    spark = get_spark(
+        app_name="skewer-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+        extra_conf={
+            # bench files are ~1.5 MB each; size scan splits so the UDF
+            # stage saturates every core (at 100 TB the default 128 MB
+            # split is right — this mirrors files-per-task ~2, not a
+            # universal setting)
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
+    timings: dict[str, float] = {}
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+
+    # 1. parse only (the pandas-UDF hot path)
+    t0 = time.time()
+    parse_transcripts(df).select(
+        "conv_id", "priority", "facility", "severity", "appname", "message"
+    ).write.format("noop").mode("overwrite").save()
+    timings["parse"] = round(time.time() - t0, 3)
+
+    # 2. full spine to routed rows (no sink write)
+    t0 = time.time()
+    parsed = R.with_route_status(parse_transcripts(df))
+    routed = R.route_fanout(
+        enr.enrich(parsed.where("route_status = 'passing'"), spark)
+    )
+    routed.write.format("noop").mode("overwrite").save()
+    timings["route_fanout"] = round(time.time() - t0, 3)
+
+    # 3. end-to-end with per-sink partitioned write + rollup aggregates
+    out = tempfile.mkdtemp(prefix="skewer_bench_")
+    try:
+        t0 = time.time()
+        parsed = R.with_route_status(parse_transcripts(df))
+        routed = R.route_fanout(
+            enr.enrich(parsed.where("route_status = 'passing'"), spark)
+        )
+        routed.persist()
+        routed.write.mode("overwrite").partitionBy("sink").parquet(f"{out}/sinks")
+        for key in ("facility", "severity", "tool"):
+            agg.agg_by(routed, key).write.mode("overwrite").parquet(f"{out}/agg_{key}")
+        routed.unpersist()
+        timings["e2e_write"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = timings["e2e_write"]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_parse_enrich_route_aggregate_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rows": n_rows,
+                "throughput_rows_per_sec": round(n_rows / total, 1) if total else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Broadcast-join enrichment against the lookup dimensions.
+
+Reference: facility/severity int -> name tables
+(/root/reference/model/types.go:45-92) applied at serialization time
+(model/types.go:182-208); the graft adds role/tool dims (FIXTURES.md
+section 2). All dims are tiny, so the physical plan must be
+BroadcastHashJoin on the dim side — asserted in tests via the query plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skewer_spark import dims
+
+
+def enrich(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """Add severity_name, facility_name, role_class, tool_class, sink_hint.
+
+    Left joins + coalesce-to-'' so unmatched keys keep Go's
+    empty-string-default semantics (model/types.go:97-136 Factory()).
+    """
+    spark = spark or df.sparkSession
+    out = (
+        df.join(F.broadcast(dims.dim_severity(spark)), "severity", "left")
+        .join(F.broadcast(dims.dim_facility(spark)), "facility", "left")
+        .join(F.broadcast(dims.dim_role(spark)), "role", "left")
+        .join(F.broadcast(dims.dim_tool(spark)), "tool", "left")
+    )
+    for c in ("severity_name", "facility_name", "role_class", "tool_class", "sink_hint"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+    return out.withColumn("role_weight", F.coalesce(F.col("role_weight"), F.lit(0)))
+
+
+def enrich_sql(from_relation: str) -> str:
+    """DuckDB oracle equivalent producing the same added columns."""
+    return f"""
+SELECT p.*,
+       coalesce(ds.severity_name, '') AS severity_name,
+       coalesce(df.facility_name, '') AS facility_name,
+       coalesce(dr.role_class, '') AS role_class,
+       coalesce(dr.role_weight, 0) AS role_weight,
+       coalesce(dt.tool_class, '') AS tool_class,
+       coalesce(dt.sink_hint, '') AS sink_hint
+FROM {from_relation} p
+LEFT JOIN {dims.severity_values_sql("ds")} ON p.severity = ds.severity
+LEFT JOIN {dims.facility_values_sql("df")} ON p.facility = df.facility
+LEFT JOIN {dims.role_values_sql("dr")} ON p.role = dr.role
+LEFT JOIN {dims.tool_values_sql("dt")} ON p.tool = dt.tool
+"""

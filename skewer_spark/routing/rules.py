@@ -1,0 +1,118 @@
+"""Rule-based routing: filter tri-state + multi-sink fan-out.
+
+Reference semantics:
+- FilterMessage tri-state PASS/DROPPED/REJECTED
+  (/root/reference/javascript/vm.go:399-442, applied
+  /root/reference/store/forwarder.go:186-208): PASS rows are forwarded,
+  DROPPED rows are counted then discarded, REJECTED rows go to a
+  dead-letter path (NACK/retry in the reference; a dead-letter table
+  here). The reference's JS hooks become declarative SQL expressions —
+  Column expressions compiled by Catalyst, never per-row Python.
+- Topic/PartitionKey templates (vm.go:312-376,
+  /root/reference/skewer.example.toml:13-36): SQL string expressions.
+- Topic charset validation [a-zA-Z0-9._-]{1,249} (vm.go:497-535) with
+  empty/invalid falling back to 'default-topic' (forwarder.go:173-174).
+- Per-destination fan-out: one row may land in MULTIPLE sinks
+  (/root/reference/store/store.go:1136-1178 enqueues the same Uid to
+  every enabled destination). Implemented single-pass: build an array of
+  per-rule match structs, filter nulls, explode — one shuffle-free
+  projection, whole-stage codegen, no recompute per sink.
+
+Rule expressions are PORTABLE SQL (valid in both Spark SQL and DuckDB) so
+the oracle derives from the same rule objects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOPIC_VALID_RE = "^[a-zA-Z0-9._-]{1,249}$"
+
+# tri-state classification (portable SQL over parsed columns)
+STATUS_DROPPED_EXPR = "severity = 7 AND facility >= 16"
+STATUS_REJECTED_EXPR = "parse_error"
+
+
+@dataclass(frozen=True)
+class RouteRule:
+    sink: str
+    topic_expr: str  # portable SQL string expression
+    filter_expr: str  # portable SQL boolean expression
+    partition_key_expr: str = "'mypk-' || hostname"  # skewer.example.toml:20
+
+
+# FIXTURES.md section 3 (mirrors skewer.example.toml FilterSubConfig examples)
+DEFAULT_RULES: tuple[RouteRule, ...] = (
+    RouteRule("sink_app", "'syslog-' || appname", "severity <= 4"),
+    RouteRule("sink_security", "'security'", "facility IN (4, 10)"),
+    RouteRule("sink_tools", "'tool-' || tool", "tool <> ''"),
+    RouteRule("sink_default", "'default-topic'", "TRUE"),
+)
+
+
+def with_route_status(df: DataFrame) -> DataFrame:
+    """Add route_status: passing|dropped|rejected (forwarder.go:192-208)."""
+    return df.withColumn(
+        "route_status",
+        F.when(F.expr(STATUS_REJECTED_EXPR), F.lit("rejected"))
+        .when(F.expr(STATUS_DROPPED_EXPR), F.lit("dropped"))
+        .otherwise(F.lit("passing")),
+    )
+
+
+def _topic_col(rule: RouteRule):
+    """Topic expr + charset validation + default fallback (vm.go:497-535)."""
+    raw = F.expr(rule.topic_expr)
+    return F.when(raw.rlike(TOPIC_VALID_RE), raw).otherwise(F.lit("default-topic"))
+
+
+def topic_sql(rule: RouteRule) -> str:
+    """DuckDB-side equivalent of _topic_col."""
+    return (
+        f"CASE WHEN regexp_matches({rule.topic_expr}, '{TOPIC_VALID_RE}') "
+        f"THEN {rule.topic_expr} ELSE 'default-topic' END"
+    )
+
+
+def route_fanout(df: DataFrame, rules: tuple[RouteRule, ...] = DEFAULT_RULES) -> DataFrame:
+    """Explode passing rows into one row per matching sink.
+
+    Single projection: array of nullable per-rule structs -> filter nulls
+    -> explode. No shuffle, no per-sink recompute; Catalyst folds the
+    rule constants. Scale note: output partitioning is inherited from
+    the input, so a downstream per-sink write should partitionBy('sink').
+    """
+    structs = [
+        F.when(
+            F.expr(r.filter_expr),
+            F.struct(
+                F.lit(r.sink).alias("sink"),
+                _topic_col(r).alias("topic"),
+                F.expr(r.partition_key_expr).alias("partition_key"),
+            ),
+        )
+        for r in rules
+    ]
+    return (
+        df.withColumn("_matches", F.filter(F.array(*structs), lambda x: x.isNotNull()))
+        .withColumn("_route", F.explode("_matches"))
+        .drop("_matches")
+        .withColumn("sink", F.col("_route.sink"))
+        .withColumn("topic", F.col("_route.topic"))
+        .withColumn("partition_key", F.col("_route.partition_key"))
+        .drop("_route")
+    )
+
+
+def routing_union_sql(from_relation: str, rules: tuple[RouteRule, ...] = DEFAULT_RULES) -> str:
+    """DuckDB oracle: the same fan-out as a UNION ALL of filtered selects."""
+    parts = [
+        f"SELECT *, '{r.sink}' AS sink, {topic_sql(r)} AS topic, "
+        f"{r.partition_key_expr} AS partition_key "
+        f"FROM {from_relation} WHERE {r.filter_expr}"
+        for r in rules
+    ]
+    return " UNION ALL ".join(parts)

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the parse->enrich->route->aggregate pipeline.
+
+Scale rationale (100 TB / 1000-executor mindset, tested on local[32]):
+- AQE on: runtime coalescing + skew-join splitting replaces hand-tuned
+  partition counts when data volume shifts 1000x.
+- Arrow batches sized so the pandas-UDF parse stage amortizes
+  Python<->JVM transfer (the reference parses in NumCPU goroutines with
+  5000-message batches; see /root/reference/services/base/reporter.go:44).
+- session timezone pinned to UTC so event-time semantics are
+  deterministic across engines (DuckDB oracle parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SKEWER_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "skewer_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SKEWER_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,237 @@
+"""Branch-exhaustive decoder unit tests, table-driven like the reference's
+utils/conv_test.go:12-39. One case per branch of the RFC3164 cascade
+(/root/reference/decoders/rfc3164_format.go:28-194) and the RFC5424
+listener semantics (/root/reference/decoders/rfc5424_format.go:110-230).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import parse_one
+
+ING = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+
+
+def test_classic_hostname_tag_pid():
+    r = parse_one("<34>Oct 11 22:14:15 myhost app[123]: message body")
+    assert (r["priority"], r["facility"], r["severity"]) == (34, 4, 2)
+    assert r["hostname"] == "myhost"
+    assert r["appname"] == "app"
+    assert r["procid"] == "123"
+    assert r["message"] == "message body"
+    assert r["parse_format"] == "rfc3164"
+    assert not r["parse_error"]
+
+
+def test_classic_year_backfill_from_ingest():
+    # rfc3164_format.go:107 backfills the current year; we use ingest year
+    r = parse_one("<34>Oct 11 22:14:15 myhost app: hi", ingest_us=ING)
+    ts = pd.Timestamp(r["time_reported"], unit="us", tz="UTC")
+    assert ts == pd.Timestamp("2023-10-11T22:14:15Z")
+
+
+def test_rfc3339_timestamp_branch():
+    r = parse_one("<34>2019-08-16T12:00:00.500000Z myhost app: body")
+    assert r["hostname"] == "myhost"
+    assert r["appname"] == "app"
+    assert r["message"] == "body"
+    ts = pd.Timestamp(r["time_reported"], unit="us", tz="UTC")
+    assert ts == pd.Timestamp("2019-08-16T12:00:00.5Z")
+
+
+def test_rfc3339_with_offset():
+    r = parse_one("<34>2019-08-16T12:00:00+02:00 h app: b")
+    ts = pd.Timestamp(r["time_reported"], unit="us", tz="UTC")
+    assert ts == pd.Timestamp("2019-08-16T10:00:00Z")
+
+
+def test_bad_rfc3339_message_is_rest():
+    # rfc3164_format.go:75-81: parse failure -> whole rest becomes message
+    r = parse_one("<34>2019-13-99T99:00:00Z myhost app: body")
+    assert r["message"] == "2019-13-99T99:00:00Z myhost app: body"
+    assert r["time_reported"] == ING or r["time_reported"] > 0
+
+
+def test_hostname_omitted():
+    r = parse_one("<13>Oct 11 22:14:15 app[9]: body here")
+    assert r["hostname"] == ""
+    assert r["appname"] == "app"
+    assert r["procid"] == "9"
+    assert r["message"] == "body here"
+
+
+def test_ipv4_hostname_heuristic():
+    r = parse_one("<13>Oct 11 22:14:15 10.0.0.1 app[9]: body")
+    assert r["hostname"] == "10.0.0.1"
+    assert r["appname"] == "app"
+
+
+def test_no_pri_fallback():
+    # rfc3164_format.go:40-43: no '<' prefix -> whole line is the message
+    r = parse_one("no priority plain text line", ingest_us=ING)
+    assert (r["priority"], r["facility"], r["severity"]) == (0, 0, 0)
+    assert r["message"] == "no priority plain text line"
+    assert r["parse_format"] == "fallback"
+    assert r["time_reported"] == ING
+
+
+def test_big_pri_accepted_as_is():
+    # valid int PRI accepted without range check: facility = pri/8
+    r = parse_one("<999>Oct 11 22:14:15 h app: x")
+    assert (r["priority"], r["facility"], r["severity"]) == (999, 124, 7)
+
+
+def test_bad_pri_fallback():
+    # Atoi failure (rfc3164_format.go:50-54) -> fallback
+    r = parse_one("<12a>whatever")
+    assert (r["priority"], r["facility"], r["severity"]) == (0, 0, 0)
+    assert r["message"] == "<12a>whatever"
+    assert r["parse_format"] == "fallback"
+
+
+def test_empty_angle_fallback():
+    # priEnd <= 1 (rfc3164_format.go:45-47)
+    r = parse_one("<>stuff")
+    assert r["parse_format"] == "fallback"
+    assert r["message"] == "<>stuff"
+
+
+def test_pri_only_degenerate():
+    # rfc3164_format.go:59-67
+    for line in ["<34>", "<34>   "]:
+        r = parse_one(line, ingest_us=ING)
+        assert (r["priority"], r["facility"], r["severity"]) == (34, 4, 2)
+        assert r["message"] == ""
+        assert r["time_reported"] == ING
+
+
+def test_two_token_tag_then_message():
+    # rfc3164_format.go:136-141
+    r = parse_one("<34>Oct 11 22:14:15 app[1]: body")
+    assert r["appname"] == "app"
+    assert r["procid"] == "1"
+    assert r["message"] == "body"
+
+
+def test_two_token_reference_quirk():
+    # rfc3164_format.go:142-147: s[1] looks like a tag -> hostname=s[0] AND
+    # tag is (quirkily) parsed from s[0] — reproduced on purpose
+    r = parse_one("<34>Oct 11 22:14:15 myhost app[1]:")
+    assert r["hostname"] == "myhost"
+    assert r["appname"] == "myhost"
+    assert r["message"] == ""
+
+
+def test_two_token_plain_appname():
+    # rfc3164_format.go:148-151
+    r = parse_one("<34>Oct 11 22:14:15 someapp body")
+    assert r["appname"] == "someapp"
+    assert r["message"] == "body"
+
+
+def test_one_token_after_ts():
+    # rfc3164_format.go:116-119
+    r = parse_one("<34>Oct 11 22:14:15 lonely")
+    assert r["message"] == "lonely"
+    assert r["appname"] == ""
+
+
+def test_non_hostname_first_token_is_tag():
+    # rfc3164_format.go:154-159: '!' makes isHostname false -> tag branch
+    r = parse_one("<34>Oct 11 22:14:15 app! one two")
+    assert r["appname"] == "app!"
+    assert r["message"] == "one two"
+
+
+def test_tag_variants():
+    cases = {
+        "<34>Oct 11 22:14:15 h TAG m x": ("TAG", ""),
+        "<34>Oct 11 22:14:15 h TAG: m x": ("TAG", ""),
+        "<34>Oct 11 22:14:15 h TAG[7] m x": ("TAG", "7"),
+        "<34>Oct 11 22:14:15 h TAG[7]: m x": ("TAG", "7"),
+        "<34>Oct 11 22:14:15 h TAG[7 m x": ("TAG", "7"),
+    }
+    for line, (app, pid) in cases.items():
+        r = parse_one(line)
+        assert (r["appname"], r["procid"]) == (app, pid), line
+
+
+def test_rfc5424_full():
+    r = parse_one(
+        '<165>1 2003-10-11T22:14:15.003000Z mymachine evntslog 111 ID47 '
+        '[exampleSDID@32473 iut="3" eventSource="App"] An application event'
+    )
+    assert (r["priority"], r["facility"], r["severity"]) == (165, 20, 5)
+    assert r["version"] == 1
+    assert r["hostname"] == "mymachine"
+    assert r["appname"] == "evntslog"
+    assert r["procid"] == "111"
+    assert r["msgid"] == "ID47"
+    assert r["message"] == "An application event"
+    assert r["props_flat"] == (
+        "exampleSDID@32473|eventSource=App\nexampleSDID@32473|iut=3"
+    )
+    ts = pd.Timestamp(r["time_reported"], unit="us", tz="UTC")
+    assert ts == pd.Timestamp("2003-10-11T22:14:15.003Z")
+    assert not r["parse_error"]
+
+
+def test_rfc5424_all_nil():
+    # '-' nil fields -> empty strings (rfc5424_format.go:154-192)
+    r = parse_one("<165>1 - - - - - -", ingest_us=ING)
+    assert r["version"] == 1
+    for f in ("hostname", "appname", "procid", "msgid", "structured", "message"):
+        assert r[f] == "", f
+    assert r["time_reported"] == ING
+    assert not r["parse_error"]
+
+
+def test_rfc5424_sd_escape():
+    # escaped ']' inside an SD value (encoders/rfc5424.go:84-110)
+    r = parse_one('<165>1 2003-10-11T22:14:15Z host app - - [a b="c\\]d"]')
+    assert r["structured"] == '[a b="c\\]d"]'
+    assert r["props_flat"] == "a|b=c\\]d"
+    assert r["message"] == ""
+
+
+def test_rfc5424_multiple_sd_elements():
+    r = parse_one('<165>1 - h a - - [s1 k="v"][s2 x="y" z="w"] msg')
+    assert r["props_flat"] == "s1|k=v\ns2|x=y\ns2|z=w"
+    assert r["message"] == "msg"
+
+
+def test_rfc5424_malformed_is_parse_error():
+    # 5424 parse failure is a real error (rfc5424_format.go:43-49),
+    # unlike 3164 which never fails
+    r = parse_one("<165>1 too few header fields")
+    assert r["parse_format"] == "rfc5424"
+    assert r["parse_error"]
+
+
+def test_rfc5424_bad_timestamp_is_parse_error():
+    r = parse_one("<165>1 NOT-A-TIME h a - - - msg")
+    assert r["parse_error"]
+
+
+def test_tool_invocation_turn():
+    r = parse_one(
+        '<134>1 2024-01-01T10:44:30.589998Z agent toolrunner 7 - '
+        '[tool name="exec" status="ok"] invoked exec(11)'
+    )
+    assert r["appname"] == "toolrunner"
+    assert r["props_flat"] == "tool|name=exec\ntool|status=ok"
+    assert r["message"] == "invoked exec(11)"
+
+
+def test_never_raises_on_junk():
+    junk = ["", " ", "<", "<>", "<999999999999999999999>x", "\x00\x01", "a b c d e f g",
+            "<1>1", "<5>x", "🦆 unicode", "<34>Oct", "<34>Oct 11", "<34>9"]
+    from skewer_spark.parsing.syslog import parse_batch
+
+    res = parse_batch(pd.Series(junk), pd.Series([ING] * len(junk)))
+    assert len(res) == len(junk)
+    # 3164-side junk must never flag errors (the no-fail contract)
+    non5424 = res[res.parse_format != "rfc5424"]
+    assert not non5424.parse_error.any()
