@@ -49,8 +49,8 @@ def main() -> None:
             # stage saturates every core (at 100 TB the default 128 MB
             # split is right — this mirrors files-per-task ~2, not a
             # universal setting)
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
         },
     )
     timings: dict[str, float] = {}
@@ -74,20 +74,22 @@ def main() -> None:
     routed.write.format("noop").mode("overwrite").save()
     timings["route_fanout"] = round(time.time() - t0, 3)
 
-    # 3. end-to-end with per-sink partitioned write + rollup aggregates
-    out = tempfile.mkdtemp(prefix="skewer_bench_")
+    # 3. end-to-end: the real Pipeline (single-pass status-aware fan-out
+    # write to IceLite sink tables + lineage + rollups). Writes to
+    # /dev/shm when present so the scaling measurement reflects compute,
+    # not one local disk — a cluster writes to distributed storage.
+    from skewer_spark.pipeline import Pipeline
+
+    base = os.environ.get(
+        "SKEWER_BENCH_OUT", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    out = tempfile.mkdtemp(prefix="skewer_bench_", dir=base)
     try:
         t0 = time.time()
-        parsed = R.with_route_status(parse_transcripts(df))
-        routed = R.route_fanout(
-            enr.enrich(parsed.where("route_status = 'passing'"), spark)
-        )
-        routed.persist()
-        routed.write.mode("overwrite").partitionBy("sink").parquet(f"{out}/sinks")
-        for key in ("facility", "severity", "tool"):
-            agg.agg_by(routed, key).write.mode("overwrite").parquet(f"{out}/agg_{key}")
-        routed.unpersist()
+        pipe = Pipeline(spark, os.path.join(out, "warehouse"))
+        pres = pipe.run(df, run_id="bench")
         timings["e2e_write"] = round(time.time() - t0, 3)
+        assert pres.rows_in == n_rows, (pres.rows_in, n_rows)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -21,6 +21,8 @@ the same materialized parquet file.
   8-9  <PRI>1 TS host app pid msgid [SD] body        (RFC5424 + SD params)
   10   <PRI>1 - - - - - -                            (all-nil 5424)
   11   <134>1 TS agent toolrunner pid - [tool ...]   (tool-invocation turn)
+  12   <PRI>1 truncated header                       (malformed 5424 ->
+       parse_error -> REJECTED -> dead-letter sink)
 
 Skew fixture: event_id % 10 < 3  =>  conv_id = 'conv-hot' (exactly 30% of
 rows land in one conversation — exercises salted repartitioning).
@@ -60,7 +62,7 @@ def generate_transcripts_pdf(events: pd.DataFrame) -> pd.DataFrame:
     etype = ev["event_type"].astype(str)
     value = ev["value"].to_numpy(np.float64)
 
-    branch = eid % 12
+    branch = eid % 13
     pri = (eid * 7 + 13) % 192
     pri = np.where(branch == 11, 134, pri)
     host = pd.Series(uid % 50).map(lambda x: f"host-{x:02d}")
@@ -102,6 +104,7 @@ def generate_transcripts_pdf(events: pd.DataFrame) -> pd.DataFrame:
         + '" status="ok"] invoked ' + tool + "(" + pd.Series(eid).astype(str) + ")"
     )
     text[b == 11] = toolline[b == 11]
+    text[b == 12] = ("<" + pri_s + ">1 truncated " + app)[b == 12]
 
     conv_id = pd.Series(
         np.where(eid % 10 < 3, "conv-hot", pd.Series(uid % 2000).map(lambda x: f"conv-{x:05d}"))

@@ -1,0 +1,180 @@
+"""IceLite — snapshot-committed parquet tables (Iceberg stand-in).
+
+The target design runs on Iceberg: each sink is an Iceberg table, a sink
+write is one atomic snapshot commit, reruns overwrite-by-filter, and
+resume diffs lineage against committed snapshots. This container has no
+Iceberg runtime jar (no network to fetch one), so IceLite reproduces the
+commit semantics the pipeline relies on with plain parquet + an
+atomically-replaced JSON manifest:
+
+  <root>/<table>/data/<snapshot_id>/part-*.parquet   (written first)
+  <root>/<table>/_manifest.json                      (os.replace = commit)
+
+Readers list committed snapshots from the manifest and read exactly
+those files — a half-written data dir without a manifest entry is
+invisible, so commits are atomic and reruns are idempotent per
+(run_id, table): the second attempt sees the committed marker and skips
+(exactly-once per sink, replacing the reference's ACK/refcount GC,
+/root/reference/store/store.go:1060-1095,1326-1371).
+
+On a real cluster swap `IceLiteTable.append` for
+``df.writeTo(name).append()`` against an Iceberg catalog — the pipeline
+only uses this narrow interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    run_id: str
+    operation: str  # append | overwrite
+    rows: int
+    committed_at: float
+
+
+class IceLiteTable:
+    def __init__(self, root: str, name: str):
+        self.root = root
+        self.name = name
+        self.dir = os.path.join(root, name)
+        self.manifest_path = os.path.join(self.dir, "_manifest.json")
+
+    # ---------------------------------------------------------- manifest
+    def _read_manifest(self) -> list[dict]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, snapshots: list[dict]) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snapshots, f, indent=1)
+        os.replace(tmp, self.manifest_path)  # the atomic commit point
+
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot(**s) for s in self._read_manifest()]
+
+    def committed_runs(self) -> set[str]:
+        return {s.run_id for s in self.snapshots()}
+
+    # ---------------------------------------------------------- write
+    def append(self, df: DataFrame, run_id: str, overwrite: bool = False) -> Snapshot | None:
+        """Write df as one atomic snapshot. Idempotent per run_id: if a
+        snapshot for run_id is already committed, skip and return None
+        (rerun/resume safety)."""
+        snaps = self._read_manifest()
+        if any(s["run_id"] == run_id for s in snaps):
+            return None
+        snapshot_id = f"snap-{int(time.time() * 1000)}-{len(snaps)}"
+        data_dir = os.path.join(self.dir, "data", snapshot_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        rows = sum(
+            _parquet_rows(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        snap = Snapshot(snapshot_id, run_id, "overwrite" if overwrite else "append", rows, time.time())
+        if overwrite:
+            for old in snaps:
+                shutil.rmtree(
+                    os.path.join(self.dir, "data", old["snapshot_id"]), ignore_errors=True
+                )
+            snaps = []
+        snaps.append(snap.__dict__)
+        self._commit_manifest(snaps)
+        return snap
+
+    def append_pandas(self, pdf, run_id: str) -> Snapshot | None:
+        """Commit a small driver-side pandas frame as one snapshot (for
+        tiny rollup tables — avoids a Spark write job per rollup)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snaps = self._read_manifest()
+        if any(s["run_id"] == run_id for s in snaps):
+            return None
+        snapshot_id = f"snap-{int(time.time() * 1000)}-{len(snaps)}"
+        data_dir = os.path.join(self.dir, "data", snapshot_id)
+        os.makedirs(data_dir)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(data_dir, "part-00000.parquet"),
+        )
+        snap = Snapshot(snapshot_id, run_id, "append", len(pdf), time.time())
+        snaps.append(snap.__dict__)
+        self._commit_manifest(snaps)
+        return snap
+
+    def register_dir(self, src_dir: str, run_id: str) -> Snapshot | None:
+        """Adopt an already-written directory of parquet files as one
+        snapshot (zero-copy rename — the staging output of a partitioned
+        write becomes the sink table's data). Idempotent per run_id.
+        This is exactly Iceberg's add_files/commit path."""
+        snaps = self._read_manifest()
+        if any(s["run_id"] == run_id for s in snaps):
+            return None
+        snapshot_id = f"snap-{int(time.time() * 1000)}-{len(snaps)}"
+        data_dir = os.path.join(self.dir, "data", snapshot_id)
+        os.makedirs(os.path.dirname(data_dir), exist_ok=True)
+        if os.path.isdir(src_dir):
+            os.rename(src_dir, data_dir)
+        else:
+            os.makedirs(data_dir)  # empty partition: commit an empty snapshot
+        rows = sum(
+            _parquet_rows(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        snap = Snapshot(snapshot_id, run_id, "append", rows, time.time())
+        snaps.append(snap.__dict__)
+        self._commit_manifest(snaps)
+        return snap
+
+    # ---------------------------------------------------------- read
+    def data_files(self) -> list[str]:
+        files: list[str] = []
+        for s in self.snapshots():
+            d = os.path.join(self.dir, "data", s.snapshot_id)
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+        return files
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if not self.snapshots():
+            raise FileNotFoundError(f"IceLite table {self.name} has no committed snapshots")
+        files = self.data_files()
+        if not files:  # committed but empty (e.g. no rejected rows this run)
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType([]))
+        return spark.read.parquet(*files)
+
+    def per_file_rows(self, snapshot_id: str | None = None) -> list[tuple[str, int]]:
+        """(file, rows) per committed data file — lineage source. With
+        snapshot_id, only that snapshot's files."""
+        if snapshot_id is None:
+            files = self.data_files()
+        else:
+            d = os.path.join(self.dir, "data", snapshot_id)
+            files = [
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            ]
+        return [(f, _parquet_rows(f)) for f in files]
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows

@@ -1,0 +1,262 @@
+"""End-to-end orchestration: parse -> enrich -> route -> fan-out sinks ->
+aggregates, with per-sink atomic commits, lineage, and checkpoint resume.
+
+Mirrors the reference's message lifecycle (SURVEY.md section 3) in bounded
+batch: the Store's Ready/Sent/ACK machinery becomes IceLite snapshot
+commits + a lineage journal; resetStuckInSent crash recovery
+(/root/reference/store/store.go:887-941) becomes resume-by-anti-join:
+work units already committed are skipped, everything else reruns
+idempotently.
+
+Scale design (single-pass, zero persist):
+- the parse UDF runs EXACTLY ONCE: status-aware fan-out routes passing
+  rows to their sinks and rejected rows to the dead_letter sink, and one
+  ``partitionBy('sink')`` write materializes every sink in one job (the
+  reference stores one message body shared by all destinations,
+  store/store.go:1162-1176 — same single-materialization idea);
+- per-sink IceLite commits then just RENAME staging partition dirs into
+  the sink tables (Iceberg add_files semantics) — crash between commits
+  resumes with zero recompute because the staging write is keyed by
+  run_id;
+- rollup aggregates re-scan the committed columnar files pruned to
+  (sink, key) columns — no cache, no second pass over the wide rows;
+- observe() counters collect rows_in / dropped / rejected during the
+  write job itself;
+- optional salted repartition bounds task sizes under hot-conversation
+  skew (the fan-out stages are per-row, so salting is safe).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from skewer_spark import aggregate as agg
+from skewer_spark import enrich as enr
+from skewer_spark.icelite import IceLiteTable
+from skewer_spark.lineage import LineageLog, snapshot_lineage
+from skewer_spark.parsing import parse_transcripts
+from skewer_spark.routing import rules as R
+from skewer_spark.routing.rules import DEAD_LETTER_SINK
+from skewer_spark.skew import salted_repartition
+
+AGG_KEYS = ("facility", "severity", "tool")
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    rows_in: int = 0
+    status_counts: dict = field(default_factory=dict)
+    sink_rows: dict = field(default_factory=dict)
+    skipped_units: list = field(default_factory=list)
+    reused_staging: bool = False
+    wall_ms: int = 0
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        rules: tuple[R.RouteRule, ...] = R.DEFAULT_RULES,
+        salt_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.rules = rules
+        self.salt_partitions = salt_partitions
+        self.lineage = LineageLog(warehouse)
+
+    def table(self, name: str) -> IceLiteTable:
+        return IceLiteTable(self.warehouse, name)
+
+    def _staging_dir(self, run_id: str) -> str:
+        return os.path.join(self.warehouse, "_staging", run_id)
+
+    # ------------------------------------------------------------ build
+    def routed_frame(self, transcripts: DataFrame, status_aware: bool = True) -> DataFrame:
+        df = transcripts
+        if self.salt_partitions:
+            df = salted_repartition(df, self.salt_partitions)
+        parsed = R.with_route_status(parse_transcripts(df))
+        if status_aware:
+            return R.route_fanout(enr.enrich(parsed, self.spark), self.rules, status_aware=True)
+        passing = parsed.where(F.col("route_status") == "passing")
+        return R.route_fanout(enr.enrich(passing, self.spark), self.rules)
+
+    # ------------------------------------------------------------ run
+    def run(
+        self,
+        transcripts: DataFrame,
+        run_id: str | None = None,
+        fail_after_sinks: int | None = None,
+    ) -> PipelineResult:
+        """Execute the full pipeline. Idempotent per run_id: rerunning
+        with the same run_id (resume) skips committed units and reuses
+        the staging write if it completed before the crash.
+
+        fail_after_sinks: test hook — raise after N sink commits to
+        simulate a mid-run crash (resume test, SURVEY.md section 5.4).
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        t_start = time.time()
+        res = PipelineResult(run_id=run_id)
+        committed = self.lineage.committed_units()
+        staging = self._staging_dir(run_id)
+        all_sinks = [r.sink for r in self.rules] + [DEAD_LETTER_SINK]
+
+        # ---- phase 1: the one full pass (parse+enrich+route+write) ----
+        obs = Observation(f"route_obs_{run_id}_{int(time.time()*1000)}")
+        staging_done = os.path.exists(os.path.join(staging, "_SUCCESS"))
+        all_units_committed = all(
+            (run_id, "sink", s) in committed for s in all_sinks
+        )
+        wrote = False
+        if not staging_done and not all_units_committed:
+            df = transcripts
+            if self.salt_partitions:
+                df = salted_repartition(df, self.salt_partitions)
+            parsed = R.with_route_status(parse_transcripts(df)).observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum(F.when(F.col("route_status") == "dropped", 1).otherwise(0)).alias(
+                    "dropped"
+                ),
+                F.sum(
+                    F.when(F.col("route_status") == "rejected", 1).otherwise(0)
+                ).alias("rejected"),
+            )
+            routed = R.route_fanout(
+                enr.enrich(parsed, self.spark), self.rules, status_aware=True
+            )
+            t0 = time.time()
+            routed.write.mode("overwrite").partitionBy("sink").parquet(staging)
+            res.status_counts = {
+                k: obs.get.get(k, 0) for k in ("dropped", "rejected")
+            }
+            res.rows_in = obs.get.get("rows_in", 0)
+            wrote = True
+            self.lineage.commit(
+                [
+                    {
+                        "run_id": run_id,
+                        "stage": "route_write",
+                        "sink": "*",
+                        "partition_id": -1,
+                        "rows_in": res.rows_in,
+                        "rows_out": -1,
+                        "wall_ms": int((time.time() - t0) * 1000),
+                        "committed_at": time.time(),
+                    }
+                ]
+            )
+        else:
+            res.reused_staging = staging_done
+
+        # ---- phase 2: per-sink atomic commits (rename, no recompute) ----
+        n_sinks_done = 0
+        for sink in all_sinks:
+            unit = (run_id, "sink", sink)
+            if unit in committed:
+                res.skipped_units.append(unit)
+                continue
+            t0 = time.time()
+            table = self.table(sink)
+            snap = table.register_dir(os.path.join(staging, f"sink={sink}"), run_id)
+            if snap is not None:
+                self.lineage.commit(
+                    snapshot_lineage(
+                        run_id, "sink", sink,
+                        table.per_file_rows(snap.snapshot_id),
+                        rows_in=snap.rows,
+                        wall_ms=int((time.time() - t0) * 1000),
+                    )
+                )
+                res.sink_rows[sink] = snap.rows
+            n_sinks_done += 1
+            if fail_after_sinks is not None and n_sinks_done >= fail_after_sinks:
+                raise RuntimeError(f"simulated crash after {n_sinks_done} sinks")
+
+        # ---- phase 3: rollups from the committed columnar files ----
+        # ONE melt job over the sink tables (column-pruned scan of just
+        # sink/facility/severity/tool) computes all three rollups; the
+        # results are tiny (<= sinks x 24 rows each) and are committed
+        # driver-side — three Spark write jobs replaced by one scan.
+        pending_aggs = [
+            k for k in AGG_KEYS if (run_id, "agg", f"agg_{k}") not in committed
+        ]
+        res.skipped_units.extend(
+            (run_id, "agg", f"agg_{k}") for k in AGG_KEYS if k not in pending_aggs
+        )
+        if pending_aggs:
+            frames = []
+            for rule in self.rules:  # dead letter excluded from rollups
+                t = self.table(rule.sink)
+                if t.data_files():
+                    frames.append(
+                        t.read(self.spark).select(
+                            F.lit(rule.sink).alias("sink"), *AGG_KEYS
+                        )
+                    )
+            if frames:
+                u = frames[0]
+                for f2 in frames[1:]:
+                    u = u.unionByName(f2)
+                melted = u.select(
+                    "sink",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(k).alias("key"),
+                                    F.col(k).cast("string").alias("value"),
+                                )
+                                for k in AGG_KEYS
+                            ]
+                        )
+                    ).alias("kv"),
+                )
+                t0 = time.time()
+                counts = (
+                    melted.groupBy("sink", "kv.key", "kv.value")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .toPandas()
+                )
+                agg_wall = int((time.time() - t0) * 1000)
+                for key in pending_aggs:
+                    sub = counts[counts.key == key][["sink", "value", "n"]].copy()
+                    if key in ("facility", "severity"):
+                        sub[key] = sub["value"].astype("int32")
+                    else:
+                        sub[key] = sub["value"]
+                    pdf = (
+                        sub[["sink", key, "n"]]
+                        .sort_values(["sink", key])
+                        .reset_index(drop=True)
+                    )
+                    table = self.table(f"agg_{key}")
+                    snap = table.append_pandas(pdf, run_id)
+                    if snap is not None:
+                        self.lineage.commit(
+                            snapshot_lineage(
+                                run_id, "agg", f"agg_{key}",
+                                table.per_file_rows(snap.snapshot_id),
+                                rows_in=snap.rows,
+                                wall_ms=agg_wall,
+                            )
+                        )
+
+        # staging leftovers (e.g. empty partitions dir) cleaned once all
+        # sinks committed
+        if all((run_id, "sink", s) in self.lineage.committed_units() for s in all_sinks):
+            shutil.rmtree(staging, ignore_errors=True)
+
+        res.wall_ms = int((time.time() - t_start) * 1000)
+        return res

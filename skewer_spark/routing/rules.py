@@ -77,17 +77,31 @@ def topic_sql(rule: RouteRule) -> str:
     )
 
 
-def route_fanout(df: DataFrame, rules: tuple[RouteRule, ...] = DEFAULT_RULES) -> DataFrame:
-    """Explode passing rows into one row per matching sink.
+DEAD_LETTER_SINK = "dead_letter"
+
+
+def route_fanout(
+    df: DataFrame,
+    rules: tuple[RouteRule, ...] = DEFAULT_RULES,
+    status_aware: bool = False,
+) -> DataFrame:
+    """Explode rows into one row per matching sink.
 
     Single projection: array of nullable per-rule structs -> filter nulls
     -> explode. No shuffle, no per-sink recompute; Catalyst folds the
     rule constants. Scale note: output partitioning is inherited from
     the input, so a downstream per-sink write should partitionBy('sink').
+
+    status_aware=True is the single-pass pipeline mode: normal rules
+    additionally require route_status='passing', and REJECTED rows route
+    to the dead_letter sink (NACK path, forwarder.go:199-205) — so ONE
+    write covers every sink including the dead-letter table. DROPPED
+    rows match nothing (counted upstream, emitted nowhere).
     """
     structs = [
         F.when(
-            F.expr(r.filter_expr),
+            F.expr(r.filter_expr)
+            & (F.expr("route_status = 'passing'") if status_aware else F.lit(True)),
             F.struct(
                 F.lit(r.sink).alias("sink"),
                 _topic_col(r).alias("topic"),
@@ -96,6 +110,17 @@ def route_fanout(df: DataFrame, rules: tuple[RouteRule, ...] = DEFAULT_RULES) ->
         )
         for r in rules
     ]
+    if status_aware:
+        structs.append(
+            F.when(
+                F.expr("route_status = 'rejected'"),
+                F.struct(
+                    F.lit(DEAD_LETTER_SINK).alias("sink"),
+                    F.lit("dead-letter").alias("topic"),
+                    F.lit("").alias("partition_key"),
+                ),
+            )
+        )
     return (
         df.withColumn("_matches", F.filter(F.array(*structs), lambda x: x.isNotNull()))
         .withColumn("_route", F.explode("_matches"))

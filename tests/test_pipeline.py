@@ -1,0 +1,93 @@
+"""Pipeline orchestration tests: atomic per-sink commits, lineage,
+checkpoint resume (mirrors resetStuckInSent crash recovery,
+/root/reference/store/store.go:887-941), and exactly-once rerun safety.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skewer_spark.pipeline import Pipeline
+from skewer_spark.queries import load_transcripts
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "warehouse")
+
+
+def test_full_run_counts(spark, sf_dir, warehouse):
+    tr = load_transcripts(spark, sf_dir)
+    p = Pipeline(spark, warehouse)
+    res = p.run(tr, run_id="run1")
+    assert res.rows_in == tr.count()
+    # every sink committed and readable
+    total_routed = 0
+    for sink in ("sink_app", "sink_security", "sink_tools", "sink_default"):
+        df = p.table(sink).read(spark)
+        assert df.count() == res.sink_rows[sink]
+        total_routed += res.sink_rows[sink]
+    assert total_routed > 0
+    # dead letter holds the rejected rows
+    dl = p.table("dead_letter").read(spark).count()
+    assert dl == res.status_counts["rejected"]
+    # aggregates committed
+    ag = p.table("agg_facility").read(spark)
+    assert ag.groupBy().sum("n").collect()[0][0] == total_routed
+
+
+def test_rerun_same_run_id_is_noop(spark, sf_dir, warehouse):
+    tr = load_transcripts(spark, sf_dir)
+    p = Pipeline(spark, warehouse)
+    r1 = p.run(tr, run_id="runX")
+    n1 = p.table("sink_app").read(spark).count()
+    r2 = p.run(tr, run_id="runX")
+    assert len(r2.skipped_units) >= 4  # all sinks + aggs skipped
+    assert p.table("sink_app").read(spark).count() == n1  # no duplicates
+
+
+def test_crash_resume(spark, sf_dir, warehouse):
+    """Kill after 2 of 4 sink commits; resume completes the rest without
+    duplicating the committed ones (SURVEY.md section 5.4)."""
+    tr = load_transcripts(spark, sf_dir)
+    p = Pipeline(spark, warehouse)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        p.run(tr, run_id="runC", fail_after_sinks=2)
+    committed_before = {u for u in p.lineage.committed_units()}
+    assert len([u for u in committed_before if u[1] == "sink"]) == 2
+    n_app_before = p.table("sink_app").read(spark).count()
+
+    res = p.run(tr, run_id="runC")  # resume
+    skipped = {u[2] for u in res.skipped_units}
+    assert "sink_app" in skipped and "sink_security" in skipped
+    assert p.table("sink_app").read(spark).count() == n_app_before
+    # all four sinks now exist with full content
+    for sink in ("sink_app", "sink_security", "sink_tools", "sink_default"):
+        assert p.table(sink).read(spark).count() > 0
+    # lineage has one record set per unit, no duplicates from the resume
+    lin = p.lineage.records()
+    sink_units = lin[lin.stage == "sink"].groupby("sink").size()
+    assert (sink_units >= 1).all()
+
+
+def test_lineage_partition_rows_sum(spark, sf_dir, warehouse):
+    tr = load_transcripts(spark, sf_dir)
+    p = Pipeline(spark, warehouse)
+    res = p.run(tr, run_id="runL")
+    lin = p.lineage.records()
+    for sink, n in res.sink_rows.items():
+        got = lin[(lin.stage == "sink") & (lin.sink == sink)].rows_out.sum()
+        assert got == n, (sink, got, n)
+
+
+def test_salted_pipeline_same_results(spark, sf_dir, tmp_path):
+    tr = load_transcripts(spark, sf_dir)
+    p1 = Pipeline(spark, str(tmp_path / "w1"))
+    p2 = Pipeline(spark, str(tmp_path / "w2"), salt_partitions=8)
+    r1 = p1.run(tr, run_id="a")
+    r2 = p2.run(tr, run_id="b")
+    assert r1.sink_rows == r2.sink_rows
+    a = p1.table("sink_app").read(spark).select("conv_id", "turn_idx", "text")
+    b = p2.table("sink_app").read(spark).select("conv_id", "turn_idx", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
