@@ -1,0 +1,198 @@
+"""Sink-side re-serialization (SURVEY.md section 2.7) as Column exprs.
+
+Faithful to the reference encoders:
+- RFC3164 (/root/reference/encoders/rfc3164.go:26-45):
+  ``<pri>Jan _2 15:04:05 host app[pid]: msg`` — day is SPACE-padded
+  (Go's `_2`), procid bracketed only when non-empty, empty hostname
+  falls back to a local hostname (deterministic 'localhost' here
+  instead of os.Hostname()).
+- RFC5424 (/root/reference/encoders/rfc5424.go:130-184):
+  ``<pri>1 RFC3339 host|- app|- procid|- msgid|- SD|-[ msg]`` — Go
+  time.RFC3339 renders SECONDS precision (no fraction); SD values
+  escape \\ " ] with a backslash (escapeSDParam, rfc5424.go:86-110);
+  Go iterates the properties map in random order — here sids/params are
+  emitted in sorted order (deterministic superset of the contract).
+- File (/root/reference/encoders/file.go:11-40):
+  ``RFC3339 host|- app|- msg``.
+- JSON (/root/reference/encoders/json.go:31-44): fixed-field struct.
+
+All expressions are portable-by-construction: each builder has a DuckDB
+twin produced from the same format pieces, so the oracle compares the
+encoded strings byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _ts_us_to_col(ts_us: str) -> Column:
+    return F.timestamp_micros(F.col(ts_us))
+
+
+def _stamp3164(ts_us: str) -> Column:
+    """'Jan _2 15:04:05' with space-padded day (Go time.Stamp)."""
+    t = _ts_us_to_col(ts_us)
+    return F.concat(
+        F.date_format(t, "MMM"),
+        F.lit(" "),
+        F.lpad(F.dayofmonth(t).cast("string"), 2, " "),
+        F.lit(" "),
+        F.date_format(t, "HH:mm:ss"),
+    )
+
+
+def _stamp3164_sql(ts_us: str) -> str:
+    return (
+        f"strftime(make_timestamp({ts_us}), '%b') || ' ' || "
+        f"lpad(cast(day(make_timestamp({ts_us})) AS VARCHAR), 2, ' ') || ' ' || "
+        f"strftime(make_timestamp({ts_us}), '%H:%M:%S')"
+    )
+
+
+def _rfc3339(ts_us: str) -> Column:
+    return F.date_format(_ts_us_to_col(ts_us), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def _rfc3339_sql(ts_us: str) -> str:
+    return f"strftime(make_timestamp({ts_us}), '%Y-%m-%dT%H:%M:%SZ')"
+
+
+def encode_rfc3164() -> Column:
+    procid = F.when(
+        F.trim(F.col("procid")) != "", F.concat(F.lit("["), F.trim(F.col("procid")), F.lit("]"))
+    ).otherwise(F.lit(""))
+    host = F.when(F.trim(F.col("hostname")) != "", F.trim(F.col("hostname"))).otherwise(
+        F.lit("localhost")
+    )
+    return F.concat(
+        F.lit("<"), F.col("priority").cast("string"), F.lit(">"),
+        _stamp3164("time_reported"), F.lit(" "),
+        host, F.lit(" "), F.col("appname"), procid, F.lit(": "), F.col("message"),
+    )
+
+
+def encode_rfc3164_sql() -> str:
+    return (
+        "'<' || cast(priority AS VARCHAR) || '>' || "
+        + _stamp3164_sql("time_reported")
+        + " || ' ' || (CASE WHEN trim(hostname) <> '' THEN trim(hostname) ELSE 'localhost' END)"
+        " || ' ' || appname ||"
+        " (CASE WHEN trim(procid) <> '' THEN '[' || trim(procid) || ']' ELSE '' END)"
+        " || ': ' || message"
+    )
+
+
+def _nilify(c: str) -> Column:
+    return F.when(F.col(c) != "", F.col(c)).otherwise(F.lit("-"))
+
+
+def _sd_from_props_flat() -> Column:
+    """Rebuild '[sid k="v" ...]' elements from the canonical sorted
+    'sid|k=v' lines, escaping \\ \" ] in values. Lines are sorted, so
+    params of one sid are consecutive; built with higher-order funcs
+    (no UDF)."""
+    return F.expr(
+        r"""
+        CASE WHEN props_flat = '' THEN '-' ELSE
+          aggregate(
+            array_sort(array_distinct(transform(split(props_flat, '\n'),
+                                                l -> split(l, '\\|')[0]))),
+            CAST('' AS STRING),
+            (acc, sid) -> acc || '[' || sid ||
+              aggregate(
+                filter(split(props_flat, '\n'), l -> split(l, '\\|')[0] = sid),
+                CAST('' AS STRING),
+                (a2, l) -> a2 || ' ' ||
+                  split(split(l, '\\|')[1], '=')[0] || '="' ||
+                  replace(replace(replace(
+                    substring(split(l, '\\|')[1], instr(split(l, '\\|')[1], '=') + 1),
+                    '\\', '\\\\'), '"', '\\"'), ']', '\\]') || '"'
+              ) || ']'
+          )
+        END
+        """
+    )
+
+
+def _sd_from_props_flat_sql() -> str:
+    return r"""
+        CASE WHEN props_flat = '' THEN '-' ELSE
+          list_aggregate(list_transform(
+            list_sort(list_distinct(list_transform(string_split(props_flat, chr(10)),
+                                                   l -> string_split(l, '|')[1]))),
+            sid -> '[' || sid ||
+              list_aggregate(list_transform(
+                list_filter(string_split(props_flat, chr(10)),
+                            l -> string_split(l, '|')[1] = sid),
+                l -> ' ' ||
+                  string_split(string_split(l, '|')[2], '=')[1] || '="' ||
+                  replace(replace(replace(
+                    substring(string_split(l, '|')[2],
+                              strpos(string_split(l, '|')[2], '=') + 1),
+                    '\', '\\'), '"', '\"'), ']', '\]') || '"'
+              ), 'string_agg', '') || ']'
+          ), 'string_agg', '')
+        END
+    """
+
+
+def encode_rfc5424() -> Column:
+    head = F.concat(
+        F.lit("<"), F.col("priority").cast("string"), F.lit(">1 "),
+        _rfc3339("time_reported"), F.lit(" "),
+        _nilify("hostname"), F.lit(" "), _nilify("appname"), F.lit(" "),
+        _nilify("procid"), F.lit(" "), _nilify("msgid"), F.lit(" "),
+        _sd_from_props_flat(),
+    )
+    return F.when(
+        F.length("message") > 0, F.concat(head, F.lit(" "), F.col("message"))
+    ).otherwise(head)
+
+
+def encode_rfc5424_sql() -> str:
+    nil = lambda c: f"(CASE WHEN {c} <> '' THEN {c} ELSE '-' END)"
+    head = (
+        "'<' || cast(priority AS VARCHAR) || '>1 ' || "
+        + _rfc3339_sql("time_reported")
+        + f" || ' ' || {nil('hostname')} || ' ' || {nil('appname')} || ' ' || "
+        f"{nil('procid')} || ' ' || {nil('msgid')} || ' ' || ({_sd_from_props_flat_sql()})"
+    )
+    return f"(CASE WHEN length(message) > 0 THEN {head} || ' ' || message ELSE {head} END)"
+
+
+def encode_file() -> Column:
+    return F.concat_ws(
+        " ",
+        _rfc3339("time_reported"),
+        _nilify("hostname"),
+        _nilify("appname"),
+        F.col("message"),
+    )
+
+
+def encode_file_sql() -> str:
+    nil = lambda c: f"(CASE WHEN {c} <> '' THEN {c} ELSE '-' END)"
+    return (
+        _rfc3339_sql("time_reported")
+        + f" || ' ' || {nil('hostname')} || ' ' || {nil('appname')} || ' ' || message"
+    )
+
+
+def encode_json() -> Column:
+    return F.to_json(
+        F.struct(
+            F.col("priority"), F.col("facility"), F.col("severity"),
+            F.col("hostname"), F.col("appname"), F.col("procid"),
+            F.col("msgid"), F.col("message"),
+        )
+    )
+
+
+def encode_json_sql() -> str:
+    return (
+        "to_json(struct_pack(priority := priority, facility := facility, "
+        "severity := severity, hostname := hostname, appname := appname, "
+        "procid := procid, msgid := msgid, message := message))"
+    )

@@ -1,0 +1,3 @@
+"""Training-data pipeline ops: dedup, similarity search, text analysis,
+multimodal plumbing — the operations a 100 TB training-data pipeline
+needs beyond the reference's gateway semantics (round brief)."""

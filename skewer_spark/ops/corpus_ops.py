@@ -1,0 +1,257 @@
+"""Dedup / similarity / text-analysis ops as portable macro-SQL.
+
+Each function returns ONE macro-SQL string (see ops/portable.py) that is
+translated to Spark SQL for execution and to DuckDB SQL for the oracle —
+parity by construction.
+
+Dedup corpus: the driver's ``documents`` table has fully distinct texts,
+so the dedup ops first derive a corpus with injected duplicates
+(deterministic, inside the query): every 7th doc re-appears verbatim
+under doc_id+100000 (exact dupes) and every 11th doc re-appears with a
+small tail edit under doc_id+200000 (near dupes).
+
+Scale notes (the 100 TB story for each op):
+- exact dedup: hash-groupBy on md5(text) — one shuffle of (hash, id),
+  never the text bodies.
+- MinHash+LSH: shingle -> 8 minhashes -> 4 banded keys -> equi-join on
+  band key. The candidate join is an equality join (AQE-skew-splittable);
+  no quadratic blowup. Signatures are 8 fixed-width values per doc.
+- SimHash: 32-bit signature from word-frequency votes; candidate pairs
+  restricted to equal 8-bit prefix blocks, hamming verified exactly.
+- n-gram Jaccard: computed only on LSH candidate pairs, never all pairs.
+- embedding near-dup / ANN: brute-force cosine is the correctness
+  baseline (quadratic — only within label blocks); the scale path is the
+  sign-pattern-bucketed variant (equi-join on bucket).
+"""
+
+from __future__ import annotations
+
+CORPUS = """
+corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' extra tail token' AS text, lang
+  FROM documents WHERE doc_id % 11 = 0
+)"""
+
+SHINGLES = """
+sh AS (
+  SELECT doc_id,
+         XFORM(SEQ1(ASIZE(SPLIT(text, ' ')) - 2),
+               i -> ARR_GET(SPLIT(text, ' '), i) || ' ' ||
+                    ARR_GET(SPLIT(text, ' '), i + 1) || ' ' ||
+                    ARR_GET(SPLIT(text, ' '), i + 2)) AS shingles
+  FROM corpus
+)"""
+
+_SEEDS = 8
+_MINHASH = f"""
+shx AS (SELECT doc_id, EXPLODE(shingles) AS s FROM sh),
+mh AS (
+  SELECT doc_id, seed, min(md5(cast(seed AS SSTR) || '|' || s)) AS mh
+  FROM shx CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(_SEEDS))}) AS seeds(seed)
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(CASE WHEN seed = {i} THEN mh END) AS s{i}" for i in range(_SEEDS))}
+  FROM mh GROUP BY doc_id
+),
+bandkv AS (
+  SELECT doc_id, EXPLODE(ALIST(md5(s0 || s1), md5(s2 || s3),
+                               md5(s4 || s5), md5(s6 || s7))) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkv x JOIN bandkv y ON x.band = y.band AND x.doc_id < y.doc_id
+)"""
+
+
+def dedup_exact_sql() -> str:
+    return f"""WITH {CORPUS}
+SELECT md5(text) AS text_hash, count(*) AS n_copies,
+       min(doc_id) AS canonical_id
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
+
+
+def dedup_minhash_sql() -> str:
+    return f"""WITH {CORPUS}, {SHINGLES}, {_MINHASH}
+SELECT a, b FROM cand"""
+
+
+def dedup_ngram_jaccard_sql(threshold: float = 0.8) -> str:
+    return f"""WITH {CORPUS}, {SHINGLES}, {_MINHASH},
+sets AS (SELECT doc_id, ADISTINCT(shingles) AS sset FROM sh)
+SELECT c.a, c.b,
+       FMT4(CAST(ASIZE(AINTERSECT(sa.sset, sb.sset)) AS DOUBLE) /
+            (ASIZE(sa.sset) + ASIZE(sb.sset) - ASIZE(AINTERSECT(sa.sset, sb.sset))))
+         AS jaccard,
+       (CAST(ASIZE(AINTERSECT(sa.sset, sb.sset)) AS DOUBLE) /
+            (ASIZE(sa.sset) + ASIZE(sb.sset) - ASIZE(AINTERSECT(sa.sset, sb.sset))))
+         >= {threshold} AS is_dup
+FROM cand c
+JOIN sets sa ON c.a = sa.doc_id
+JOIN sets sb ON c.b = sb.doc_id"""
+
+
+def _simhash_bits() -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    cases = ",\n    ".join(
+        f"CASE WHEN sum(CASE WHEN substring(md5(word), {i}, 1) IN {hexhi} "
+        f"THEN cnt ELSE -cnt END) >= 0 THEN '1' ELSE '0' END"
+        for i in range(1, 33)
+    )
+    return f"concat({cases})"
+
+
+def simhash_sql() -> str:
+    return f"""WITH {CORPUS},
+wx AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS word FROM corpus),
+ws AS (SELECT doc_id, word, count(*) AS cnt FROM wx GROUP BY doc_id, word)
+SELECT doc_id, {_simhash_bits()} AS simhash
+FROM ws GROUP BY doc_id"""
+
+
+def dedup_simhash_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""WITH {CORPUS},
+wx AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS word FROM corpus),
+ws AS (SELECT doc_id, word, count(*) AS cnt FROM wx GROUP BY doc_id, word),
+sim AS (SELECT doc_id, {_simhash_bits()} AS simhash FROM ws GROUP BY doc_id)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       ASIZE(AFILTER(SEQ1(32),
+             i -> substring(x.simhash, i, 1) <> substring(y.simhash, i, 1)))
+         AS hamming
+FROM sim x JOIN sim y
+  ON substring(x.simhash, 1, 8) = substring(y.simhash, 1, 8)
+ AND x.doc_id < y.doc_id
+WHERE ASIZE(AFILTER(SEQ1(32),
+            i -> substring(x.simhash, i, 1) <> substring(y.simhash, i, 1)))
+      <= {max_hamming}"""
+
+
+# ------------------------------------------------------------ embeddings
+_COS = """
+  ASUM_D(XFORM(SEQ1(64), i -> CAST(ARR_GET(x.embedding, i) AS DOUBLE) *
+                              CAST(ARR_GET(y.embedding, i) AS DOUBLE)))
+  / (sqrt(ASUM_D(XFORM(SEQ1(64), i -> CAST(ARR_GET(x.embedding, i) AS DOUBLE) *
+                                      CAST(ARR_GET(x.embedding, i) AS DOUBLE))))
+   * sqrt(ASUM_D(XFORM(SEQ1(64), i -> CAST(ARR_GET(y.embedding, i) AS DOUBLE) *
+                                      CAST(ARR_GET(y.embedding, i) AS DOUBLE)))))
+"""
+
+
+def embed_neardup_sql(threshold: float = 0.35) -> str:
+    """Brute-force cosine near-dup, blocked by label (correctness
+    baseline; quadratic only within blocks)."""
+    return f"""
+SELECT x.vec_id AS a, y.vec_id AS b, FMT4({_COS}) AS cosine
+FROM embeddings x JOIN embeddings y
+  ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE {_COS} >= {threshold}"""
+
+
+def ann_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    """Brute-force cosine top-k (baseline; ties broken by rounded cosine
+    then vec_id so both engines rank identically)."""
+    return f"""
+WITH scored AS (
+  SELECT x.vec_id AS q, y.vec_id AS n, {_COS} AS cos
+  FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+  WHERE x.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT q, n, cos,
+         row_number() OVER (PARTITION BY q ORDER BY round(cos, 6) DESC, n) AS rnk
+  FROM scored
+)
+SELECT q, n, rnk, FMT4(cos) AS cosine FROM ranked WHERE rnk <= {k}"""
+
+
+def ann_lsh_bucketed_sql(n_queries: int = 10, k: int = 3) -> str:
+    """Scale path: sign-pattern bucket (first 8 dims) -> equi-join on
+    bucket -> top-k within bucket. Recall < 1 by design; the join is
+    linear, not quadratic."""
+    bucket = (
+        "AJOIN(XFORM(SEQ1(8), i -> CASE WHEN ARR_GET({t}.embedding, i) >= 0 "
+        "THEN '1' ELSE '0' END), '')"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, label,
+           {bucket.format(t="embeddings")} AS bucket FROM embeddings),
+scored AS (
+  SELECT x.vec_id AS q, y.vec_id AS n, {_COS} AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+  WHERE x.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT q, n, cos,
+         row_number() OVER (PARTITION BY q ORDER BY round(cos, 6) DESC, n) AS rnk
+  FROM scored
+)
+SELECT q, n, rnk, FMT4(cos) AS cosine FROM ranked WHERE rnk <= {k}"""
+
+
+# ------------------------------------------------------------ text stats
+_EN_STOP = "('the','a','of','and','to','in','is','it','for','on')"
+
+
+def lang_id_sql() -> str:
+    """n-gram/stopword heuristic language ID vs the labeled lang column
+    (confusion counts)."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(ASIZE(AFILTER(SPLIT(text, ' '), w -> w IN {_EN_STOP})) AS DOUBLE)
+           / ASIZE(SPLIT(text, ' ')) AS stop_ratio
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'other' END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted"""
+
+
+def quality_score_sql() -> str:
+    """Length/stopword/avg-word-length quality heuristic per document."""
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         ASIZE(SPLIT(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         CAST(ASIZE(AFILTER(SPLIT(text, ' '), w -> w IN {_EN_STOP})) AS DOUBLE)
+           / ASIZE(SPLIT(text, ' ')) AS stop_ratio,
+         CAST(ASIZE(ADISTINCT(SPLIT(text, ' '))) AS DOUBLE)
+           / ASIZE(SPLIT(text, ' ')) AS distinct_ratio
+  FROM documents
+)
+SELECT doc_id, n_words, n_chars,
+       FMT4(stop_ratio) AS stop_ratio,
+       FMT4(distinct_ratio) AS distinct_ratio,
+       FMT4(0.4 * least(CAST(n_words AS DOUBLE) / 100, 1.0)
+          + 0.3 * stop_ratio * 10
+          + 0.3 * distinct_ratio) AS quality
+FROM f"""
+
+
+def token_count_sql() -> str:
+    """Whitespace tokens + BPE-ish alnum-run tokens per document."""
+    return """
+SELECT doc_id,
+       ASIZE(SPLIT(text, ' ')) AS ws_tokens,
+       ASIZE(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS alnum_tokens,
+       length(text) AS n_chars
+FROM documents"""
+
+
+def fingerprint_sql() -> str:
+    """Exact + canonical (sorted distinct words) document fingerprints."""
+    return """
+SELECT doc_id,
+       md5(text) AS exact_fp,
+       md5(AJOIN(ASORT(ADISTINCT(SPLIT(text, ' '))), ' ')) AS canonical_fp
+FROM documents"""

@@ -1,0 +1,128 @@
+"""Portable macro-SQL: write an op once, translate to Spark SQL and
+DuckDB SQL mechanically.
+
+The two dialects agree on md5(), ||, CASE, GROUP BY, window functions —
+they differ in collection-function names and a few scalar spellings.
+Ops are written with the macros below; `to_spark`/`to_duck` rewrite
+them. This keeps the Spark implementation and its oracle equal BY
+CONSTRUCTION — a divergence is a translation bug, not a logic bug.
+
+Macros (all list indices are 1-BASED):
+  SPLIT(x, d)        split string
+  ARR_GET(a, i)      element access
+  ASIZE(a)           length
+  XFORM(a, l)        transform with lambda
+  AFILTER(a, l)      filter with lambda
+  ASORT(a)           sort
+  ADISTINCT(a)       distinct
+  AJOIN(a, sep)      join to string
+  SEQ1(n)            list [1..n]
+  FMT4(x) FMT6(x)    fixed 4/6-decimal formatting
+  POS(sub, s)        1-based position of sub in s (0 if absent)
+"""
+
+from __future__ import annotations
+
+import re
+
+_SPARK = {
+    "SPLIT": "split",
+    "ARR_GET": "element_at",
+    "ASIZE": "size",
+    "XFORM": "transform",
+    "AFILTER": "filter",
+    "ASORT": "array_sort",
+    "ADISTINCT": "array_distinct",
+    "AJOIN": "array_join",
+}
+_DUCK = {
+    "SPLIT": "string_split",
+    "ARR_GET": "list_extract",
+    "ASIZE": "len",
+    "XFORM": "list_transform",
+    "AFILTER": "list_filter",
+    "ASORT": "list_sort",
+    "ADISTINCT": "list_distinct",
+    "AJOIN": "array_to_string",
+}
+
+
+_SPARK_EXTRA = {
+    "AINTERSECT": "array_intersect",
+    "SSTR": "STRING",
+}
+_DUCK_EXTRA = {
+    "AINTERSECT": "list_intersect",
+    "SSTR": "VARCHAR",
+}
+
+
+_BARE_MACROS = {"SSTR"}  # type names appear without a call paren
+
+
+def _apply_common(sql: str, table: dict[str, str]) -> str:
+    for macro, fn in table.items():
+        if macro in _BARE_MACROS:
+            sql = re.sub(rf"\b{macro}\b", fn, sql)
+        else:
+            sql = re.sub(rf"\b{macro}\(", fn + "(", sql)
+    return sql
+
+
+def to_spark(sql: str) -> str:
+    sql = _expand_call(sql, "SEQ1", lambda a: f"sequence(1, {a})")
+    # arithmetic pre-round: Java %.nf is HALF_UP, C is HALF_EVEN — pin
+    # to floor(x*10^n + 0.5)/10^n so both engines format the same double
+    sql = _expand_call(
+        sql, "FMT4",
+        lambda a: f"format_string('%.4f', floor(({a}) * 10000 + 0.5) / 10000)",
+    )
+    sql = _expand_call(
+        sql, "FMT6",
+        lambda a: f"format_string('%.6f', floor(({a}) * 1000000 + 0.5) / 1000000)",
+    )
+    sql = _expand_call(
+        sql, "ASUM_D", lambda a: f"aggregate({a}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    sql = re.sub(r"\bEXPLODE\(", "explode(", sql)
+    sql = re.sub(r"\bALIST\(", "array(", sql)
+    return _apply_common(sql, {**_SPARK, **_SPARK_EXTRA})
+
+
+def to_duck(sql: str) -> str:
+    sql = _expand_call(sql, "SEQ1", lambda a: f"range(1, ({a}) + 1)")
+    sql = _expand_call(
+        sql, "FMT4", lambda a: f"printf('%.4f', floor(({a}) * 10000 + 0.5) / 10000)"
+    )
+    sql = _expand_call(
+        sql, "FMT6", lambda a: f"printf('%.6f', floor(({a}) * 1000000 + 0.5) / 1000000)"
+    )
+    sql = _expand_call(sql, "ASUM_D", lambda a: f"list_aggregate({a}, 'sum')")
+    sql = re.sub(r"\bEXPLODE\(", "unnest(", sql)
+    sql = re.sub(r"\bALIST\(", "list_value(", sql)
+    return _apply_common(sql, {**_DUCK, **_DUCK_EXTRA})
+
+
+def _expand_call(sql: str, name: str, render) -> str:
+    """Expand name(<balanced args>) -> render(args), handling nesting."""
+    out = []
+    i = 0
+    token = name + "("
+    while True:
+        j = sql.find(token, i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        depth = 0
+        k = j + len(token) - 1  # at '('
+        for k in range(j + len(token) - 1, len(sql)):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        args = sql[j + len(token) : k]
+        out.append(render(args))
+        i = k + 1

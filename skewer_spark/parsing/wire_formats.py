@@ -1,0 +1,132 @@
+"""Wire-format decoders beyond syslog: rsyslog-JSON, GELF, InfluxDB line
+protocol, W3C extended log (SURVEY.md section 2.2).
+
+All are pure Column expressions (whole-stage codegen, no Python):
+- rsyslog JSON (/root/reference/decoders/json_format.go:22-98):
+  ``pri`` arrives as a string -> int, facility=pri/8, severity=pri%8,
+  '$!' bag -> properties.
+- GELF (/root/reference/decoders/gelf.go:11-90): level -> severity,
+  short_message -> message, '_'-prefixed extras -> properties.
+- InfluxDB line protocol (/root/reference/decoders/influxdb.go:13-95):
+  measurement,tag=v,... field=v,... ts; tags -> properties
+  ['influxdb_tags'], fields typed by suffix: trailing 'i' -> _integer,
+  else _float (flattened here as sorted 'domain|k=v' lines, the same
+  canonical form the syslog parser uses for SD params).
+- W3C extended log (/root/reference/decoders/w3c.go:14-43): configured
+  field names, all values -> properties['w3c'].
+
+The demo queries synthesize lines deterministically from the driver's
+``events`` table inside the query (both engines), then decode them —
+no extra fixture files needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ rsyslog JSON
+RSYSLOG_SCHEMA = "pri string, host string, msg string, `$!` map<string,string>"
+
+
+def decode_rsyslog_json(df: DataFrame, col: str = "line") -> DataFrame:
+    j = F.from_json(F.col(col), RSYSLOG_SCHEMA)
+    pri = j["pri"].cast("int")
+    return df.select(
+        "*",
+        F.coalesce(pri, F.lit(0)).alias("priority"),
+        F.coalesce((pri / 8).cast("int"), F.lit(0)).alias("facility"),
+        F.coalesce(F.pmod(pri, F.lit(8)).cast("int"), F.lit(0)).alias("severity"),
+        F.coalesce(j["host"], F.lit("")).alias("hostname"),
+        F.coalesce(j["msg"], F.lit("")).alias("message"),
+        F.coalesce(j["$!"]["k"], F.lit("")).alias("prop_k"),
+    )
+
+
+# ------------------------------------------------------------ GELF
+GELF_SCHEMA = (
+    "version string, host string, short_message string, timestamp double, "
+    "level int, _facility string, _ev string"
+)
+
+
+def decode_gelf(df: DataFrame, col: str = "line") -> DataFrame:
+    j = F.from_json(F.col(col), GELF_SCHEMA)
+    return df.select(
+        "*",
+        F.coalesce(j["level"], F.lit(0)).alias("severity"),
+        F.coalesce(j["host"], F.lit("")).alias("hostname"),
+        F.coalesce(j["short_message"], F.lit("")).alias("message"),
+        (j["timestamp"] * 1_000_000).cast("long").alias("time_reported"),
+        F.coalesce(j["_facility"], F.lit("")).alias("prop_facility"),
+        F.coalesce(j["_ev"], F.lit("")).alias("prop_ev"),
+    )
+
+
+# ------------------------------------------------------------ InfluxDB
+def decode_influx(df: DataFrame, col: str = "line") -> DataFrame:
+    line = F.col(col)
+    meas = F.regexp_extract(line, r"^([^, ]+),", 1)
+    tags = F.regexp_extract(line, r"^[^, ]+,([^ ]*) ", 1)
+    fields = F.regexp_extract(line, r"^[^ ]+ ([^ ]+) ", 1)
+    ts = F.regexp_extract(line, r" (\d+)$", 1).cast("long")
+    tags_arr = F.expr(
+        "transform(split(regexp_extract(line, '^[^, ]+,([^ ]*) ', 1), ','), "
+        "t -> 'influxdb_tags|' || t)"
+    )
+    fields_arr = F.expr(
+        "transform(split(regexp_extract(line, '^[^ ]+ ([^ ]+) ', 1), ','), "
+        "f -> CASE WHEN f RLIKE '^[^=]+=[0-9]+i$' "
+        "THEN 'influxdb_fields|' || split(f, '=')[0] || '_integer=' || rtrim('i', split(f, '=')[1]) "
+        "ELSE 'influxdb_fields|' || split(f, '=')[0] || '_float=' || split(f, '=')[1] END)"
+    )
+    return df.select(
+        "*",
+        meas.alias("measurement"),
+        F.array_join(F.array_sort(tags_arr), "\n").alias("tags_flat"),
+        F.array_join(F.array_sort(fields_arr), "\n").alias("fields_flat"),
+        ts.alias("ts_ns"),
+    )
+
+
+def influx_oracle_exprs() -> str:
+    """DuckDB SELECT-list fragment mirroring decode_influx over `line`."""
+    return """
+    regexp_extract(line, '^([^, ]+),', 1) AS measurement,
+    array_to_string(list_sort(list_transform(
+      string_split(regexp_extract(line, '^[^, ]+,([^ ]*) ', 1), ','),
+      t -> 'influxdb_tags|' || t)), chr(10)) AS tags_flat,
+    array_to_string(list_sort(list_transform(
+      string_split(regexp_extract(line, '^[^ ]+ ([^ ]+) ', 1), ','),
+      f -> CASE WHEN regexp_matches(f, '^[^=]+=[0-9]+i$')
+      THEN 'influxdb_fields|' || string_split(f, '=')[1] || '_integer=' || rtrim(string_split(f, '=')[2], 'i')
+      ELSE 'influxdb_fields|' || string_split(f, '=')[1] || '_float=' || string_split(f, '=')[2] END)), chr(10))
+      AS fields_flat,
+    cast(regexp_extract(line, ' (\\d+)$', 1) AS BIGINT) AS ts_ns"""
+
+
+# ------------------------------------------------------------ W3C
+W3C_FIELDS = ["date", "time", "c-ip", "cs-method", "sc-status"]
+
+
+def decode_w3c(df: DataFrame, col: str = "line", fields: list[str] | None = None) -> DataFrame:
+    fields = fields or W3C_FIELDS
+    parts = F.split(F.col(col), " ")
+    kvs = F.array_sort(
+        F.array(
+            *[
+                F.concat(F.lit(f"w3c|{name}="), parts.getItem(i))
+                for i, name in enumerate(fields)
+            ]
+        )
+    )
+    return df.select("*", F.array_join(kvs, "\n").alias("w3c_flat"))
+
+
+def w3c_oracle_expr(fields: list[str] | None = None) -> str:
+    fields = fields or W3C_FIELDS
+    items = ", ".join(
+        f"'w3c|{name}=' || string_split(line, ' ')[{i + 1}]"
+        for i, name in enumerate(fields)
+    )
+    return f"array_to_string(list_sort([{items}]), chr(10)) AS w3c_flat"

@@ -150,6 +150,219 @@ def q_topic_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- wire-format decoders
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+_RSYSLOG_LINE = (
+    """'{"pri":"' || cast((event_id * 7 + 13) % 192 AS {i}) || '","host":"h' ||"""
+    """ cast(user_id % 50 AS {i}) || '","msg":"evt ' || cast(event_id AS {i}) ||"""
+    """ '","$!":' || props || '}'"""
+)
+_GELF_LINE = (
+    """'{"version":"1.1","host":"h' || cast(user_id % 50 AS {i}) ||"""
+    """ '","short_message":"evt ' || cast(event_id AS {i}) ||"""
+    """ '","timestamp":' || cast({epoch_s} AS {i}) ||"""
+    """ ',"level":' || cast(event_id % 8 AS {i}) ||"""
+    """ ',"_facility":"daemon","_ev":"' || event_type || '"}'"""
+)
+_INFLUX_LINE = (
+    """event_type || ',user=' || cast(user_id AS {i}) || ',host=h' ||"""
+    """ cast(user_id % 50 AS {i}) || ' value=' || {fmt3} || ',count=' ||"""
+    """ cast(event_id % 100 AS {i}) || 'i ' || cast({epoch_us} AS {i}) || '000'"""
+)
+_W3C_LINE = (
+    """{d} || ' ' || {t} || ' 10.0.' || cast(user_id % 250 AS {i}) || '.' ||"""
+    """ cast(event_id % 250 AS {i}) || ' GET ' || cast(200 + (event_id % 3) * 100 AS {i})"""
+)
+
+_SPARK_FMT = dict(
+    i="string",
+    epoch_s="unix_seconds(cast(ts AS timestamp))",
+    epoch_us="unix_micros(cast(ts AS timestamp))",
+    fmt3="format_string('%.3f', value)",
+    d="date_format(ts, 'yyyy-MM-dd')",
+    t="date_format(ts, 'HH:mm:ss')",
+)
+_DUCK_FMT = dict(
+    i="VARCHAR",
+    epoch_s="(epoch_us(ts) // 1000000)",
+    epoch_us="epoch_us(ts)",
+    fmt3="printf('%.3f', value)",
+    d="strftime(ts, '%Y-%m-%d')",
+    t="strftime(ts, '%H:%M:%S')",
+)
+
+
+def _fmt(tmpl: str, mapping: dict) -> str:
+    """Placeholder substitution that tolerates JSON braces in tmpl."""
+    for k, v in mapping.items():
+        tmpl = tmpl.replace("{" + k + "}", v)
+    return tmpl
+
+
+def q_decode_rsyslog_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.parsing.wire_formats import decode_rsyslog_json
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.expr(_fmt(_RSYSLOG_LINE, _SPARK_FMT)).alias("line")
+    )
+    return decode_rsyslog_json(ev)
+
+
+def q_decode_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.parsing.wire_formats import decode_gelf
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.expr(_fmt(_GELF_LINE, _SPARK_FMT)).alias("line")
+    )
+    return decode_gelf(ev)
+
+
+def q_decode_influx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.parsing.wire_formats import decode_influx
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.expr(_fmt(_INFLUX_LINE, _SPARK_FMT)).alias("line")
+    )
+    return decode_influx(ev)
+
+
+def q_decode_w3c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.parsing.wire_formats import decode_w3c
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.expr(_fmt(_W3C_LINE, _SPARK_FMT)).alias("line")
+    )
+    return decode_w3c(ev)
+
+
+# ------------------------------------------------- sink-side encoders
+def q_encode_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.encoders import encode_rfc3164
+
+    p = load_parsed(spark, sf_dir).where("parse_format = 'rfc3164'")
+    return p.select("conv_id", "turn_idx", encode_rfc3164().alias("encoded"))
+
+
+def q_encode_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.encoders import encode_rfc5424
+
+    p = load_parsed(spark, sf_dir).where(
+        "parse_format = 'rfc5424' AND NOT parse_error"
+    )
+    return p.select("conv_id", "turn_idx", encode_rfc5424().alias("encoded"))
+
+
+def q_encode_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.encoders import encode_file
+
+    p = load_parsed(spark, sf_dir).where("NOT parse_error")
+    return p.select("conv_id", "turn_idx", encode_file().alias("encoded"))
+
+
+def q_encode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.encoders import encode_json
+
+    p = load_parsed(spark, sf_dir).where("NOT parse_error")
+    return p.select("conv_id", "turn_idx", encode_json().alias("encoded"))
+
+
+# ------------------------------------------------- training-data ops
+# (dedup / similarity / text analysis — ops/corpus_ops.py macro-SQL,
+# executed via to_spark() here and to_duck() in the oracle)
+_OPS_SQL: dict[str, object] = {}
+
+
+def _ops_registry() -> dict[str, str]:
+    global _OPS_SQL
+    if not _OPS_SQL:
+        from skewer_spark.ops import corpus_ops as C
+
+        _OPS_SQL = {
+            "dedup_exact": C.dedup_exact_sql(),
+            "dedup_minhash_lsh": C.dedup_minhash_sql(),
+            "dedup_ngram_jaccard": C.dedup_ngram_jaccard_sql(),
+            "dedup_simhash": C.simhash_sql(),
+            "dedup_simhash_pairs": C.dedup_simhash_pairs_sql(),
+            "embed_neardup": C.embed_neardup_sql(),
+            "ann_topk_bruteforce": C.ann_topk_sql(),
+            "ann_lsh_bucketed": C.ann_lsh_bucketed_sql(),
+            "lang_id": C.lang_id_sql(),
+            "quality_score": C.quality_score_sql(),
+            "token_count": C.token_count_sql(),
+            "fingerprint": C.fingerprint_sql(),
+        }
+    return _OPS_SQL
+
+
+def _make_ops_query(name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from skewer_spark.ops.portable import to_spark
+
+        for t in ("documents", "embeddings"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        return spark.sql(to_spark(_ops_registry()[name]))
+
+    q.__name__ = f"q_{name}"
+    return q
+
+
+def _ops_oracles() -> dict[str, str]:
+    from skewer_spark.ops.portable import to_duck
+
+    return {name: to_duck(sql) for name, sql in _ops_registry().items()}
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing + mapInPandas feature extraction; the
+    metadata columns are oracle-checkable (md5/octet_length are
+    byte-level functions both engines share); the feature vector is
+    exposed as a formatted string for hash-stable compare."""
+    from skewer_spark.ops.multimodal import extract_features, with_binary_payload
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(with_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "head_byte",
+        "content_md5",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda x: F.format_string(
+                    "%.6f", F.floor(x * 1000000 + 0.5) / 1000000
+                ),
+            ),
+        ).alias("feature_csv"),
+    )
+
+
+def _multimodal_oracle() -> str:
+    # mirror _fake_feature: stride d::8 over utf-8 bytes (ascii corpus)
+    dims = []
+    for d in range(8):
+        dims.append(
+            "printf('%.6f', floor(("
+            f"list_aggregate(list_transform(range({d + 1}, length(text) + 1, 8), "
+            "i -> cast(ascii(substring(text, i, 1)) AS DOUBLE)), 'sum') "
+            f"/ greatest(len(range({d + 1}, length(text) + 1, 8)), 1) / 255.0"
+            ") * 1000000 + 0.5) / 1000000)"
+        )
+    feature_csv = " || ',' || ".join(dims)
+    return f"""
+SELECT doc_id, 'text' AS modality,
+       cast(octet_length(cast(text AS BLOB)) AS INT) AS n_bytes,
+       cast(ascii(substring(text, 1, 1)) AS INT) AS head_byte,
+       md5(text) AS content_md5,
+       {feature_csv} AS feature_csv
+FROM documents"""
+
+
 # ---------------------------------------------------------------- oracles
 def _status_sql() -> str:
     return (
@@ -209,6 +422,74 @@ GROUP BY r.sink""",
         "topic_default": f"""{_routed_ctes(sf)}
 SELECT sink, count(*) AS n FROM routed WHERE topic = 'default-topic'
 GROUP BY sink""",
+        **_wire_format_oracles(),
+        **_encoder_oracles(sf),
+        **_ops_oracles(),
+        "multimodal_features": _multimodal_oracle(),
+    }
+
+
+def _wire_format_oracles() -> dict[str, str]:
+    from skewer_spark.parsing.wire_formats import influx_oracle_exprs, w3c_oracle_expr
+
+    rs = _fmt(_RSYSLOG_LINE, _DUCK_FMT)
+    gl = _fmt(_GELF_LINE, _DUCK_FMT)
+    infl = _fmt(_INFLUX_LINE, _DUCK_FMT)
+    w3c = _fmt(_W3C_LINE, _DUCK_FMT)
+    return {
+        "decode_rsyslog_json": f"""
+WITH src AS (SELECT event_id, {rs} AS line FROM events)
+SELECT event_id, line,
+  coalesce(try_cast(json_extract_string(line, '$.pri') AS INT), 0) AS priority,
+  coalesce(try_cast(json_extract_string(line, '$.pri') AS INT) // 8, 0) AS facility,
+  coalesce(try_cast(json_extract_string(line, '$.pri') AS INT) % 8, 0) AS severity,
+  coalesce(json_extract_string(line, '$.host'), '') AS hostname,
+  coalesce(json_extract_string(line, '$.msg'), '') AS message,
+  coalesce(json_extract_string(line, '$."$!".k'), '') AS prop_k
+FROM src""",
+        "decode_gelf": f"""
+WITH src AS (SELECT event_id, {gl} AS line FROM events)
+SELECT event_id, line,
+  coalesce(try_cast(json_extract_string(line, '$.level') AS INT), 0) AS severity,
+  coalesce(json_extract_string(line, '$.host'), '') AS hostname,
+  coalesce(json_extract_string(line, '$.short_message'), '') AS message,
+  cast(try_cast(json_extract_string(line, '$.timestamp') AS DOUBLE) * 1000000
+       AS BIGINT) AS time_reported,
+  coalesce(json_extract_string(line, '$._facility'), '') AS prop_facility,
+  coalesce(json_extract_string(line, '$._ev'), '') AS prop_ev
+FROM src""",
+        "decode_influx": f"""
+WITH src AS (SELECT event_id, {infl} AS line FROM events)
+SELECT event_id, line, {influx_oracle_exprs()}
+FROM src""",
+        "decode_w3c": f"""
+WITH src AS (SELECT event_id, {w3c} AS line FROM events)
+SELECT event_id, line, {w3c_oracle_expr()}
+FROM src""",
+    }
+
+
+def _encoder_oracles(sf: str) -> dict[str, str]:
+    from skewer_spark.encoders import (
+        encode_file_sql,
+        encode_json_sql,
+        encode_rfc3164_sql,
+        encode_rfc5424_sql,
+    )
+
+    return {
+        "encode_rfc3164": f"""{parsed_relation(sf)}
+SELECT conv_id, turn_idx, {encode_rfc3164_sql()} AS encoded
+FROM parsed WHERE parse_format = 'rfc3164'""",
+        "encode_rfc5424": f"""{parsed_relation(sf)}
+SELECT conv_id, turn_idx, {encode_rfc5424_sql()} AS encoded
+FROM parsed WHERE parse_format = 'rfc5424' AND NOT parse_error""",
+        "encode_file": f"""{parsed_relation(sf)}
+SELECT conv_id, turn_idx, {encode_file_sql()} AS encoded
+FROM parsed WHERE NOT parse_error""",
+        "encode_json": f"""{parsed_relation(sf)}
+SELECT conv_id, turn_idx, {encode_json_sql()} AS encoded
+FROM parsed WHERE NOT parse_error""",
     }
 
 
@@ -230,4 +511,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordering_window": q_ordering_window,
         "text_equality": q_text_equality,
         "topic_default": q_topic_default,
+        "decode_rsyslog_json": q_decode_rsyslog_json,
+        "decode_gelf": q_decode_gelf,
+        "decode_influx": q_decode_influx,
+        "decode_w3c": q_decode_w3c,
+        "encode_rfc3164": q_encode_rfc3164,
+        "encode_rfc5424": q_encode_rfc5424,
+        "encode_file": q_encode_file,
+        "encode_json": q_encode_json,
+        **{name: _make_ops_query(name) for name in _ops_registry()},
+        "multimodal_features": q_multimodal_features,
     }

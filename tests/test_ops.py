@@ -1,0 +1,90 @@
+"""Semantic invariants for the training-data ops (beyond engine parity,
+which the oracle gate covers): LSH recall of injected duplicates,
+Jaccard bounds, SimHash closeness of near-identical docs, ANN subset
+relations, multimodal metadata fidelity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skewer_spark.queries import _make_ops_query, q_multimodal_features
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(spark, name):
+    return _make_ops_query(name)(spark, SF).toPandas()
+
+
+def test_exact_dupes_found(spark):
+    d = run(spark, "dedup_exact")
+    # every 7th doc was injected as an exact duplicate
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    expected = len([i for i in range(n_docs) if i % 7 == 0])
+    assert len(d) == expected
+    assert (d.n_copies == 2).all()
+    assert (d.canonical_id < 100000).all()
+
+
+def test_minhash_recalls_exact_dupes(spark):
+    """Identical texts have identical signatures -> every exact-dup pair
+    MUST appear among the LSH candidates (recall=1 for true dupes)."""
+    cand = run(spark, "dedup_minhash_lsh")
+    pairs = set(zip(cand.a, cand.b))
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    for i in range(0, n_docs, 7):
+        assert (i, i + 100000) in pairs, f"missing exact dup pair {i}"
+
+
+def test_jaccard_exact_dupes_are_one(spark):
+    j = run(spark, "dedup_ngram_jaccard")
+    exact = j[(j.a < 100000) & (j.b - j.a == 100000)]
+    assert len(exact) > 0
+    assert (exact.jaccard == "1.0000").all()
+    assert exact.is_dup.all()
+    assert (j.jaccard.astype(float) <= 1.0).all()
+    assert (j.jaccard.astype(float) >= 0.0).all()
+
+
+def test_simhash_exact_dupes_distance_zero(spark):
+    p = run(spark, "dedup_simhash_pairs")
+    exact = p[(p.a < 100000) & (p.b - p.a == 100000)]
+    assert len(exact) > 0
+    assert (exact.hamming == 0).all()
+
+
+def test_ann_bucketed_is_subset_of_bruteforce_space(spark):
+    bf = run(spark, "ann_topk_bruteforce")
+    lsh = run(spark, "ann_lsh_bucketed")
+    # bucketed results are valid neighbors with correct self-exclusion
+    assert (lsh.q != lsh.n).all()
+    assert (bf.q != bf.n).all()
+    assert bf.groupby("q").size().max() <= 5
+    # cosine values bounded
+    assert (bf.cosine.astype(float) <= 1.0001).all()
+
+
+def test_lang_id_mostly_right_on_en(spark):
+    c = run(spark, "lang_id")
+    en_correct = c[(c.lang == "en") & (c.predicted == "en")].n.sum()
+    en_total = c[c.lang == "en"].n.sum()
+    assert en_correct / en_total > 0.6  # heuristic, not a model
+
+
+def test_multimodal_metadata_matches_text(spark):
+    feats = q_multimodal_features(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    m = feats.merge(docs[["doc_id", "text", "n_chars"]], on="doc_id")
+    assert (m.n_bytes == m.text.str.len()).all()  # ascii corpus
+    assert (m.feature_csv.str.count(",") == 7).all()
+
+
+def test_multimodal_decode_stubs_raise():
+    from skewer_spark.ops.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")

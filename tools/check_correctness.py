@@ -46,8 +46,18 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()
+    # the driver pre-registers these views over the sf0.01 parquet tables
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         t1 = time.time()
