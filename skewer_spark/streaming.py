@@ -1,0 +1,155 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md section 7.8).
+
+The reference is a continuously-running gateway; its streaming semantics
+map directly onto Structured Streaming:
+
+- Kafka-consumer source with in-order offset commits
+  (/root/reference/services/network/kafka.go:297-325) == the streaming
+  offset log + checkpointing: nothing to hand-build.
+- The parse/enrich/route stages are the SAME functions as batch (they
+  are narrow transformations; the pandas-UDF parse runs unchanged on a
+  streaming DataFrame).
+- Per-destination fan-out == foreachBatch writing each micro-batch
+  through the same status-aware partitioned write.
+- Late data: event-time watermark on the parsed ``time_reported`` with
+  windowed severity counts.
+- Custom stateful operator: per-conversation running state via
+  ``applyInPandasWithState`` (turn counts + last turn_idx), the analog
+  of the RELP connection's monotonic txnr tracking
+  (/root/reference/services/network/relp.go:405-476).
+
+Tests drive this with a file source + availableNow trigger, which is
+deterministic and mirrors a bounded backfill run of the streaming job.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from skewer_spark import enrich as enr
+from skewer_spark.parsing import parse_transcripts
+from skewer_spark.routing import rules as R
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp_ntz"
+)
+
+
+def read_transcript_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    """File-source stream over a transcripts parquet directory (stands in
+    for the Kafka source; swap .format('kafka') on a real deployment)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def routed_stream(stream: DataFrame, spark: SparkSession) -> DataFrame:
+    """The batch spine applied to a streaming frame — unchanged code."""
+    parsed = R.with_route_status(parse_transcripts(stream))
+    return R.route_fanout(enr.enrich(parsed, spark), status_aware=True)
+
+
+def start_fanout_stream(
+    stream: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """foreachBatch fan-out: every micro-batch goes through the same
+    single-pass partitioned write as the batch pipeline."""
+    routed = routed_stream(stream, spark)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy("sink")
+            .parquet(os.path.join(out_dir, "sinks"))
+        )
+
+    writer = routed.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_severity_counts(
+    stream: DataFrame, spark: SparkSession, watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Event-time windowed rollup with late-data watermark (the
+    streaming analog of agg_severity)."""
+    parsed = R.with_route_status(parse_transcripts(stream))
+    events = parsed.withColumn(
+        "event_time", F.timestamp_micros(F.col("time_reported"))
+    ).withWatermark("event_time", watermark)
+    return events.groupBy(
+        F.window("event_time", window).alias("w"), "severity"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+CONV_STATE_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+        StructField("n_tool_turns", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+        StructField("n_tool_turns", LongType()),
+    ]
+)
+
+
+def conversation_state_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-conversation counters via
+    applyInPandasWithState (turn totals + monotonic max turn_idx)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (conv_id,) = key
+        n, mx, ntool = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, int(pdf["turn_idx"].max()))
+            ntool += int((pdf["role"] == "tool").sum())
+        state.update((n, mx, ntool))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n],
+                "max_turn_idx": [mx],
+                "n_tool_turns": [ntool],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=CONV_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
