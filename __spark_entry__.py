@@ -34,8 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.datagen import ensure_rawlines, ensure_transcripts
     from skewer_spark.queries import ORACLE_SF_DIR, build_oracles
 
     ensure_transcripts(ORACLE_SF_DIR)
+    ensure_rawlines(ORACLE_SF_DIR)
     return build_oracles()

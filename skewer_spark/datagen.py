@@ -131,6 +131,28 @@ def generate_transcripts_pdf(events: pd.DataFrame) -> pd.DataFrame:
     return out[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
 
 
+def rawlines_path(sf_dir: str) -> str:
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(REPO_DATA_DIR, sfname, "raw_lines.txt")
+
+
+def ensure_rawlines(sf_dir: str, force: bool = False) -> str:
+    """Materialize the transcripts' raw text lines as a plain text file —
+    the filesystem-poller source fixture (services/filepoll.go:30-316
+    tails files line by line; spark.read.text is the batch equivalent)."""
+    path = rawlines_path(sf_dir)
+    if os.path.exists(path) and not force:
+        return path
+    tpath = ensure_transcripts(sf_dir)
+    tr = pq.read_table(tpath).to_pandas().sort_values(["conv_id", "turn_idx"])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(tr["text"].tolist()))
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_transcripts(sf_dir: str, force: bool = False, repeat: int = 1) -> str:
     """Materialize transcripts parquet for sf_dir (idempotent).
 

@@ -26,20 +26,24 @@ _HOSTNAME = r"^[A-Za-z0-9.:_-]+$"
 _TS_FMTS = "['%Y-%m-%dT%H:%M:%S.%fZ', '%Y-%m-%dT%H:%M:%SZ']"
 
 
-def parse_cte(sf_dir: str) -> str:
+def parse_cte(sf_dir: str, source_sql: str | None = None) -> str:
     """WITH-clause body producing relation ``parsed`` (one row per turn).
 
     Columns: conv_id, turn_idx, role, tool, ts, text, priority, facility,
     severity, version, time_reported, time_generated (epoch micros),
     hostname, appname, procid, msgid, structured, message, props_flat,
     parse_format, parse_error.
+
+    source_sql overrides the input relation; it must yield columns
+    (conv_id, turn_idx, role, tool, ts, text) — used e.g. for the raw
+    text-file source.
     """
-    path = transcripts_path(sf_dir)
+    source = source_sql or f"SELECT * FROM read_parquet('{transcripts_path(sf_dir)}')"
     return f"""
 base AS (
   SELECT conv_id, turn_idx, role, tool, ts, text,
          trim(text) AS t, epoch_us(ts) AS ing
-  FROM read_parquet('{path}')
+  FROM ({source})
 ),
 pri0 AS (
   SELECT *,
@@ -215,6 +219,6 @@ parsed AS (
 )"""
 
 
-def parsed_relation(sf_dir: str) -> str:
+def parsed_relation(sf_dir: str, source_sql: str | None = None) -> str:
     """Full 'WITH ... parsed' prefix ready to append a SELECT."""
-    return "WITH " + parse_cte(sf_dir)
+    return "WITH " + parse_cte(sf_dir, source_sql)

@@ -315,6 +315,98 @@ def _ops_oracles() -> dict[str, str]:
     return {name: to_duck(sql) for name, sql in _ops_registry().items()}
 
 
+def q_decode_journald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journald entries are map<string,string>; the decoder is a
+    column-mapping select (journald/reader.go:36-90: PRIORITY->severity,
+    SYSLOG_FACILITY->facility, _HOSTNAME, SYSLOG_IDENTIFIER->appname,
+    _PID->procid, MESSAGE). The query builds the map column from events
+    (exercising the real MapType path) and extracts it back."""
+    ev = _events(spark, sf_dir)
+    entry = F.create_map(
+        F.lit("PRIORITY"), (F.col("event_id") % 8).cast("string"),
+        F.lit("SYSLOG_FACILITY"), ((F.col("event_id") * 7 + 13) % 192 / 8).cast("int").cast("string"),
+        F.lit("_HOSTNAME"), F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")),
+        F.lit("SYSLOG_IDENTIFIER"), F.col("event_type"),
+        F.lit("_PID"), (F.col("event_id") % 100000).cast("string"),
+        F.lit("MESSAGE"), F.concat(F.lit("evt "), F.col("event_id").cast("string")),
+    )
+    withmap = ev.select("event_id", entry.alias("entry"))
+    return withmap.select(
+        "event_id",
+        F.coalesce(withmap.entry["PRIORITY"].cast("int"), F.lit(0)).alias("severity"),
+        F.coalesce(withmap.entry["SYSLOG_FACILITY"].cast("int"), F.lit(0)).alias("facility"),
+        F.coalesce(withmap.entry["_HOSTNAME"], F.lit("")).alias("hostname"),
+        F.coalesce(withmap.entry["SYSLOG_IDENTIFIER"], F.lit("")).alias("appname"),
+        F.coalesce(withmap.entry["_PID"], F.lit("")).alias("procid"),
+        F.coalesce(withmap.entry["MESSAGE"], F.lit("")).alias("message"),
+    )
+
+
+def q_source_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filesystem source (services/filepoll.go:30-316): raw text lines ->
+    parse -> facility histogram. spark.read.text is the batch form of
+    the reference's file tailer."""
+    from skewer_spark.datagen import ensure_rawlines
+    from skewer_spark.parsing import parse_transcripts
+
+    path = ensure_rawlines(sf_dir)
+    lines = (
+        spark.read.text(path)
+        .select(
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("").alias("role"),
+            F.col("value").alias("text"),
+            F.lit("").alias("tool"),
+            F.timestamp_micros(F.lit(0)).alias("ts"),
+        )
+    )
+    parsed = parse_transcripts(lines)
+    return (
+        parsed.groupBy("parse_format", "facility")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("parse_format", "facility")
+    )
+
+
+def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each parsed row to proto3 wire format and decode it back
+    (model/types.proto SyslogMessage); the decoded fields must equal the
+    oracle's independently-computed parse — encoder and decoder verify
+    each other against an external reference."""
+    from skewer_spark.parsing.protobuf_wire import protobuf_roundtrip
+
+    p = load_parsed(spark, sf_dir).withColumn(
+        "rid", F.concat_ws(":", "conv_id", "turn_idx")
+    )
+    return protobuf_roundtrip(p)
+
+
+def q_encode_avro_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro-JSON encoding per the reference's generated Avro record
+    (model/avro/syslog_message.go:46: Facility/Severity as NAMES,
+    RFC3339 string times) — exercises enrich + encode together."""
+    p = enr.enrich(load_parsed(spark, sf_dir), spark).where("NOT parse_error")
+    rfc3339 = lambda c: F.date_format(F.timestamp_micros(F.col(c)), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return p.select(
+        "conv_id",
+        "turn_idx",
+        F.to_json(
+            F.struct(
+                F.col("facility_name").alias("Facility"),
+                F.col("severity_name").alias("Severity"),
+                rfc3339("time_reported").alias("TimeReported"),
+                rfc3339("time_generated").alias("TimeGenerated"),
+                F.col("hostname").alias("Hostname"),
+                F.col("appname").alias("Appname"),
+                F.col("procid").alias("Procid"),
+                F.col("msgid").alias("Msgid"),
+                F.col("message").alias("Message"),
+            )
+        ).alias("avro_json"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing + mapInPandas feature extraction; the
     metadata columns are oracle-checkable (md5/octet_length are
@@ -426,7 +518,52 @@ GROUP BY sink""",
         **_encoder_oracles(sf),
         **_ops_oracles(),
         "multimodal_features": _multimodal_oracle(),
+        "decode_journald": """
+SELECT event_id,
+  cast(event_id % 8 AS INT) AS severity,
+  cast(((event_id * 7 + 13) % 192) // 8 AS INT) AS facility,
+  'h' || cast(user_id % 50 AS VARCHAR) AS hostname,
+  event_type AS appname,
+  cast(event_id % 100000 AS VARCHAR) AS procid,
+  'evt ' || cast(event_id AS VARCHAR) AS message
+FROM events""",
+        "source_textfile": _textfile_oracle(sf),
+        "protobuf_roundtrip": f"""{parsed_relation(sf)}
+SELECT conv_id || ':' || cast(turn_idx AS VARCHAR) AS rid,
+       priority, facility, severity, version, time_reported,
+       time_generated, hostname, appname, procid, msgid, structured,
+       message, props_flat, TRUE AS proto_nonempty
+FROM parsed""",
+        "encode_avro_json": f"""{parsed_relation(sf)},
+enriched AS ({enr.enrich_sql('parsed')})
+SELECT conv_id, turn_idx,
+       to_json(struct_pack(
+         Facility := facility_name, Severity := severity_name,
+         TimeReported := strftime(make_timestamp(time_reported),
+                                  '%Y-%m-%dT%H:%M:%SZ'),
+         TimeGenerated := strftime(make_timestamp(time_generated),
+                                   '%Y-%m-%dT%H:%M:%SZ'),
+         Hostname := hostname, Appname := appname, Procid := procid,
+         Msgid := msgid, Message := message)) AS avro_json
+FROM enriched WHERE NOT parse_error""",
     }
+
+
+def _textfile_oracle(sf: str) -> str:
+    from skewer_spark.datagen import rawlines_path
+    from skewer_spark.oracle import parse_cte
+
+    src = (
+        "SELECT cast(NULL AS VARCHAR) AS conv_id, 0 AS turn_idx, "
+        "'' AS role, '' AS tool, make_timestamp(0) AS ts, "
+        "unnest(string_split(content, chr(10))) AS text "
+        f"FROM read_text('{rawlines_path(sf)}')"
+    )
+    return (
+        "WITH " + parse_cte(sf, source_sql=src)
+        + " SELECT parse_format, facility, count(*) AS n FROM parsed "
+        "GROUP BY parse_format, facility"
+    )
 
 
 def _wire_format_oracles() -> dict[str, str]:
@@ -521,4 +658,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_json": q_encode_json,
         **{name: _make_ops_query(name) for name in _ops_registry()},
         "multimodal_features": q_multimodal_features,
+        "decode_journald": q_decode_journald,
+        "source_textfile": q_source_textfile,
+        "protobuf_roundtrip": q_protobuf_roundtrip,
+        "encode_avro_json": q_encode_avro_json,
     }
