@@ -1,0 +1,93 @@
+"""The three parse implementations must agree exactly:
+- parsing/syslog.py   pandas vectorized (the pipeline default)
+- parsing/fastpath.py single-pass tight loop
+- parsing/sqlparse.py JVM Column expressions (whole-stage codegen)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from skewer_spark.datagen import ensure_transcripts
+from skewer_spark.parsing import parse_transcripts
+from skewer_spark.parsing.fastpath import parse_batch_fast
+from skewer_spark.parsing.syslog import parse_batch
+
+JUNK = [
+    "", " ", "<", "<>", "<999999999999999999999>x", "a b c d e f g",
+    "<1>1", "<5>x", "<34>Oct", "<34>Oct 11", "<34>9",
+    "<34>2019-08-16T12:00:00+02:00 h app: b",
+    "<34>Oct 11 22:14:15 myhost app[1]:", "<34>Oct 11 22:14:15 h TAG[7 m x",
+    '<165>1 2003-10-11T22:14:15Z host app - - [a b="c\\]d"]',
+    '<165>1 - h a - - [s1 k="v"][s2 x="y" z="w"] msg',
+    "<165>1 NOT-A-TIME h a - - - msg",
+    "<13>Oct 11 22:14:15 10.0.0.1 app[9]: body",
+    "<34>2019-13-99T99:00:00Z myhost app: body", "no pri", "<12a>x",
+    "<999>Oct 11 22:14:15 h app: x", "<0>",
+]
+
+
+def _assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame, ctx: str):
+    for c in a.columns:
+        eq = a[c].astype(str).values == b[c].astype(str).values
+        assert eq.all(), (ctx, c, np.where(~eq)[0][:5])
+
+
+def test_fastpath_equals_reference_on_corpus():
+    import pyarrow.parquet as pq
+
+    tr = pq.read_table(ensure_transcripts("/root/testdata/sf0.001")).to_pandas()
+    ing = pd.to_datetime(tr["ts"]).dt.as_unit("us").astype("int64")
+    _assert_frames_equal(
+        parse_batch(tr["text"], ing), parse_batch_fast(tr["text"], ing), "corpus"
+    )
+
+
+def test_fastpath_equals_reference_on_junk():
+    s = pd.Series(JUNK)
+    ing = pd.Series([1_700_000_000_000_000] * len(s))
+    _assert_frames_equal(parse_batch(s, ing), parse_batch_fast(s, ing), "junk")
+
+
+def test_sqlparse_equals_reference(spark, sf_dir):
+    from skewer_spark.parsing.sqlparse import parse_transcripts_sql
+
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    cols = [
+        "conv_id", "turn_idx", "priority", "facility", "severity", "version",
+        "time_reported", "time_generated", "hostname", "appname", "procid",
+        "msgid", "structured", "message", "props_flat", "parse_format",
+        "parse_error",
+    ]
+    key = ["conv_id", "turn_idx"]
+    a = parse_transcripts(df).select(cols).toPandas().sort_values(key).reset_index(drop=True)
+    b = (
+        parse_transcripts_sql(df).select(cols).toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    _assert_frames_equal(a, b, "sqlparse")
+
+
+def test_sqlparse_junk_lines(spark):
+    from skewer_spark.parsing.sqlparse import parse_transcripts_sql
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(str(i), 0, "", t, "") for i, t in enumerate(JUNK)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+    cols = [
+        "priority", "facility", "severity", "version", "time_reported",
+        "time_generated", "hostname", "appname", "procid", "msgid",
+        "structured", "message", "props_flat", "parse_format", "parse_error",
+    ]
+    got = (
+        parse_transcripts_sql(df).select("conv_id", *cols).toPandas()
+        .sort_values("conv_id", key=lambda s: s.astype(int))
+        .reset_index(drop=True)
+    )
+    want = parse_batch(pd.Series(JUNK), pd.Series([1_700_000_000_000_000] * len(JUNK)))
+    _assert_frames_equal(want, got[cols], "sql junk")
