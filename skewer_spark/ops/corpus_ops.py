@@ -121,9 +121,9 @@ wx AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS word FROM corpus),
 ws AS (SELECT doc_id, word, count(*) AS cnt FROM wx GROUP BY doc_id, word),
 sim AS (SELECT doc_id, {_simhash_bits()} AS simhash FROM ws GROUP BY doc_id)
 SELECT x.doc_id AS a, y.doc_id AS b,
-       ASIZE(AFILTER(SEQ1(32),
+       CAST(ASIZE(AFILTER(SEQ1(32),
              i -> substring(x.simhash, i, 1) <> substring(y.simhash, i, 1)))
-         AS hamming
+         AS BIGINT) AS hamming
 FROM sim x JOIN sim y
   ON substring(x.simhash, 1, 8) = substring(y.simhash, 1, 8)
  AND x.doc_id < y.doc_id
@@ -164,7 +164,7 @@ WITH scored AS (
 ),
 ranked AS (
   SELECT q, n, cos,
-         row_number() OVER (PARTITION BY q ORDER BY round(cos, 6) DESC, n) AS rnk
+         CAST(row_number() OVER (PARTITION BY q ORDER BY round(cos, 6) DESC, n) AS BIGINT) AS rnk
   FROM scored
 )
 SELECT q, n, rnk, FMT4(cos) AS cosine FROM ranked WHERE rnk <= {k}"""
@@ -188,7 +188,7 @@ scored AS (
 ),
 ranked AS (
   SELECT q, n, cos,
-         row_number() OVER (PARTITION BY q ORDER BY round(cos, 6) DESC, n) AS rnk
+         CAST(row_number() OVER (PARTITION BY q ORDER BY round(cos, 6) DESC, n) AS BIGINT) AS rnk
   FROM scored
 )
 SELECT q, n, rnk, FMT4(cos) AS cosine FROM ranked WHERE rnk <= {k}"""
@@ -229,7 +229,8 @@ WITH f AS (
            / ASIZE(SPLIT(text, ' ')) AS distinct_ratio
   FROM documents
 )
-SELECT doc_id, n_words, n_chars,
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
        FMT4(stop_ratio) AS stop_ratio,
        FMT4(distinct_ratio) AS distinct_ratio,
        FMT4(0.4 * least(CAST(n_words AS DOUBLE) / 100, 1.0)
@@ -242,9 +243,9 @@ def token_count_sql() -> str:
     """Whitespace tokens + BPE-ish alnum-run tokens per document."""
     return """
 SELECT doc_id,
-       ASIZE(SPLIT(text, ' ')) AS ws_tokens,
-       ASIZE(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS alnum_tokens,
-       length(text) AS n_chars
+       CAST(ASIZE(SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(ASIZE(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS alnum_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
 FROM documents"""
 
 

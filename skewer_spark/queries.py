@@ -115,7 +115,7 @@ def q_ordering_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "conv_id",
         "turn_idx",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         (F.row_number().over(w) - 1 == F.col("turn_idx")).alias("ordered_ok"),
     )
 

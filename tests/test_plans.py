@@ -1,0 +1,110 @@
+"""Physical-plan quality gates: the properties that keep this fast at
+100 TB, asserted on .explain output so regressions are caught —
+predicate pushdown, column pruning, exactly-one UDF evaluation,
+broadcast-only dim joins, zero shuffles in the single-pass spine,
+whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skewer_spark import enrich as enr
+from skewer_spark.datagen import ensure_transcripts
+from skewer_spark.parsing import parse_transcripts
+from skewer_spark.queries import load_parsed
+from skewer_spark.routing import rules as R
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def routed_plan(spark, sf_dir):
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    parsed = R.with_route_status(parse_transcripts(df))
+    routed = R.route_fanout(enr.enrich(parsed, spark), status_aware=True)
+    return plan_of(routed)
+
+
+def test_parse_udf_evaluated_exactly_once(routed_plan):
+    # a filter over UDF-derived columns must not duplicate the parse
+    assert routed_plan.count("ArrowEvalPython") == 1
+
+
+def test_dim_joins_are_broadcast_only(routed_plan):
+    assert routed_plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in routed_plan
+    assert "ShuffledHashJoin" not in routed_plan
+
+
+def test_spine_has_no_shuffle(routed_plan):
+    # the single-pass spine is scan -> UDF -> project -> explode; the only
+    # exchanges allowed are broadcast exchanges for the dims
+    import re
+
+    shuffles = [
+        l for l in routed_plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert shuffles == [], shuffles
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    # AQE wraps the plan until execution; disable it to see codegen spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.read.parquet(ensure_transcripts(sf_dir))
+        parsed = R.with_route_status(parse_transcripts(df))
+        routed = R.route_fanout(enr.enrich(parsed, spark), status_aware=True)
+        plan = plan_of(routed)
+        # '*(n)' prefixes mark WholeStageCodegen spans in toString form
+        assert "*(" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    plan = plan_of(df.where(F.col("conv_id") == "conv-hot"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(conv_id,conv-hot)" in plan.replace(" ", "").replace(
+        "EqualTo(conv_id,conv-hot)", "EqualTo(conv_id,conv-hot)"
+    ) or "conv_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    plan = plan_of(df.select("conv_id", "turn_idx"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "conv_id" in read_schema and "turn_idx" in read_schema
+    assert "text" not in read_schema  # the wide column is NOT read
+
+
+def test_rollup_scan_prunes_to_key_columns(spark, sf_dir, tmp_path):
+    """The pipeline's phase-3 rollups must scan only (sink, key) columns
+    from the committed files, never the wide text/message columns."""
+    from skewer_spark.pipeline import Pipeline
+
+    wh = str(tmp_path / "wh")
+    p = Pipeline(spark, wh)
+    p.run(spark.read.parquet(ensure_transcripts(sf_dir)), run_id="r")
+    t = p.table("sink_app").read(spark).select("facility")
+    plan = plan_of(t)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "facility" in read_schema
+    assert "message" not in read_schema and "text" not in read_schema
+
+
+def test_parse_input_pruned_to_text_and_ts(spark, sf_dir):
+    """The UDF stage must feed only (text, ts) into Python — the scan
+    reads the other columns only if the query asks for them."""
+    parsed = load_parsed(spark, sf_dir).select("priority", "facility")
+    plan = plan_of(parsed)
+    arrow_line = [l for l in plan.splitlines() if "ArrowEvalPython" in l][0]
+    assert "parse_syslog" in arrow_line
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "conv_id" not in read_schema  # pruned away
+    assert "text" in read_schema and "ts" in read_schema

@@ -69,9 +69,19 @@ def main() -> int:
         t2 = time.time()
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+        dtypes_differ = []
+        if ok_cols:
+            for c in sdf.columns:
+                a, b = str(sdf[c].dtype), str(odf[c].dtype)
+                # int32 vs int64 and object-vs-string are real skew;
+                # report but don't fail (driver behavior unknown)
+                if a != b:
+                    dtypes_differ.append((c, a, b))
         hs, ho = norm_hash(sdf), norm_hash(odf)
         ok_hash = hs == ho
         status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        if dtypes_differ and status == "OK ":
+            print(f"{name:24s} dtypes differ: {dtypes_differ}")
         print(f"{name:24s} {status} rows={len(sdf):7d}/{len(odf):7d} "
               f"cols={'=' if ok_cols else 'DIFF'} hash={'=' if ok_hash else f'{hs}!={ho}'} "
               f"spark={t1-t0:5.1f}s duck={t2-t1:4.1f}s")
