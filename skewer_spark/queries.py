@@ -455,6 +455,120 @@ SELECT doc_id, 'text' AS modality,
 FROM documents"""
 
 
+# ------------------------------------------------- binary sources
+# acct_v3 field synthesis — identical arithmetic in both engines
+# (deterministic function of the events table; `{div}` = integer div).
+_ACCT_SRC = """SELECT event_id,
+  event_id % 32 AS flag,
+  event_id % 256 AS exitcode,
+  user_id % 10000 AS uid,
+  user_id % 1000 AS gid,
+  event_id % 100000 AS pid,
+  (event_id {div} 7) % 100000 AS ppid,
+  {epoch_s} AS btime,
+  event_id % 100000 AS etime,
+  event_id % 65536 AS utime,
+  (event_id * 31 + 7) % 65536 AS stime,
+  (user_id * 17) % 65536 AS mem,
+  (event_id * 13) % 65536 AS io,
+  'p' || cast(event_id % 1000 AS {i}) AS comm
+FROM events"""
+
+_COLLECTD_SRC = """SELECT event_id,
+  'h' || cast(user_id % 50 AS {i}) AS host,
+  event_type AS plugin,
+  CASE WHEN user_id % 3 = 0 THEN ''
+       ELSE 'i' || cast(user_id % 3 AS {i}) END AS plugin_instance,
+  {epoch_s} AS sec,
+  value AS gauge_v,
+  event_id % 1000 AS derive_a,
+  user_id AS derive_b
+FROM events"""
+
+_SPARK_FMT["div"] = "div"
+_DUCK_FMT["div"] = "//"
+
+
+def q_decode_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting source (accounting/acct_linux.go:132-162): synthesize
+    acct_v3 field values from events, pack them into real 64-byte
+    little-endian records, decode the binary chunk back with the
+    vectorized pacct reader, and emit the reference's Properties()
+    mapping. decode(encode(x)) is verified against the oracle's direct
+    computation — encoder, struct layout, and comp_t/tick arithmetic
+    all participate in the check."""
+    from skewer_spark.parsing.binary_sources import acct_roundtrip
+
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    src = spark.sql(_fmt(_ACCT_SRC, _SPARK_FMT))
+    return acct_roundtrip(src)
+
+
+def q_decode_collectd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collectd binary source (decoders/collectd.go:19-95): per event,
+    assemble a real parts-framed network packet holding two ValueLists
+    (gauge 'load', then 2-derive 'if_octets' with identifier-state
+    carryover), decode it, and emit the pCollectd message mapping
+    (one row per ValueList)."""
+    from skewer_spark.parsing.binary_sources import collectd_roundtrip
+
+    ev = _events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    src = spark.sql(_fmt(_COLLECTD_SRC, _SPARK_FMT))
+    return collectd_roundtrip(src)
+
+
+def _acct_oracle() -> str:
+    cvt = lambda c: f"(({c} & 8191) << (3 * (({c} >> 13) & 7)))"
+    return f"""
+WITH src AS ({_fmt(_ACCT_SRC, _DUCK_FMT)})
+SELECT event_id, comm,
+  cast(uid AS VARCHAR) AS uid,
+  cast(gid AS VARCHAR) AS gid,
+  cast((({cvt('utime')} * 1000) // 100) * 1000000 AS BIGINT) AS user_ns,
+  cast((({cvt('stime')} * 1000) // 100) * 1000000 AS BIGINT) AS system_ns,
+  cast(((etime * 1000) // 100) * 1000000 AS BIGINT) AS elapsed_ns,
+  strftime(make_timestamp(btime * 1000000), '%Y-%m-%dT%H:%M:%SZ')
+    AS started_datetime,
+  cast({cvt('mem')} AS BIGINT) AS memory_bytes,
+  cast({cvt('io')} AS BIGINT) AS io_bytes,
+  concat_ws(',',
+    CASE WHEN flag & 4 <> 0 THEN 'compatmode' END,
+    CASE WHEN flag & 8 <> 0 THEN 'dumpedcore' END,
+    CASE WHEN flag & 1 <> 0 THEN 'forked' END,
+    CASE WHEN flag & 2 <> 0 THEN 'superuser' END,
+    CASE WHEN flag & 16 <> 0 THEN 'killedbysignal' END) AS flags,
+  cast(pid AS BIGINT) AS pid,
+  cast(ppid AS BIGINT) AS ppid,
+  cast(exitcode AS BIGINT) AS exitcode
+FROM src"""
+
+
+def _collectd_oracle() -> str:
+    common = """cast(14 AS INT) AS priority, cast(1 AS INT) AS facility,
+  cast(6 AS INT) AS severity, cast(1 AS INT) AS version,
+  host AS hostname, 'collectd' AS appname, plugin AS procid,
+  cast(sec * 1000000000 AS BIGINT) AS time_reported"""
+    pi = ("CASE WHEN plugin_instance <> '' THEN "
+          "['collectd|plugin_instance=' || plugin_instance] "
+          "ELSE [] END")
+    return f"""
+WITH src AS ({_fmt(_COLLECTD_SRC, _DUCK_FMT)})
+SELECT event_id, cast(0 AS INT) AS vl_idx, {common},
+  array_to_string(list_sort(list_concat({pi},
+    ['collectd|type=load', 'gauge|value=' || printf('%.3f', gauge_v)])),
+    chr(10)) AS props_flat
+FROM src
+UNION ALL
+SELECT event_id, cast(1 AS INT) AS vl_idx, {common},
+  array_to_string(list_sort(list_concat({pi},
+    ['collectd|type=if_octets', 'collectd|type_instance=eth0',
+     'derive|0=' || cast(derive_a AS VARCHAR),
+     'derive|1=' || cast(derive_b AS VARCHAR)])), chr(10)) AS props_flat
+FROM src"""
+
+
 # ---------------------------------------------------------------- oracles
 def _status_sql() -> str:
     return (
@@ -515,6 +629,8 @@ GROUP BY r.sink""",
 SELECT sink, count(*) AS n FROM routed WHERE topic = 'default-topic'
 GROUP BY sink""",
         **_wire_format_oracles(),
+        "decode_acct": _acct_oracle(),
+        "decode_collectd": _collectd_oracle(),
         **_encoder_oracles(sf),
         **_ops_oracles(),
         "multimodal_features": _multimodal_oracle(),
@@ -652,6 +768,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_gelf": q_decode_gelf,
         "decode_influx": q_decode_influx,
         "decode_w3c": q_decode_w3c,
+        "decode_acct": q_decode_acct,
+        "decode_collectd": q_decode_collectd,
         "encode_rfc3164": q_encode_rfc3164,
         "encode_rfc5424": q_encode_rfc5424,
         "encode_file": q_encode_file,

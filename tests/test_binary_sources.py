@@ -1,0 +1,229 @@
+"""Unit tests for the binary sources: acct_v3 pacct records and the
+collectd network protocol (SURVEY.md §2.1 accounting source, §2.2
+collectd decoder). Pure-Python decode tests (no Spark) — the Spark
+mapInPandas path is covered by the decode_acct / decode_collectd
+oracle queries."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from skewer_spark.parsing.binary_sources import (
+    ACCT_DTYPE,
+    DS_ABSOLUTE,
+    DS_COUNTER,
+    DS_DERIVE,
+    DS_GAUGE,
+    P_HOST,
+    P_PLUGIN,
+    P_PLUGIN_INSTANCE,
+    P_TIME,
+    P_TIME_HR,
+    P_TYPE,
+    P_TYPE_INSTANCE,
+    P_VALUES,
+    comp_to_int,
+    decode_acct_chunk,
+    decode_packet,
+    encode_acct_records,
+    encode_packet,
+)
+
+# ------------------------------------------------------------------ comp_t
+
+
+@pytest.mark.parametrize(
+    "c,expected",
+    [
+        (0, 0),
+        (1, 1),
+        (8191, 8191),  # max mantissa, exponent 0
+        (0x2001, 8),  # mantissa 1, exponent 1 -> 1*8
+        (0x4001, 64),  # exponent 2 -> 8^2
+        (0xE000 | 8191, 8191 << 21),  # max exponent 7
+    ],
+)
+def test_comp_to_int(c, expected):
+    assert comp_to_int(np.array([c], dtype=np.uint16))[0] == expected
+
+
+# ------------------------------------------------------------------ acct
+
+
+def _acct_frame(**over):
+    base = dict(
+        flag=0, exitcode=7, uid=1000, gid=100, pid=4242, ppid=1,
+        btime=1_700_000_000, etime=12345.0, utime=500, stime=0x2002,
+        mem=100, io=200, comm="bash",
+    )
+    base.update(over)
+    return pd.DataFrame([base])
+
+
+def test_acct_roundtrip_basic():
+    rec = encode_acct_records(_acct_frame())
+    assert rec.dtype.itemsize == 64
+    assert rec["ac_version"][0] == 3
+    out = decode_acct_chunk(rec.tobytes())
+    r = out.iloc[0]
+    assert r["comm"] == "bash"
+    assert r["uid"] == "1000" and r["gid"] == "100"
+    # tick=100: user_ns = 500 ticks * 10ms = 5s
+    assert r["user_ns"] == 5_000_000_000
+    # stime comp 0x2002 -> 2*8=16 ticks -> 160ms
+    assert r["system_ns"] == 160_000_000
+    # etime float 12345 -> int(12345000)/100 ms = 123450ms
+    assert r["elapsed_ns"] == 123_450_000_000
+    assert r["started_datetime"] == "2023-11-14T22:13:20Z"
+    assert r["pid"] == 4242 and r["ppid"] == 1 and r["exitcode"] == 7
+
+
+def test_acct_chunk_decodes_many_records():
+    pdf = pd.concat(
+        [_acct_frame(pid=i, comm=f"p{i}") for i in range(10)],
+        ignore_index=True,
+    )
+    out = decode_acct_chunk(encode_acct_records(pdf).tobytes())
+    assert list(out["pid"]) == list(range(10))
+    assert list(out["comm"]) == [f"p{i}" for i in range(10)]
+
+
+def test_acct_flags_fixed_emit_order():
+    # all five bits set -> the Status.String() order
+    # (acct_linux.go:100-118), not bit order
+    out = decode_acct_chunk(encode_acct_records(_acct_frame(flag=0x1F)).tobytes())
+    assert out.iloc[0]["flags"] == (
+        "compatmode,dumpedcore,forked,superuser,killedbysignal"
+    )
+    out2 = decode_acct_chunk(encode_acct_records(_acct_frame(flag=0x11)).tobytes())
+    assert out2.iloc[0]["flags"] == "forked,killedbysignal"
+    out3 = decode_acct_chunk(encode_acct_records(_acct_frame(flag=0)).tobytes())
+    assert out3.iloc[0]["flags"] == ""
+
+
+def test_acct_comm_nul_trimmed_at_16():
+    out = decode_acct_chunk(
+        encode_acct_records(_acct_frame(comm="exactly16chars!!")).tobytes()
+    )
+    assert out.iloc[0]["comm"] == "exactly16chars!!"
+    # longer than COMMLEN is truncated by the fixed-width field
+    out2 = decode_acct_chunk(
+        encode_acct_records(_acct_frame(comm="seventeen-chars!!"[:16])).tobytes()
+    )
+    assert len(out2.iloc[0]["comm"]) == 16
+
+
+# ---------------------------------------------------------------- collectd
+
+
+def test_collectd_single_gauge_named_value():
+    pkt = encode_packet(
+        [
+            (P_HOST, "web1"),
+            (P_TIME_HR, 1_700_000_000 << 30),
+            (P_PLUGIN, "cpu"),
+            (P_TYPE, "load"),
+            (P_VALUES, [(DS_GAUGE, 1.5)]),
+        ]
+    )
+    msgs = decode_packet(pkt)
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert m["hostname"] == "web1"
+    assert m["appname"] == "collectd" and m["procid"] == "cpu"
+    assert m["priority"] == 14 and m["facility"] == 1 and m["severity"] == 6
+    assert m["time_reported"] == 1_700_000_000 * 1_000_000_000
+    assert m["props_flat"] == "collectd|type=load\ngauge|value=1.500"
+
+
+def test_collectd_state_carryover_and_multivalue_names():
+    pkt = encode_packet(
+        [
+            (P_HOST, "db1"),
+            (P_TIME_HR, 100 << 30),
+            (P_PLUGIN, "interface"),
+            (P_PLUGIN_INSTANCE, "i2"),
+            (P_TYPE, "load"),
+            (P_VALUES, [(DS_GAUGE, 0.25)]),
+            (P_TYPE, "if_octets"),
+            (P_TYPE_INSTANCE, "eth0"),
+            (P_VALUES, [(DS_DERIVE, 111), (DS_DERIVE, -5)]),
+        ]
+    )
+    msgs = decode_packet(pkt)
+    assert len(msgs) == 2
+    # first list: identifier state at that point, single value -> 'value'
+    assert msgs[0]["props_flat"] == (
+        "collectd|plugin_instance=i2\ncollectd|type=load\ngauge|value=0.250"
+    )
+    # second list inherits host/plugin/plugin_instance, overrides type
+    assert msgs[1]["procid"] == "interface"
+    assert msgs[1]["props_flat"] == (
+        "collectd|plugin_instance=i2\ncollectd|type=if_octets\n"
+        "collectd|type_instance=eth0\nderive|0=111\nderive|1=-5"
+    )
+
+
+def test_collectd_counter_absolute_not_in_properties():
+    # the reference maps only Gauge and Derive (collectd.go:84-89)
+    pkt = encode_packet(
+        [
+            (P_HOST, "h"),
+            (P_TYPE, "t"),
+            (P_VALUES, [(DS_COUNTER, 9), (DS_ABSOLUTE, 8), (DS_GAUGE, 1.0)]),
+        ]
+    )
+    (m,) = decode_packet(pkt)
+    assert m["props_flat"] == "collectd|type=t\ngauge|2=1.000"
+
+
+def test_collectd_legacy_time_part_seconds():
+    pkt = encode_packet(
+        [(P_HOST, "h"), (P_TIME, 42), (P_TYPE, "t"),
+         (P_VALUES, [(DS_GAUGE, 0.0)])]
+    )
+    (m,) = decode_packet(pkt)
+    assert m["time_reported"] == 42 * 1_000_000_000
+
+
+def test_collectd_time_hr_fractional_ns():
+    # 1.5s in 2^-30 units
+    v = (7 << 30) | (1 << 29)
+    pkt = encode_packet(
+        [(P_TIME_HR, v), (P_TYPE, "t"), (P_VALUES, [(DS_GAUGE, 0.0)])]
+    )
+    (m,) = decode_packet(pkt)
+    assert m["time_reported"] == 7_500_000_000
+
+
+def test_collectd_unknown_part_skipped():
+    unknown = struct.pack(">HH", 0x0200, 8) + b"\xde\xad\xbe\xef"
+    pkt = (
+        encode_packet([(P_HOST, "h")])
+        + unknown
+        + encode_packet([(P_TYPE, "t"), (P_VALUES, [(DS_GAUGE, 2.0)])])
+    )
+    (m,) = decode_packet(pkt)
+    assert m["hostname"] == "h"
+    assert "gauge|value=2.000" in m["props_flat"]
+
+
+def test_collectd_malformed_tail_stops_cleanly():
+    pkt = encode_packet([(P_HOST, "h")]) + b"\x00\x06\x00"  # truncated header
+    assert decode_packet(pkt) == []
+    pkt2 = encode_packet([(P_HOST, "h")]) + struct.pack(">HH", P_HOST, 2)
+    assert decode_packet(pkt2) == []  # length < header size
+
+
+def test_collectd_gauge_little_endian_double():
+    # byte-level check of the LE-double wire quirk
+    pkt = encode_packet([(P_VALUES, [(DS_GAUGE, 1.0)])])
+    # header(4) + n(2) + types(1) then the 8 value bytes
+    assert pkt[7:15] == struct.pack("<d", 1.0)
+    # and derives are big-endian signed
+    pkt2 = encode_packet([(P_VALUES, [(DS_DERIVE, -2)])])
+    assert pkt2[7:15] == struct.pack(">q", -2)
