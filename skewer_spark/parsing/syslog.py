@@ -148,12 +148,19 @@ def parse_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
     )
 
     prim = t.str.extract(_PRI_RE, flags=re.DOTALL)
-    pri = pd.to_numeric(prim[0], errors="coerce")  # Atoi failure/overflow -> fallback
+    # Go Atoi contract (leading zeros fine, overflow -> error -> fallback).
+    # Strip zeros + length-guard BEFORE to_numeric: a single int64-
+    # overflowing digit string would flip to_numeric to float64 for the
+    # whole column and corrupt other rows' values (19+ digit strings
+    # lose integer precision as doubles).
+    p0 = prim[0].str.lstrip("0")
+    pri = pd.to_numeric(p0.where(p0.str.len() <= 10), errors="coerce")
+    pri[prim[0].notna() & (p0 == "")] = 0  # all-zero PRI is a valid 0
     has_pri = pri.notna()
     if not has_pri.any():
         return res
 
-    # Go Atoi overflow -> error -> fallback; model.Priority is int32
+    # model.Priority is int32 (pri div/mod 8, rfc3164_format.go:55-57)
     has_pri = has_pri & (pri <= 2**31 - 1)
     pri_i = pri[has_pri].astype("int64")
     res.loc[has_pri, "priority"] = pri_i.astype("int32").values
@@ -311,12 +318,36 @@ def parse_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
     return res
 
 
+def get_parse_kernel():
+    """Batch-parse kernel selection (all equality-tested against
+    ``parse_batch``, the semantic reference — tests/test_fastpath.py):
+
+    - ``arrow`` (default): RE2/numpy kernels, ~2.3x the pandas cascade
+      per core (parsing/arrowparse.py)
+    - ``pandas``: this module's cascade
+    - ``fast``: tight-loop variant (parsing/fastpath.py)
+    """
+    import os
+
+    kernel = os.environ.get("SKEWER_PARSE_KERNEL", "arrow")
+    if kernel == "pandas":
+        return parse_batch
+    if kernel == "fast":
+        from skewer_spark.parsing.fastpath import parse_batch_fast
+
+        return parse_batch_fast
+    from skewer_spark.parsing.arrowparse import parse_batch_arrow
+
+    return parse_batch_arrow
+
+
 def make_parse_udf():
     """Arrow-batched struct-returning pandas UDF over (text, ingest_us)."""
+    kernel = get_parse_kernel()
 
     @F.pandas_udf(PARSED_SCHEMA)
     def parse_syslog(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
-        return parse_batch(text, ingest_us)
+        return kernel(text, ingest_us)
 
     # The parse IS deterministic, but declaring it nondeterministic stops
     # Catalyst from duplicating the (expensive) UDF when a downstream

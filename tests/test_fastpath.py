@@ -1,7 +1,8 @@
-"""The three parse implementations must agree exactly:
-- parsing/syslog.py   pandas vectorized (the pipeline default)
-- parsing/fastpath.py single-pass tight loop
-- parsing/sqlparse.py JVM Column expressions (whole-stage codegen)
+"""The four parse implementations must agree exactly:
+- parsing/syslog.py     pandas vectorized (the semantic reference)
+- parsing/fastpath.py   single-pass tight loop
+- parsing/arrowparse.py Arrow/RE2 kernels (the pipeline default)
+- parsing/sqlparse.py   JVM Column expressions (whole-stage codegen)
 """
 
 from __future__ import annotations
@@ -26,6 +27,11 @@ JUNK = [
     "<13>Oct 11 22:14:15 10.0.0.1 app[9]: body",
     "<34>2019-13-99T99:00:00Z myhost app: body", "no pri", "<12a>x",
     "<999>Oct 11 22:14:15 h app: x", "<0>",
+    # PRI digit-string edges: leading zeros are valid (Go Atoi), int32
+    # overflow is fallback, and an int64-overflowing row must not
+    # corrupt other rows in the same batch (float64 to_numeric fallback)
+    "<0000000000000000007>x", "<000>y", "<2147483647>x", "<2147483648>x",
+    "<99999999999>x", "<9223372036854775807>x",
 ]
 
 
@@ -49,6 +55,26 @@ def test_fastpath_equals_reference_on_junk():
     s = pd.Series(JUNK)
     ing = pd.Series([1_700_000_000_000_000] * len(s))
     _assert_frames_equal(parse_batch(s, ing), parse_batch_fast(s, ing), "junk")
+
+
+def test_arrowparse_equals_reference_on_corpus():
+    import pyarrow.parquet as pq
+
+    from skewer_spark.parsing.arrowparse import parse_batch_arrow
+
+    tr = pq.read_table(ensure_transcripts("/root/testdata/sf0.001")).to_pandas()
+    ing = pd.to_datetime(tr["ts"]).dt.as_unit("us").astype("int64")
+    _assert_frames_equal(
+        parse_batch(tr["text"], ing), parse_batch_arrow(tr["text"], ing), "corpus"
+    )
+
+
+def test_arrowparse_equals_reference_on_junk():
+    from skewer_spark.parsing.arrowparse import parse_batch_arrow
+
+    s = pd.Series(JUNK)
+    ing = pd.Series([1_700_000_000_000_000] * len(s))
+    _assert_frames_equal(parse_batch(s, ing), parse_batch_arrow(s, ing), "junk")
 
 
 def test_sqlparse_equals_reference(spark, sf_dir):
