@@ -105,6 +105,66 @@ def influx_oracle_exprs() -> str:
     cast(regexp_extract(line, ' (\\d+)$', 1) AS BIGINT) AS ts_ns"""
 
 
+# ------------------------------------------ GELF chunked reassembly
+def reassemble_gelf_chunks(df: DataFrame) -> DataFrame:
+    """Chunked-GELF datagram reassembly
+    (/root/reference/services/network/graylog.go:196-306): chunks are
+    keyed by msg_id with (seq_nr, seq_count) header bytes; a message is
+    rebuilt by concatenating chunks in seq order once ALL seq_count
+    chunks arrived (fromChunks :294-303); a seq_nr >= seq_count discards
+    the whole group (:242-246); incomplete groups never emit. The
+    5-second expiry (:253-257) is wall-clock state with no bounded-batch
+    analog (in streaming it maps to a watermark on the chunk group).
+
+    Input columns: msg_id, seq_nr int, seq_count int, chunk string.
+    One shuffle on msg_id (the unavoidable regroup); collect_list order
+    is made deterministic by array_sort on (seq_nr, chunk) structs."""
+    return (
+        df.groupBy("msg_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("seq_count").alias("seq_count"),
+            F.max((F.col("seq_nr") >= F.col("seq_count")).cast("int")).alias("oob"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq_nr", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            ).alias("line"),
+        )
+        .where("n_chunks = seq_count AND oob = 0")
+        .drop("n_chunks", "oob")
+    )
+
+
+# ------------------------------------------------------------ LTSV
+def decode_ltsv(df: DataFrame, col: str = "line") -> DataFrame:
+    """LTSV (labeled tab-separated values: 'k:v<TAB>k:v...').
+
+    The reference registers an LTSV decoder but stubs it out
+    (/root/reference/decoders/ltsv.go:5-7 returns nil) — this completes
+    the format: every k:v pair -> properties['ltsv'], with the
+    conventional 'host'/'time'-style labels left in the bag (the
+    reference has no mapping to crib). Pure Column expressions."""
+    kvs = F.expr(
+        f"transform(split({col}, '\t'), p -> 'ltsv|' || "
+        "substring_index(p, ':', 1) || '=' || "
+        "substr(p, length(substring_index(p, ':', 1)) + 2))"
+    )
+    return df.select(
+        "*", F.array_join(F.array_sort(kvs), "\n").alias("ltsv_flat")
+    )
+
+
+def ltsv_oracle_expr(col: str = "line") -> str:
+    return (
+        f"array_to_string(list_sort(list_transform(string_split({col}, chr(9)), "
+        "p -> 'ltsv|' || string_split(p, ':')[1] || '=' || "
+        "substr(p, length(string_split(p, ':')[1]) + 2))), chr(10)) AS ltsv_flat"
+    )
+
+
 # ------------------------------------------------------------ W3C
 W3C_FIELDS = ["date", "time", "c-ip", "cs-method", "sc-status"]
 

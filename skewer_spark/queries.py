@@ -487,6 +487,63 @@ FROM events"""
 
 _SPARK_FMT["div"] = "div"
 _DUCK_FMT["div"] = "//"
+_SPARK_FMT["tab"] = "chr(9)"
+_DUCK_FMT["tab"] = "chr(9)"
+
+# LTSV line synthesis (labels left unordered on purpose; decode sorts)
+_LTSV_LINE = (
+    """'host:h' || cast(user_id % 50 AS {i}) || {tab} || 'app:' ||"""
+    """ event_type || {tab} || 'value:' || {fmt3} || {tab} || 'id:' ||"""
+    """ cast(event_id AS {i}) || {tab} || 'uri:/x:y/' || cast(event_id % 7 AS {i})"""
+)
+
+
+def q_gelf_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-GELF reassembly (graylog.go:196-306): split each GELF
+    line into 3 chunks, drop chunk 2 of every 10th message (incomplete
+    group -> never emitted) and corrupt the seq of every 13th (out-of-
+    band -> group discarded), reassemble, decode. The oracle decodes the
+    UNCHUNKED lines directly for the surviving ids — verifying
+    reassemble(chunk(x)) == x plus the drop semantics."""
+    from skewer_spark.parsing.wire_formats import decode_gelf, reassemble_gelf_chunks
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.expr(_fmt(_GELF_LINE, _SPARK_FMT)).alias("line")
+    )
+    chunks = ev.selectExpr(
+        "event_id",
+        "'m' || cast(event_id AS string) AS msg_id",
+        "cast(ceil(length(line) / 3.0) AS int) AS s",
+        "line",
+    ).selectExpr(
+        "msg_id",
+        "explode(array(struct(0 AS seq_nr, substr(line, 1, s) AS chunk),"
+        " struct(1 AS seq_nr, substr(line, s + 1, s) AS chunk),"
+        " struct(2 AS seq_nr, substr(line, 2 * s + 1, s) AS chunk))) AS part",
+        "event_id",
+    ).selectExpr(
+        "msg_id",
+        "CASE WHEN event_id % 13 = 0 AND part.seq_nr = 2 THEN 3"
+        " ELSE part.seq_nr END AS seq_nr",
+        "3 AS seq_count",
+        "part.chunk AS chunk",
+        "event_id",
+    ).where("NOT (event_id % 10 = 0 AND seq_nr = 2)").drop("event_id")
+    out = decode_gelf(reassemble_gelf_chunks(chunks))
+    return out.select(
+        "msg_id", "line", "severity", "hostname", "message",
+        "time_reported", "prop_facility", "prop_ev",
+    )
+
+
+def q_decode_ltsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTSV decode (beyond-reference: decoders/ltsv.go is a nil stub)."""
+    from skewer_spark.parsing.wire_formats import decode_ltsv
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.expr(_fmt(_LTSV_LINE, _SPARK_FMT)).alias("line")
+    )
+    return decode_ltsv(ev)
 
 
 def q_decode_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,6 +599,31 @@ SELECT event_id, comm,
   cast(pid AS BIGINT) AS pid,
   cast(ppid AS BIGINT) AS ppid,
   cast(exitcode AS BIGINT) AS exitcode
+FROM src"""
+
+
+def _gelf_chunked_oracle() -> str:
+    gl = _fmt(_GELF_LINE, _DUCK_FMT)
+    return f"""
+WITH src AS (SELECT event_id, {gl} AS line FROM events)
+SELECT 'm' || cast(event_id AS VARCHAR) AS msg_id, line,
+  coalesce(try_cast(json_extract_string(line, '$.level') AS INT), 0) AS severity,
+  coalesce(json_extract_string(line, '$.host'), '') AS hostname,
+  coalesce(json_extract_string(line, '$.short_message'), '') AS message,
+  cast(try_cast(json_extract_string(line, '$.timestamp') AS DOUBLE) * 1000000
+       AS BIGINT) AS time_reported,
+  coalesce(json_extract_string(line, '$._facility'), '') AS prop_facility,
+  coalesce(json_extract_string(line, '$._ev'), '') AS prop_ev
+FROM src WHERE event_id % 10 <> 0 AND event_id % 13 <> 0"""
+
+
+def _ltsv_oracle() -> str:
+    from skewer_spark.parsing.wire_formats import ltsv_oracle_expr
+
+    line = _fmt(_LTSV_LINE, _DUCK_FMT)
+    return f"""
+WITH src AS (SELECT event_id, {line} AS line FROM events)
+SELECT event_id, line, {ltsv_oracle_expr()}
 FROM src"""
 
 
@@ -631,6 +713,8 @@ GROUP BY sink""",
         **_wire_format_oracles(),
         "decode_acct": _acct_oracle(),
         "decode_collectd": _collectd_oracle(),
+        "decode_ltsv": _ltsv_oracle(),
+        "gelf_chunked": _gelf_chunked_oracle(),
         **_encoder_oracles(sf),
         **_ops_oracles(),
         "multimodal_features": _multimodal_oracle(),
@@ -770,6 +854,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_w3c": q_decode_w3c,
         "decode_acct": q_decode_acct,
         "decode_collectd": q_decode_collectd,
+        "decode_ltsv": q_decode_ltsv,
+        "gelf_chunked": q_gelf_chunked,
         "encode_rfc3164": q_encode_rfc3164,
         "encode_rfc5424": q_encode_rfc5424,
         "encode_file": q_encode_file,

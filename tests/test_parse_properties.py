@@ -165,9 +165,8 @@ def test_rfc5424_roundtrip(case):
     assert out["procid"] == nil(proc)
     assert out["msgid"] == nil(msgid)
     assert out["message"] == msg
-    epoch = int(
-        (ts - pd.Timestamp("1970-01-01")) / pd.Timedelta(microseconds=1)
-    )
+    # integer ns -> us: float Timedelta division loses precision > 2^53 ns
+    epoch = (pd.Timestamp(ts) - pd.Timestamp("1970-01-01")).value // 1000
     assert out["time_reported"] == epoch, (iso, out["time_reported"], epoch)
     want_props = sorted(
         f"{sid}|{k}={_escape_sd(v)}"
@@ -211,6 +210,6 @@ def test_rfc3164_roundtrip(pri, ts, host, app, procid, msg):
         year=2023, month=ts.month, day=ts.day,
         hour=ts.hour, minute=ts.minute, second=ts.second,
     )
-    epoch = int((want - pd.Timestamp("1970-01-01")) / pd.Timedelta(microseconds=1))
+    epoch = (want - pd.Timestamp("1970-01-01")).value // 1000
     assert out["time_reported"] == epoch
     _assert_agree([line])
