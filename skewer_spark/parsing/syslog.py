@@ -356,6 +356,33 @@ def make_parse_udf():
     return parse_syslog.asNondeterministic()
 
 
+def properties_map(col: str = "props_flat"):
+    """Canonical 'sid|k=v' lines -> the reference's two-level
+    ``map<string, map<string,string>>`` Properties column
+    (model/types.pb.go:72-86; accessors model/types.go:458-541).
+
+    The flat sorted-line form is the engine's internal canonical
+    representation (map ordering can't leak into equality checks); this
+    materializes the MapType view for API parity. Keys within a domain
+    are expected unique — the parse emits SetProperty semantics
+    (model/types.go:497-512, last write wins); set
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` if feeding lines that
+    carry duplicates."""
+    lines = f"split({col}, '\\n')"
+    sids = f"array_distinct(transform({lines}, l -> split_part(l, '|', 1)))"
+    k_of = "substring_index(substring_index(l, '=', 1), '|', -1)"
+    v_of = "substr(l, length(substring_index(l, '=', 1)) + 2)"
+    inner = (
+        f"map_from_arrays("
+        f"transform(filter({lines}, l -> split_part(l, '|', 1) = sid), l -> {k_of}), "
+        f"transform(filter({lines}, l -> split_part(l, '|', 1) = sid), l -> {v_of}))"
+    )
+    return F.expr(
+        f"CASE WHEN {col} = '' THEN map() "
+        f"ELSE map_from_arrays({sids}, transform({sids}, sid -> {inner})) END"
+    )
+
+
 def parse_transcripts(df: DataFrame, text_col: str = "text", ts_col: str = "ts") -> DataFrame:
     """transcripts -> transcripts + parsed columns (flat, pushdown-friendly)."""
     udf = make_parse_udf()

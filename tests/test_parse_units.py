@@ -235,3 +235,16 @@ def test_never_raises_on_junk():
     # 3164-side junk must never flag errors (the no-fail contract)
     non5424 = res[res.parse_format != "rfc5424"]
     assert not non5424.parse_error.any()
+
+
+def test_properties_map_materializes_two_level_map(spark):
+    from pyspark.sql import functions as F
+
+    from skewer_spark.parsing.syslog import properties_map
+
+    df = spark.createDataFrame(
+        [("a|x=1\na|y=2\nb|k=v=w",), ("",)], "props_flat string"
+    ).select(properties_map().alias("properties"))
+    rows = df.collect()
+    assert rows[0]["properties"] == {"a": {"x": "1", "y": "2"}, "b": {"k": "v=w"}}
+    assert rows[1]["properties"] == {}
