@@ -221,7 +221,17 @@ def _stamp_us(stamps: np.ndarray, ing_us: np.ndarray) -> np.ndarray:
     return out
 
 
-def parse_batch_arrow(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
+def parse_batch_arrow(
+    text: pd.Series, ingest_us: pd.Series, mode: str = "auto"
+) -> pd.DataFrame:
+    """mode: the reference selects a decoder per source config
+    (decoders/decode.go:19-30) instead of auto-detecting.
+    - 'auto' (default): composite dispatch — '<PRI>1 ' -> RFC5424,
+      else the RFC3164 no-fail cascade.
+    - 'rfc3164': p3164 alone (a '1 ...' payload is just tokens to it).
+    - 'rfc5424': p5424 alone — anything that does not parse as 5424 is
+      a decode ERROR (parse_error=True), unlike the no-fail 3164 path
+      (rfc5424_format.go:25-51 returns the error up)."""
     t = text.fillna("").str.strip().to_numpy(dtype=object)
     ing = (
         pd.to_numeric(ingest_us, errors="coerce").fillna(0).astype("int64").to_numpy()
@@ -265,6 +275,11 @@ def parse_batch_arrow(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
         )
 
     pm_ok, pm = _extract(t, _PRI_PAT, ["pri", "rest"])
+    if mode == "rfc5424":
+        # p5424 alone: every row must conform; errors are real errors
+        parse_format[:] = "rfc5424"
+        message[:] = ""
+        parse_error[:] = True  # cleared below for rows that parse
     if not pm_ok.any():
         return finish()
 
@@ -294,8 +309,12 @@ def parse_batch_arrow(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
     starts_1sp[has_pri] = _np(
         pc.starts_with(pa.array(rest[has_pri], type=pa.string()), pattern="1 ")
     )
+    if mode == "rfc3164":
+        starts_1sp[:] = False  # p3164 never defers to the 5424 grammar
     is5424 = has_pri & starts_1sp
     is3164 = has_pri & ~starts_1sp
+    if mode == "rfc5424":
+        is3164[:] = False  # non-conforming rows stay decode errors
 
     # ------------------------------------------------------------- RFC5424
     if is5424.any():
@@ -305,6 +324,7 @@ def parse_batch_arrow(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
         ok, g = _extract(rest[idx], _R5424_PAT, ["ts", "host", "app", "proc", "msgid", "sd", "msg"])
         parse_error[idx[~ok]] = True
         okx = idx[ok]
+        parse_error[okx] = False  # conforming rows (mode='rfc5424' presets True)
         if len(okx):
             version[okx] = 1
             nil = lambda a: np.where(a == "-", "", a)

@@ -1,0 +1,132 @@
+"""Per-source parser registry + in-batch format dispatch.
+
+The reference selects a decoder per source config from a format-name
+table (/root/reference/decoders/decode.go:19-30) and lets users
+register custom parsers by name (decode.go:48-61, JS functions run in
+a pooled VM — javascript/vm.go:118-148). The Spark-side equivalent:
+
+- a registry of **vectorized batch kernels** (pd.Series -> DataFrame in
+  PARSED_SCHEMA shape), keyed by format name;
+- ``parse_with_formats``: ONE pandas UDF whose batch body groups rows
+  by a format column and applies each group's kernel — per-format
+  dispatch without per-row Python and without splitting the scan into
+  per-format jobs (order is restored positionally).
+
+Custom parsers register like the reference's JS hooks, but must be
+vectorized (the 'kv' demo below uses a single regex extract over the
+batch — the pattern a user parser should follow).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from skewer_spark.parsing.arrowparse import parse_batch_arrow
+from skewer_spark.parsing.syslog import PARSED_SCHEMA
+
+ParseKernel = Callable[[pd.Series, pd.Series], pd.DataFrame]
+
+_REGISTRY: dict[str, ParseKernel] = {}
+
+
+def register_parser(name: str, kernel: ParseKernel) -> None:
+    """Register a vectorized parse kernel under a format name
+    (the analog of decode.go:48-61 custom-parser registration)."""
+    _REGISTRY[name] = kernel
+
+
+def get_parser(name: str) -> ParseKernel:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown parser format {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+# ---------------------------------------------------------------- builtins
+register_parser("auto", lambda t, i: parse_batch_arrow(t, i, mode="auto"))
+register_parser("rfc3164", lambda t, i: parse_batch_arrow(t, i, mode="rfc3164"))
+register_parser("rfc5424", lambda t, i: parse_batch_arrow(t, i, mode="rfc5424"))
+
+
+_KV_RE = r"^pri=(\d+);host=([^;]*);app=([^;]*);msg=(.*)$"
+
+
+def parse_kv_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
+    """Demo custom parser ('kv' format): 'pri=N;host=H;app=A;msg=M'.
+    Single vectorized extract; non-matching lines degrade to the whole
+    line in message (the 3164-style no-fail convention)."""
+    t = text.fillna("").str.strip()
+    ing = pd.to_numeric(ingest_us, errors="coerce").fillna(0).astype("int64")
+    m = t.str.extract(_KV_RE)
+    pri = pd.to_numeric(m[0], errors="coerce")
+    ok = pri.notna() & (pri <= 2**31 - 1)
+    pri_i = pri.where(ok, 0).astype("int64")
+    n = len(t)
+    return pd.DataFrame(
+        {
+            "priority": pri_i.astype("int32"),
+            "facility": (pri_i // 8).astype("int32"),
+            "severity": (pri_i % 8).astype("int32"),
+            "version": np.zeros(n, dtype="int32"),
+            "time_reported": ing,
+            "time_generated": ing,
+            "hostname": m[1].where(ok, "").fillna(""),
+            "appname": m[2].where(ok, "").fillna(""),
+            "procid": [""] * n,
+            "msgid": [""] * n,
+            "structured": [""] * n,
+            "message": m[3].where(ok, t).fillna(""),
+            "props_flat": [""] * n,
+            "parse_format": np.where(ok, "kv", "fallback"),
+            "parse_error": np.zeros(n, dtype="bool"),
+        }
+    )
+
+
+register_parser("kv", parse_kv_batch)
+
+
+def parse_with_formats(
+    df: DataFrame,
+    format_col: str = "fmt",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """transcripts + a format column -> parsed columns, dispatching each
+    batch's rows to the registered kernel for their format value."""
+    formats = dict(_REGISTRY)  # snapshot; closure ships to executors
+
+    def _dispatch(fmt: pd.Series, text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
+        fmt = fmt.fillna("auto").reset_index(drop=True)
+        text = text.reset_index(drop=True)
+        ing = ingest_us.reset_index(drop=True)
+        if not len(fmt):
+            return formats["auto"](text, ing)
+        pieces = []
+        for name, idx in fmt.groupby(fmt).groups.items():
+            kernel = formats.get(str(name)) or formats["auto"]
+            part = kernel(text[idx].reset_index(drop=True), ing[idx].reset_index(drop=True))
+            part.index = idx
+            pieces.append(part)
+        return pd.concat(pieces).sort_index().reset_index(drop=True)
+
+    # nondeterministic flag: stops Catalyst duplicating the UDF below a
+    # pushed-down filter (same rationale as make_parse_udf)
+    dispatch = F.pandas_udf(PARSED_SCHEMA)(_dispatch).asNondeterministic()
+
+    parsed = df.withColumn(
+        "_p",
+        dispatch(
+            F.col(format_col),
+            F.col(text_col),
+            F.unix_micros(F.col(ts_col).cast("timestamp")),
+        ).alias("_p"),
+    )
+    return parsed.select("*", "_p.*").drop("_p")

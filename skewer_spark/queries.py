@@ -546,6 +546,92 @@ def q_decode_ltsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ltsv(ev)
 
 
+_FMT_RULE = "CASE WHEN text {rlike} '^<[0-9]{{1,9}}>1 ' THEN 'rfc5424' ELSE 'rfc3164' END"
+_KV_LINE = (
+    """'pri=' || cast((event_id * 7 + 13) % 192 AS {i}) || ';host=h' ||"""
+    """ cast(user_id % 50 AS {i}) || ';app=' || event_type || ';msg=evt ' ||"""
+    """ cast(event_id AS {i})"""
+)
+
+
+def q_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-config decoder selection (decoders/decode.go:19-30):
+    tag each row with a format name, dispatch inside ONE pandas UDF to
+    the registered forced kernel (p5424 alone / p3164 alone). The tag
+    rule routes each line to the kernel that owns its shape, so the
+    forced parses must reproduce the composite parse the oracle
+    computes — plus the oracle checks the fmt tags themselves."""
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.parsing.registry import parse_with_formats
+
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    tagged = df.withColumn("fmt", F.expr(_FMT_RULE.format(rlike="RLIKE")))
+    parsed = parse_with_formats(tagged)
+    return parsed.select(
+        "conv_id", "turn_idx", "fmt", "priority", "facility", "severity",
+        "hostname", "appname", "message", "parse_error",
+    )
+
+
+def q_parse_custom_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom registered parser (the JS-parser extension point,
+    decode.go:48-61): a vectorized 'kv' kernel selected by format name,
+    including no-fail degradation for non-matching lines."""
+    from skewer_spark.parsing.registry import parse_with_formats
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.expr(_fmt(_KV_LINE, _SPARK_FMT)).alias("text"),
+        F.lit("kv").alias("fmt"),
+        F.col("ts"),
+    )
+    # every 11th line is junk for this format -> whole-line fallback
+    ev = ev.withColumn(
+        "text",
+        F.when(F.col("event_id") % 11 == 0, F.concat(F.lit("garbage "), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    parsed = parse_with_formats(ev)
+    return parsed.select(
+        "event_id", "priority", "facility", "severity", "hostname",
+        "appname", "message", "parse_format",
+    )
+
+
+def _parse_dispatch_oracle(sf: str) -> str:
+    fmt = (
+        "CASE WHEN regexp_matches(text, '^<[0-9]{1,9}>1 ') "
+        "THEN 'rfc5424' ELSE 'rfc3164' END"
+    )
+    return f"""{parsed_relation(sf)}
+SELECT conv_id, turn_idx, {fmt} AS fmt, priority, facility, severity,
+       hostname, appname, message, parse_error
+FROM parsed"""
+
+
+def _parse_custom_kv_oracle() -> str:
+    line = _fmt(_KV_LINE, _DUCK_FMT)
+    return f"""
+WITH src AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 11 = 0 THEN 'garbage ' || {line}
+              ELSE {line} END AS text
+  FROM events)
+SELECT event_id,
+  CASE WHEN event_id % 11 = 0 THEN 0
+       ELSE cast((event_id * 7 + 13) % 192 AS INT) END AS priority,
+  CASE WHEN event_id % 11 = 0 THEN 0
+       ELSE cast(((event_id * 7 + 13) % 192) // 8 AS INT) END AS facility,
+  CASE WHEN event_id % 11 = 0 THEN 0
+       ELSE cast(((event_id * 7 + 13) % 192) % 8 AS INT) END AS severity,
+  CASE WHEN event_id % 11 = 0 THEN '' ELSE 'h' || cast(user_id % 50 AS VARCHAR) END AS hostname,
+  CASE WHEN event_id % 11 = 0 THEN '' ELSE event_type END AS appname,
+  CASE WHEN event_id % 11 = 0 THEN text
+       ELSE 'evt ' || cast(event_id AS VARCHAR) END AS message,
+  CASE WHEN event_id % 11 = 0 THEN 'fallback' ELSE 'kv' END AS parse_format
+FROM src"""
+
+
 def q_decode_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accounting source (accounting/acct_linux.go:132-162): synthesize
     acct_v3 field values from events, pack them into real 64-byte
@@ -715,6 +801,8 @@ GROUP BY sink""",
         "decode_collectd": _collectd_oracle(),
         "decode_ltsv": _ltsv_oracle(),
         "gelf_chunked": _gelf_chunked_oracle(),
+        "parse_dispatch": _parse_dispatch_oracle(sf),
+        "parse_custom_kv": _parse_custom_kv_oracle(),
         **_encoder_oracles(sf),
         **_ops_oracles(),
         "multimodal_features": _multimodal_oracle(),
@@ -856,6 +944,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_collectd": q_decode_collectd,
         "decode_ltsv": q_decode_ltsv,
         "gelf_chunked": q_gelf_chunked,
+        "parse_dispatch": q_parse_dispatch,
+        "parse_custom_kv": q_parse_custom_kv,
         "encode_rfc3164": q_encode_rfc3164,
         "encode_rfc5424": q_encode_rfc5424,
         "encode_file": q_encode_file,

@@ -248,3 +248,42 @@ def test_properties_map_materializes_two_level_map(spark):
     rows = df.collect()
     assert rows[0]["properties"] == {"a": {"x": "1", "y": "2"}, "b": {"k": "v=w"}}
     assert rows[1]["properties"] == {}
+
+
+def test_forced_parser_modes():
+    from skewer_spark.parsing.arrowparse import parse_batch_arrow
+
+    lines = pd.Series(
+        [
+            "<13>1 2024-01-01T10:00:00Z h app 1 - - msg",  # valid 5424
+            "<13>Oct 11 22:14:15 myhost app[1]: body",  # valid 3164
+            "no pri at all",
+        ]
+    )
+    ing = pd.Series([ING] * len(lines))
+    # forced 5424: only the first line parses; the rest are decode ERRORS
+    f54 = parse_batch_arrow(lines, ing, mode="rfc5424")
+    assert list(f54["parse_format"]) == ["rfc5424"] * 3
+    assert list(f54["parse_error"]) == [False, True, True]
+    assert f54["appname"][0] == "app" and f54["message"][0] == "msg"
+    # forced 3164: the 5424 line is just tokens to p3164 (digit-branch
+    # RFC3339 parse of '1' fails -> whole rest in message); never errors
+    f31 = parse_batch_arrow(lines, ing, mode="rfc3164")
+    assert list(f31["parse_error"]) == [False, False, False]
+    assert f31["parse_format"][0] == "rfc3164"
+    assert f31["message"][0].startswith("1 2024-01-01T10:00:00Z")
+    assert f31["appname"][1] == "app" and f31["procid"][1] == "1"
+    assert f31["parse_format"][2] == "fallback"
+
+
+def test_registry_unknown_format_raises_and_custom_registers():
+    import pytest as _pytest
+
+    from skewer_spark.parsing import registry as reg
+
+    with _pytest.raises(KeyError):
+        reg.get_parser("nope")
+    marker = lambda t, i: reg.parse_kv_batch(t, i)
+    reg.register_parser("_test_fmt", marker)
+    assert reg.get_parser("_test_fmt") is marker
+    del reg._REGISTRY["_test_fmt"]
