@@ -187,6 +187,65 @@ def acct_roundtrip(df: DataFrame) -> DataFrame:
     return df.select(*ACCT_IN_COLS).mapInPandas(run, ACCT_OUT_SCHEMA)
 
 
+# ------------------------------------------------------- octet framing
+
+def encode_octet_stream(frames: list[str]) -> bytes:
+    """RFC6587 octet-counting framing: '<len> <bytes>' per frame,
+    concatenated (the writer side of tcp.go:273-334's scanner)."""
+    out = bytearray()
+    for f in frames:
+        b = f.encode()
+        out += str(len(b)).encode() + b" " + b
+    return bytes(out)
+
+
+def decode_octet_stream(buf: bytes) -> list[str]:
+    """Split an octet-counted TCP stream back into frames
+    (/root/reference/services/network/tcp.go:273-334: leading decimal
+    byte count, one space, then exactly that many bytes). A malformed
+    prefix or short tail stops the scan (the reference kills the
+    connection on framing errors)."""
+    frames: list[str] = []
+    i, n = 0, len(buf)
+    while i < n:
+        j = i
+        while j < n and 0x30 <= buf[j] <= 0x39:
+            j += 1
+        if j == i or j >= n or buf[j] != 0x20:
+            break  # no digits or missing separator
+        ln = int(buf[i:j])
+        start = j + 1
+        if start + ln > n:
+            break  # truncated frame
+        frames.append(buf[start : start + ln].decode())
+        i = start + ln
+    return frames
+
+
+def octet_stream_frames(df: DataFrame, id_col: str = "conv_id",
+                        stream_col: str = "stream") -> DataFrame:
+    """mapInPandas: (id, concatenated octet-framed stream) -> one row
+    per recovered frame with its position."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, texts = [], [], []
+            for r in pdf.itertuples(index=False):
+                for k, frame in enumerate(decode_octet_stream(
+                    str(getattr(r, stream_col)).encode()
+                )):
+                    ids.append(getattr(r, id_col))
+                    idxs.append(k)
+                    texts.append(frame)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype=object),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "text": pd.Series(texts, dtype=object)}
+            )
+
+    return df.mapInPandas(run, f"{id_col} string, frame_idx int, text string")
+
+
 # ----------------------------------------------------------------- collectd
 
 # Part type codes (collectd network protocol).

@@ -382,6 +382,50 @@ def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return protobuf_roundtrip(p)
 
 
+def q_source_octet_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Octet-counting TCP framing (tcp.go:273-334): build one
+    concatenated '<len> <bytes>' stream per conversation (turns in
+    stable order — the bytes a TCP connection would carry), split it
+    back with the frame scanner, return (conv_id, frame_idx, text).
+    The oracle reads the original transcripts directly: recovered
+    frames must equal the source rows byte-for-byte, in order."""
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.parsing.binary_sources import octet_stream_frames
+
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    streams = (
+        df.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "ts", "text"))
+                    ),
+                    lambda s: F.concat(
+                        F.octet_length(s["text"]).cast("string"),
+                        F.lit(" "),
+                        s["text"],
+                    ),
+                ),
+                "",
+            ).alias("stream")
+        )
+    )
+    return octet_stream_frames(streams)
+
+
+def q_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro BINARY roundtrip (avro/syslogmessage.avsc; Go conversion
+    model/types.go:262-301): encode each enriched row as a binary Avro
+    record (hand-rolled zigzag-varint codec, no avro lib in env),
+    decode it back, compare against the oracle's independent field
+    computation — the binary twin of encode_avro_json."""
+    from skewer_spark.parsing.avro_wire import avro_roundtrip
+
+    p = enr.enrich(load_parsed(spark, sf_dir), spark).where("NOT parse_error")
+    return avro_roundtrip(p)
+
+
 def q_encode_avro_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro-JSON encoding per the reference's generated Avro record
     (model/avro/syslog_message.go:46: Facility/Severity as NAMES,
@@ -822,6 +866,25 @@ SELECT conv_id || ':' || cast(turn_idx AS VARCHAR) AS rid,
        time_generated, hostname, appname, procid, msgid, structured,
        message, props_flat, TRUE AS proto_nonempty
 FROM parsed""",
+        "source_octet_framed": f"""
+SELECT conv_id,
+       cast(row_number() OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx, ts) - 1 AS INT)
+         AS frame_idx,
+       text
+FROM read_parquet('{_tp(sf)}')""",
+        "avro_binary_roundtrip": f"""{parsed_relation(sf)},
+enriched AS ({enr.enrich_sql('parsed')})
+SELECT conv_id, turn_idx,
+       facility_name AS Facility, severity_name AS Severity,
+       strftime(make_timestamp(time_reported), '%Y-%m-%dT%H:%M:%SZ')
+         AS TimeReported,
+       strftime(make_timestamp(time_generated), '%Y-%m-%dT%H:%M:%SZ')
+         AS TimeGenerated,
+       hostname AS Hostname, appname AS Appname, procid AS Procid,
+       msgid AS Msgid, message AS Message, props_flat,
+       TRUE AS avro_nonempty
+FROM enriched WHERE NOT parse_error""",
         "encode_avro_json": f"""{parsed_relation(sf)},
 enriched AS ({enr.enrich_sql('parsed')})
 SELECT conv_id, turn_idx,
@@ -955,5 +1018,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_journald": q_decode_journald,
         "source_textfile": q_source_textfile,
         "protobuf_roundtrip": q_protobuf_roundtrip,
+        "avro_binary_roundtrip": q_avro_binary_roundtrip,
+        "source_octet_framed": q_source_octet_framed,
         "encode_avro_json": q_encode_avro_json,
     }

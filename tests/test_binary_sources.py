@@ -227,3 +227,68 @@ def test_collectd_gauge_little_endian_double():
     # and derives are big-endian signed
     pkt2 = encode_packet([(P_VALUES, [(DS_DERIVE, -2)])])
     assert pkt2[7:15] == struct.pack(">q", -2)
+
+
+# ------------------------------------------------------- octet framing
+def test_octet_stream_roundtrip():
+    from skewer_spark.parsing.binary_sources import (
+        decode_octet_stream,
+        encode_octet_stream,
+    )
+
+    frames = ["hello", "", "a b c", "<13>Oct 11 22:14:15 h app: x", "ü"]
+    assert decode_octet_stream(encode_octet_stream(frames)) == frames
+
+
+def test_octet_stream_malformed_stops():
+    from skewer_spark.parsing.binary_sources import (
+        decode_octet_stream,
+        encode_octet_stream,
+    )
+
+    good = encode_octet_stream(["ok"])
+    assert decode_octet_stream(good + b"xyz") == ["ok"]  # no digit prefix
+    assert decode_octet_stream(good + b"5 abc") == ["ok"]  # truncated frame
+    assert decode_octet_stream(good + b"12") == ["ok"]  # digits, no space
+    assert decode_octet_stream(b"") == []
+
+
+# ------------------------------------------------------- avro binary
+def test_avro_binary_roundtrip_unit():
+    from skewer_spark.parsing.avro_wire import decode_record, encode_record
+
+    row = {
+        "Facility": "auth", "Severity": "crit",
+        "TimeReported": "2024-01-01T10:00:00Z",
+        "TimeGenerated": "2024-01-01T10:00:01Z",
+        "Hostname": "h1", "Appname": "app", "Procid": "42",
+        "Msgid": "", "Message": "hello ü world",
+        "props_flat": "a|x=1\na|y=2\nb|k=v=w",
+    }
+    dec = decode_record(encode_record(row))
+    assert dec == row
+
+
+def test_avro_binary_empty_props_and_strings():
+    from skewer_spark.parsing.avro_wire import decode_record, encode_record
+
+    row = {f: "" for f in ("Facility", "Severity", "TimeReported",
+                           "TimeGenerated", "Hostname", "Appname",
+                           "Procid", "Msgid", "Message")}
+    row["props_flat"] = ""
+    enc = encode_record(row)
+    # nine empty strings (one 0x00 varint each) + empty-map terminator
+    assert enc == b"\x00" * 10
+    assert decode_record(enc) == row
+
+
+def test_avro_binary_negative_block_count_form():
+    # spec-permitted alternative: negative count + byte size prefix
+    from skewer_spark.parsing.avro_wire import _enc_str, _zigzag, decode_record
+
+    buf = b"\x00" * 9  # nine empty strings
+    inner = _enc_str("k") + _enc_str("v")
+    inner_map = _zigzag(-1) + _zigzag(len(inner)) + inner + _zigzag(0)
+    entry = _enc_str("dom") + inner_map
+    buf += _zigzag(-1) + _zigzag(len(entry)) + entry + _zigzag(0)
+    assert decode_record(buf)["props_flat"] == "dom|k=v"
