@@ -83,8 +83,8 @@ def q_enrich_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_routed(spark, sf_dir).select(
-        "sink", "topic", "partition_key", "conv_id", "turn_idx",
-        "facility", "severity", "appname", "text",
+        "sink", "topic", "partition_key", "partition_number", "conv_id",
+        "turn_idx", "facility", "severity", "appname", "text",
     )
 
 
@@ -808,8 +808,8 @@ SELECT conv_id, turn_idx, severity, severity_name, facility, facility_name,
        role, role_class, role_weight, tool, tool_class, sink_hint
 FROM ({enr.enrich_sql('parsed')})""",
         "route_fanout": f"""{_routed_ctes(sf)}
-SELECT sink, topic, partition_key, conv_id, turn_idx, facility, severity,
-       appname, text
+SELECT sink, topic, partition_key, partition_number, conv_id, turn_idx,
+       facility, severity, appname, text
 FROM routed""",
         "route_status": f"""{_routed_ctes(sf)}
 SELECT sink, status, n FROM (

@@ -42,6 +42,11 @@ class RouteRule:
     topic_expr: str  # portable SQL string expression
     filter_expr: str  # portable SQL boolean expression
     partition_key_expr: str = "'mypk-' || hostname"  # skewer.example.toml:20
+    # PartitionNumberFunc analog (javascript/vm.go:378-397): an explicit
+    # int32 partition index materialized on the routed row, the third
+    # routing column of OutputMsg (model/types.go:155-160). Portable SQL
+    # (turn_idx >= 0, so % behaves identically in both engines).
+    partition_number_expr: str = "turn_idx % 32"
 
 
 # FIXTURES.md section 3 (mirrors skewer.example.toml FilterSubConfig examples)
@@ -106,6 +111,7 @@ def route_fanout(
                 F.lit(r.sink).alias("sink"),
                 _topic_col(r).alias("topic"),
                 F.expr(r.partition_key_expr).alias("partition_key"),
+                F.expr(r.partition_number_expr).cast("int").alias("partition_number"),
             ),
         )
         for r in rules
@@ -118,6 +124,7 @@ def route_fanout(
                     F.lit(DEAD_LETTER_SINK).alias("sink"),
                     F.lit("dead-letter").alias("topic"),
                     F.lit("").alias("partition_key"),
+                    F.lit(0).alias("partition_number"),
                 ),
             )
         )
@@ -128,6 +135,7 @@ def route_fanout(
         .withColumn("sink", F.col("_route.sink"))
         .withColumn("topic", F.col("_route.topic"))
         .withColumn("partition_key", F.col("_route.partition_key"))
+        .withColumn("partition_number", F.col("_route.partition_number"))
         .drop("_route")
     )
 
@@ -136,7 +144,8 @@ def routing_union_sql(from_relation: str, rules: tuple[RouteRule, ...] = DEFAULT
     """DuckDB oracle: the same fan-out as a UNION ALL of filtered selects."""
     parts = [
         f"SELECT *, '{r.sink}' AS sink, {topic_sql(r)} AS topic, "
-        f"{r.partition_key_expr} AS partition_key "
+        f"{r.partition_key_expr} AS partition_key, "
+        f"cast({r.partition_number_expr} AS INT) AS partition_number "
         f"FROM {from_relation} WHERE {r.filter_expr}"
         for r in rules
     ]

@@ -81,9 +81,12 @@ def test_route_status_accounting(spark, sf_dir, routed):
 def test_topic_charset_fallback(spark):
     """Invalid/empty topics fall back to default-topic (vm.go:497-535,
     forwarder.go:173-174)."""
-    df = spark.createDataFrame(
-        [("ok-app",), ("bad app!",), ("",)], "appname string"
-    ).withColumn("hostname", F.lit("h")).withColumn("tool", F.lit(""))
+    df = (
+        spark.createDataFrame([("ok-app",), ("bad app!",), ("",)], "appname string")
+        .withColumn("hostname", F.lit("h"))
+        .withColumn("tool", F.lit(""))
+        .withColumn("turn_idx", F.lit(0))  # partition_number_expr input
+    )
     rule = R.RouteRule("s", "'syslog-' || appname", "TRUE")
     out = {
         r["appname"]: r["topic"]
