@@ -113,3 +113,55 @@ def test_conversation_state_stream(spark, sf_dir, stream_input, tmp_path):
     assert (joined.n_turns_s == joined.n_turns_b).all()
     assert (joined.mx_s == joined.mx_b).all()
     assert (joined.n_tool_s == joined.n_tool_b).all()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Deterministic late-data semantics: two availableNow runs against
+    ONE checkpoint. Run 1 advances the watermark; run 2 delivers a row
+    older than it, which the windowed aggregation must drop (and the
+    on-time window must emit without it)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def rows_to_file(name, texts):
+        df = spark.createDataFrame(
+            [("c1", i, "user", t, "") for i, t in enumerate(texts)],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = S.read_transcript_stream(spark, src)
+        agg = S.windowed_severity_counts(stream, spark)
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    line = lambda ts: f"<13>{ts} h app: x"
+    # run 1: events 10:00/10:30 -> watermark ends at 10:30 - 10min = 10:20
+    rows_to_file("a", [line("2024-01-01T10:00:00Z"), line("2024-01-01T10:30:00Z")])
+    run_once()
+    # run 2: one LATE row (08:00 < watermark) + one on-time row 11:30
+    # that closes the [10:00,11:00) window
+    rows_to_file("b", [line("2024-01-01T08:00:00Z"), line("2024-01-01T11:30:00Z")])
+    run_once()
+
+    emitted = (
+        spark.read.parquet(out)
+        .selectExpr("date_format(w.start, 'HH:mm') as ws", "n")
+        .collect()
+    )
+    by_window = {r["ws"]: r["n"] for r in emitted}
+    # the late row's window [08:00,09:00) must NOT be emitted
+    assert "08:00" not in by_window, by_window
+    # the on-time window emits exactly the two run-1 rows
+    assert by_window.get("10:00") == 2, by_window
