@@ -29,6 +29,54 @@ def agg_by(routed: DataFrame, key: str) -> DataFrame:
     )
 
 
+def metrics_snapshot(status_df: DataFrame, routed: DataFrame) -> DataFrame:
+    """Prometheus-parity view: one row per (metric family, label set)
+    using the reference's exact metric names —
+    skw_incoming_messages_total (services/base/metrics.go:17-24),
+    skw_parsing_errors_total (:33-39, labeled by parser name), and
+    skw_message_filtering_total (store/store.go:77-84, incremented at
+    store/forwarder.go:193-206, labeled status+destination). Labels are
+    flattened to 'k=v[,k=v]' strings so the row set is engine-portable."""
+    incoming = status_df.groupBy().agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("skw_incoming_messages_total").alias("metric"),
+        F.lit("provider=transcripts").alias("labels"),
+        "value",
+    )
+    parse_errors = (
+        status_df.where("parse_error")
+        .groupBy("parse_format")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.lit("skw_parsing_errors_total").alias("metric"),
+            F.concat(F.lit("parsername="), F.col("parse_format")).alias("labels"),
+            "value",
+        )
+    )
+    filtering_pass = routed.groupBy("sink").agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("skw_message_filtering_total").alias("metric"),
+        F.concat(F.lit("status=passing,destination="), F.col("sink")).alias("labels"),
+        "value",
+    )
+    filtering_nonpass = (
+        status_df.where(F.col("route_status") != "passing")
+        .groupBy("route_status")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.lit("skw_message_filtering_total").alias("metric"),
+            F.concat(
+                F.lit("status="), F.col("route_status"), F.lit(",destination=-")
+            ).alias("labels"),
+            "value",
+        )
+    )
+    return (
+        incoming.unionByName(parse_errors)
+        .unionByName(filtering_pass)
+        .unionByName(filtering_nonpass)
+        .orderBy("metric", "labels")
+    )
+
+
 def agg_route_status(status_df: DataFrame, routed: DataFrame) -> DataFrame:
     """Counts per (sink, status): passing rows count under their routed
     sinks; dropped/rejected rows are not routed and count under sink '-'

@@ -106,6 +106,15 @@ def q_agg_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.agg_by(load_routed(spark, sf_dir), "tool")
 
 
+def q_metrics_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Prometheus counter families as a queryable row
+    set (metric, labels, value) — names and label keys match
+    services/base/metrics.go:17-39 and store/store.go:77-84."""
+    statusd = R.with_route_status(load_parsed(spark, sf_dir))
+    routed = load_routed(spark, sf_dir)
+    return agg.metrics_snapshot(statusd, routed)
+
+
 def q_ordering_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable turn ordering invariant (RELP monotonic-ack analogue,
     /root/reference/services/network/relp.go:405-476): row_number over
@@ -824,6 +833,22 @@ SELECT sink, status, n FROM (
         "SELECT sink, severity, count(*) AS n FROM routed GROUP BY sink, severity",
         "agg_tool": f"{_routed_ctes(sf)} "
         "SELECT sink, tool, count(*) AS n FROM routed GROUP BY sink, tool",
+        "metrics_parity": f"""{_routed_ctes(sf)}
+SELECT metric, labels, value FROM (
+  SELECT 'skw_incoming_messages_total' AS metric,
+         'provider=transcripts' AS labels, count(*) AS value FROM statusd
+  UNION ALL
+  SELECT 'skw_parsing_errors_total', 'parsername=' || parse_format,
+         count(*) FROM statusd WHERE parse_error GROUP BY parse_format
+  UNION ALL
+  SELECT 'skw_message_filtering_total',
+         'status=passing,destination=' || sink, count(*)
+  FROM routed GROUP BY sink
+  UNION ALL
+  SELECT 'skw_message_filtering_total',
+         'status=' || route_status || ',destination=-', count(*)
+  FROM statusd WHERE route_status <> 'passing' GROUP BY route_status
+)""",
         "ordering_window": f"""
 SELECT conv_id, turn_idx,
        row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS rn,
@@ -997,6 +1022,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_severity": q_agg_severity,
         "agg_tool": q_agg_tool,
         "ordering_window": q_ordering_window,
+        "metrics_parity": q_metrics_parity,
         "text_equality": q_text_equality,
         "topic_default": q_topic_default,
         "decode_rsyslog_json": q_decode_rsyslog_json,
