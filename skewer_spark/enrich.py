@@ -33,6 +33,17 @@ def enrich(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
     return out.withColumn("role_weight", F.coalesce(F.col("role_weight"), F.lit(0)))
 
 
+def add_missing_msgid(df: DataFrame) -> DataFrame:
+    """AddMissingMsgID store option (conf/types.go:78, applied at
+    services/plugincontrol.go:885-887: empty MsgId <- the message Uid).
+    The graft's reproducible Uid surrogate is conv_id:turn_idx
+    (SURVEY.md section 1.3), so the backfill is deterministic."""
+    rid = F.concat_ws(":", "conv_id", "turn_idx")
+    return df.withColumn(
+        "msgid", F.when(F.col("msgid") == "", rid).otherwise(F.col("msgid"))
+    )
+
+
 def enrich_sql(from_relation: str) -> str:
     """DuckDB oracle equivalent producing the same added columns."""
     return f"""

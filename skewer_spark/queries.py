@@ -106,6 +106,44 @@ def q_agg_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.agg_by(load_routed(spark, sf_dir), "tool")
 
 
+def q_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS path for exact brute-force ANN: one GEMM per Arrow batch,
+    partial top-k per partition, window merge. Same output contract as
+    ann_topk_bruteforce — re-uses its oracle (two physical strategies,
+    one correctness definition)."""
+    from skewer_spark.ops.ann_numpy import ann_topk_numpy
+
+    return ann_topk_numpy(spark, sf_dir)
+
+
+def q_add_missing_msgid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AddMissingMsgID option (conf/types.go:78,
+    plugincontrol.go:885-887): empty msgid backfilled with the
+    reproducible message Uid."""
+    p = enr.add_missing_msgid(load_parsed(spark, sf_dir))
+    return p.select(
+        "conv_id", "turn_idx", "msgid",
+        (F.col("msgid") != "").alias("has_msgid"),
+    )
+
+
+def q_agg_severity_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed rollup: per-sink severity
+    counts in 1-hour event-time windows over time_reported."""
+    routed = load_routed(spark, sf_dir)
+    return (
+        routed.groupBy(
+            "sink",
+            F.date_trunc("hour", F.timestamp_micros(F.col("time_reported"))).alias(
+                "hour"
+            ),
+            "severity",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sink", "hour", "severity")
+    )
+
+
 def q_metrics_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's Prometheus counter families as a queryable row
     set (metric, labels, value) — names and label keys match
@@ -833,6 +871,17 @@ SELECT sink, status, n FROM (
         "SELECT sink, severity, count(*) AS n FROM routed GROUP BY sink, severity",
         "agg_tool": f"{_routed_ctes(sf)} "
         "SELECT sink, tool, count(*) AS n FROM routed GROUP BY sink, tool",
+        "ann_topk_numpy": _ops_oracles()["ann_topk_bruteforce"],
+        "add_missing_msgid": f"""{parsed_relation(sf)}
+SELECT conv_id, turn_idx,
+       CASE WHEN msgid = '' THEN conv_id || ':' || cast(turn_idx AS VARCHAR)
+            ELSE msgid END AS msgid,
+       TRUE AS has_msgid
+FROM parsed""",
+        "agg_severity_hourly": f"""{_routed_ctes(sf)}
+SELECT sink, date_trunc('hour', make_timestamp(time_reported)) AS hour,
+       severity, count(*) AS n
+FROM routed GROUP BY sink, hour, severity""",
         "metrics_parity": f"""{_routed_ctes(sf)}
 SELECT metric, labels, value FROM (
   SELECT 'skw_incoming_messages_total' AS metric,
@@ -1023,6 +1072,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_tool": q_agg_tool,
         "ordering_window": q_ordering_window,
         "metrics_parity": q_metrics_parity,
+        "add_missing_msgid": q_add_missing_msgid,
+        "agg_severity_hourly": q_agg_severity_hourly,
+        "ann_topk_numpy": q_ann_topk_numpy,
         "text_equality": q_text_equality,
         "topic_default": q_topic_default,
         "decode_rsyslog_json": q_decode_rsyslog_json,
