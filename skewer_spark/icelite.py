@@ -173,8 +173,36 @@ class IceLiteTable:
             ]
         return [(f, _parquet_rows(f)) for f in files]
 
+    def per_file_stats(
+        self, snapshot_id: str | None = None, key_col: str = "conv_id"
+    ) -> list[tuple[str, int, str, str]]:
+        """(file, rows, min_key, max_key) per committed data file — the
+        lineage source. Rows and key bounds come from the parquet footer
+        (row-group column statistics), read driver-side with NO data
+        scan — the Iceberg manifest-stats analog."""
+        rows = self.per_file_rows(snapshot_id)
+        return [(f, n, *_parquet_key_bounds(f, key_col)) for f, n in rows]
+
 
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_key_bounds(path: str, key_col: str) -> tuple[str, str]:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(key_col)
+    if idx is None:
+        return "", ""
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            mins.append(st.min)
+            maxs.append(st.max)
+    if not mins:
+        return "", ""
+    return str(min(mins)), str(max(maxs))

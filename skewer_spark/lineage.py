@@ -12,9 +12,14 @@ Row metrics come from two zero-extra-pass sources:
 - parquet footers of the files each snapshot committed (rows_out per
   output partition) — read driver-side after commit, no data scan.
 
-Schema (FIXTURES.md section 4):
+Schema (FIXTURES.md section 4; min/max keys per SURVEY.md section 4.2):
   lineage(run_id, stage, sink, partition_id, rows_in, rows_out,
-          wall_ms, committed_at)
+          min_key, max_key, wall_ms, committed_at)
+
+min_key/max_key are the conv_id bounds of each committed output file,
+read from parquet footer statistics driver-side (no scan) — what an
+Iceberg manifest would carry; they let resume/debug tooling locate a
+conversation's data without touching row data.
 """
 
 from __future__ import annotations
@@ -32,6 +37,8 @@ LINEAGE_COLS = [
     "partition_id",
     "rows_in",
     "rows_out",
+    "min_key",
+    "max_key",
     "wall_ms",
     "committed_at",
 ]
@@ -62,6 +69,8 @@ class LineageLog:
         all_recs = self._read()
         for r in records:
             r.setdefault("committed_at", now)
+            r.setdefault("min_key", "")  # stages without a key column
+            r.setdefault("max_key", "")
             missing = set(LINEAGE_COLS) - set(r)
             if missing:
                 raise ValueError(f"lineage record missing {missing}")
@@ -77,21 +86,29 @@ def snapshot_lineage(
     run_id: str,
     stage: str,
     sink: str,
-    per_file_rows: list[tuple[str, int]],
+    per_file_stats: list[tuple],
     rows_in: int,
     wall_ms: int,
 ) -> list[dict]:
-    """One lineage record per committed output file (= output partition)."""
-    return [
-        {
-            "run_id": run_id,
-            "stage": stage,
-            "sink": sink,
-            "partition_id": i,
-            "rows_in": rows_in,
-            "rows_out": n,
-            "wall_ms": wall_ms,
-            "committed_at": time.time(),
-        }
-        for i, (_, n) in enumerate(per_file_rows)
-    ]
+    """One lineage record per committed output file (= output partition).
+    Accepts (file, rows) or (file, rows, min_key, max_key) tuples."""
+    out = []
+    for i, stats in enumerate(per_file_stats):
+        _, n = stats[0], stats[1]
+        mn = stats[2] if len(stats) > 2 else ""
+        mx = stats[3] if len(stats) > 3 else ""
+        out.append(
+            {
+                "run_id": run_id,
+                "stage": stage,
+                "sink": sink,
+                "partition_id": i,
+                "rows_in": rows_in,
+                "rows_out": n,
+                "min_key": mn,
+                "max_key": mx,
+                "wall_ms": wall_ms,
+                "committed_at": time.time(),
+            }
+        )
+    return out

@@ -174,7 +174,7 @@ class Pipeline:
                 self.lineage.commit(
                     snapshot_lineage(
                         run_id, "sink", sink,
-                        table.per_file_rows(snap.snapshot_id),
+                        table.per_file_stats(snap.snapshot_id),
                         rows_in=snap.rows,
                         wall_ms=int((time.time() - t0) * 1000),
                     )
@@ -247,7 +247,7 @@ class Pipeline:
                         self.lineage.commit(
                             snapshot_lineage(
                                 run_id, "agg", f"agg_{key}",
-                                table.per_file_rows(snap.snapshot_id),
+                                table.per_file_stats(snap.snapshot_id),
                                 rows_in=snap.rows,
                                 wall_ms=agg_wall,
                             )

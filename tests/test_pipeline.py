@@ -79,6 +79,17 @@ def test_lineage_partition_rows_sum(spark, sf_dir, warehouse):
     for sink, n in res.sink_rows.items():
         got = lin[(lin.stage == "sink") & (lin.sink == sink)].rows_out.sum()
         assert got == n, (sink, got, n)
+    # min/max conv_id bounds per committed file (SURVEY.md section 4.2)
+    # come from parquet footer stats and must bracket the actual data
+    sunits = lin[(lin.stage == "sink") & (lin.sink == "sink_app")]
+    assert (sunits.min_key != "").all() and (sunits.max_key != "").all()
+    actual = (
+        p.table("sink_app").read(spark).agg(
+            F.min("conv_id").alias("mn"), F.max("conv_id").alias("mx")
+        ).collect()[0]
+    )
+    assert sunits.min_key.min() == actual["mn"]
+    assert sunits.max_key.max() == actual["mx"]
 
 
 def test_salted_pipeline_same_results(spark, sf_dir, tmp_path):
