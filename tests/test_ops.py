@@ -88,3 +88,14 @@ def test_multimodal_decode_stubs_raise():
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
+
+
+def test_ann_numpy_equals_sql_strategy(spark, sf_dir):
+    """Two physical strategies, one result: the BLAS GEMM partial-top-k
+    must return exactly the SQL fold's top-k rows."""
+    from skewer_spark.queries import build_queries
+
+    q = build_queries()
+    a = sorted(map(tuple, q["ann_topk_bruteforce"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, q["ann_topk_numpy"](spark, sf_dir).collect()))
+    assert a == b
