@@ -1,0 +1,57 @@
+"""Production main for spark-submit (see DEPLOY.md).
+
+    spark-submit --py-files skewer_spark.zip tools/run_pipeline.py \
+        --input <transcripts dir/table path> \
+        --warehouse <sink warehouse root> \
+        [--run-id <id>] [--salt-partitions N]
+
+Runs the full parse -> enrich -> route -> aggregate pipeline once and
+prints a one-line JSON result (rows in, per-sink rows, skipped units on
+resume, wall ms). Rerunning with the same --run-id resumes: committed
+sinks/aggregates are skipped and a completed staging pass is reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--salt-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from skewer_spark.pipeline import Pipeline
+    from skewer_spark.session import get_spark
+
+    spark = get_spark(app_name="skewer-pipeline")
+    df = spark.read.parquet(args.input)
+    pipe = Pipeline(
+        spark, args.warehouse, salt_partitions=args.salt_partitions
+    )
+    res = pipe.run(df, run_id=args.run_id)
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "rows_in": res.rows_in,
+                "status_counts": res.status_counts,
+                "sink_rows": res.sink_rows,
+                "skipped_units": [list(u) for u in res.skipped_units],
+                "reused_staging": res.reused_staging,
+                "wall_ms": res.wall_ms,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
