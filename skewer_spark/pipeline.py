@@ -67,12 +67,21 @@ class Pipeline:
         warehouse: str,
         rules: tuple[R.RouteRule, ...] = R.DEFAULT_RULES,
         salt_partitions: int | None = None,
+        rejected_expr: str = R.STATUS_REJECTED_EXPR,
+        dropped_expr: str = R.STATUS_DROPPED_EXPR,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.rules = rules
         self.salt_partitions = salt_partitions
+        self.rejected_expr = rejected_expr
+        self.dropped_expr = dropped_expr
         self.lineage = LineageLog(warehouse)
+
+    def _status(self, parsed: DataFrame) -> DataFrame:
+        return R.with_route_status(
+            parsed, rejected_expr=self.rejected_expr, dropped_expr=self.dropped_expr
+        )
 
     def table(self, name: str) -> IceLiteTable:
         return IceLiteTable(self.warehouse, name)
@@ -85,11 +94,50 @@ class Pipeline:
         df = transcripts
         if self.salt_partitions:
             df = salted_repartition(df, self.salt_partitions)
-        parsed = R.with_route_status(parse_transcripts(df))
+        parsed = self._status(parse_transcripts(df))
         if status_aware:
             return R.route_fanout(enr.enrich(parsed, self.spark), self.rules, status_aware=True)
         passing = parsed.where(F.col("route_status") == "passing")
         return R.route_fanout(enr.enrich(passing, self.spark), self.rules)
+
+    # ------------------------------------------------------------ replay
+    def replay_dead_letter(
+        self,
+        source_run_id: str,
+        replay_run_id: str | None = None,
+        rejected_expr: str = "FALSE",
+        dropped_expr: str | None = None,
+    ) -> PipelineResult:
+        """NACK-retry analog (store.go:988,947-1058: Failed -> Ready,
+        re-forwarded after a delay). Reads the dead-letter rows a prior
+        run committed, rebuilds the original transcript columns, and
+        re-runs them under a NEW run_id with the retry-time
+        classification (default: previously-rejected rows now pass —
+        the environment changed, e.g. a fixed routing config; rows that
+        reject AGAIN land back in dead_letter, the retry loop). All the
+        usual idempotence applies to the replay run_id."""
+        table = self.table(DEAD_LETTER_SINK)
+        paths = [
+            f
+            for s in table.snapshots()
+            if s.run_id == source_run_id
+            for f, _ in table.per_file_rows(s.snapshot_id)
+        ]
+        replay_run_id = replay_run_id or f"{source_run_id}-retry"
+        if not paths:
+            return PipelineResult(run_id=replay_run_id)
+        src = self.spark.read.parquet(*paths).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+        retry = Pipeline(
+            self.spark,
+            self.warehouse,
+            rules=self.rules,
+            salt_partitions=self.salt_partitions,
+            rejected_expr=rejected_expr,
+            dropped_expr=dropped_expr or self.dropped_expr,
+        )
+        return retry.run(src, run_id=replay_run_id)
 
     # ------------------------------------------------------------ run
     def run(
@@ -123,7 +171,7 @@ class Pipeline:
             df = transcripts
             if self.salt_partitions:
                 df = salted_repartition(df, self.salt_partitions)
-            parsed = R.with_route_status(parse_transcripts(df)).observe(
+            parsed = self._status(parse_transcripts(df)).observe(
                 obs,
                 F.count(F.lit(1)).alias("rows_in"),
                 F.sum(F.when(F.col("route_status") == "dropped", 1).otherwise(0)).alias(

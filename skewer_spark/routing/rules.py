@@ -58,12 +58,22 @@ DEFAULT_RULES: tuple[RouteRule, ...] = (
 )
 
 
-def with_route_status(df: DataFrame) -> DataFrame:
-    """Add route_status: passing|dropped|rejected (forwarder.go:192-208)."""
+def with_route_status(
+    df: DataFrame,
+    rejected_expr: str = STATUS_REJECTED_EXPR,
+    dropped_expr: str = STATUS_DROPPED_EXPR,
+) -> DataFrame:
+    """Add route_status: passing|dropped|rejected (forwarder.go:192-208).
+
+    The exprs are overridable because outcomes can legitimately change
+    on retry — the reference's Failed->Ready loop (store.go:988,
+    947-1058) re-runs the SAME message through the filter again, and
+    the filter environment may have changed; `Pipeline.replay_dead_letter`
+    passes the retry-time classification here."""
     return df.withColumn(
         "route_status",
-        F.when(F.expr(STATUS_REJECTED_EXPR), F.lit("rejected"))
-        .when(F.expr(STATUS_DROPPED_EXPR), F.lit("dropped"))
+        F.when(F.expr(rejected_expr), F.lit("rejected"))
+        .when(F.expr(dropped_expr), F.lit("dropped"))
         .otherwise(F.lit("passing")),
     )
 

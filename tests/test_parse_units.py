@@ -287,3 +287,19 @@ def test_registry_unknown_format_raises_and_custom_registers():
     reg.register_parser("_test_fmt", marker)
     assert reg.get_parser("_test_fmt") is marker
     del reg._REGISTRY["_test_fmt"]
+
+
+def test_ipv6_hostname_two_token_branch():
+    # 7-colon token is hostname-ish (rfc3164_format.go:124-135)
+    r = parse_one("<34>Oct 11 22:14:15 2001:db8:0:0:0:0:0:1 body")
+    assert r["hostname"] == "2001:db8:0:0:0:0:0:1"
+    assert r["message"] == "body"
+
+
+def test_ipv6_hostname_three_token_quirk():
+    # >=3 tokens: tag detection fires on the colons FIRST
+    # (rfc3164_format.go:154) — the reference quirk, reproduced
+    r = parse_one("<34>Oct 11 22:14:15 2001:db8:0:0:0:0:0:1 app[2]: b")
+    assert r["hostname"] == ""
+    assert r["appname"] == "2001:db8:0:0:0:0:0:1"
+    assert r["message"] == "app[2]: b"

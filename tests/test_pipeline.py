@@ -102,3 +102,27 @@ def test_salted_pipeline_same_results(spark, sf_dir, tmp_path):
     a = p1.table("sink_app").read(spark).select("conv_id", "turn_idx", "text")
     b = p2.table("sink_app").read(spark).select("conv_id", "turn_idx", "text")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dead_letter_replay(spark, sf_dir, tmp_path):
+    """NACK retry loop (store.go:988,947-1058): dead-letter rows of a
+    prior run re-enter the pipeline under a new run_id with retry-time
+    classification; rows that no longer reject route normally."""
+    tr = load_transcripts(spark, sf_dir)
+    p = Pipeline(spark, str(tmp_path / "w"))
+    r1 = p.run(tr, run_id="base")
+    n_dead = r1.sink_rows.get("dead_letter", 0)
+    assert n_dead > 0
+    r2 = p.replay_dead_letter("base")
+    assert r2.run_id == "base-retry"
+    assert r2.rows_in == n_dead
+    assert r2.sink_rows.get("dead_letter", 0) == 0  # nothing re-rejects
+    # every non-dropped replayed row routes via the TRUE rule (the
+    # dropped rule still applies on retry, as in the reference's filter)
+    assert (
+        r2.sink_rows.get("sink_default", 0)
+        == n_dead - r2.status_counts["dropped"]
+    )
+    # the retry run is idempotent like any run
+    r3 = p.replay_dead_letter("base")
+    assert r3.rows_in == 0 and len(r3.skipped_units) >= 5
