@@ -86,6 +86,64 @@ class Pipeline:
     def table(self, name: str) -> IceLiteTable:
         return IceLiteTable(self.warehouse, name)
 
+    # ------------------------------------------------------------ config
+    def _config_json(self) -> str:
+        """The run's routing config as canonical JSON — the analog of
+        the FilterSubConfig the reference persists per ConfId
+        (store/store.go:655-729) so every message is routed under the
+        config that was active when it arrived (SURVEY.md section 3.4)."""
+        import dataclasses
+        import json as _json
+
+        return _json.dumps(
+            {
+                "rules": [dataclasses.asdict(r) for r in self.rules],
+                "rejected_expr": self.rejected_expr,
+                "dropped_expr": self.dropped_expr,
+                "salt_partitions": self.salt_partitions,
+            },
+            sort_keys=True,
+        )
+
+    def _persist_config(self, run_id: str) -> None:
+        import hashlib
+
+        cfg = self._config_json()
+        conf_id = hashlib.sha256(cfg.encode()).hexdigest()[:16]
+        path = os.path.join(self.warehouse, "_configs", f"{conf_id}.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(cfg)
+            os.replace(tmp, path)
+        self.lineage.commit(
+            [
+                {
+                    "run_id": run_id,
+                    "stage": "config",
+                    "sink": conf_id,  # the run's ConfId
+                    "partition_id": -1,
+                    "rows_in": -1,
+                    "rows_out": -1,
+                    "wall_ms": 0,
+                }
+            ]
+        )
+
+    def run_config(self, run_id: str) -> dict | None:
+        """Load the exact routing config a past run used (by its lineage
+        ConfId record) — the forwarder's config-by-ConfId lookup."""
+        import json as _json
+
+        recs = self.lineage.records()
+        rows = recs[(recs.run_id == run_id) & (recs.stage == "config")]
+        if not len(rows):
+            return None
+        conf_id = rows.iloc[0]["sink"]
+        with open(os.path.join(self.warehouse, "_configs", f"{conf_id}.json")) as f:
+            return _json.load(f)
+
     def _staging_dir(self, run_id: str) -> str:
         return os.path.join(self.warehouse, "_staging", run_id)
 
@@ -159,6 +217,8 @@ class Pipeline:
         committed = self.lineage.committed_units()
         staging = self._staging_dir(run_id)
         all_sinks = [r.sink for r in self.rules] + [DEAD_LETTER_SINK]
+        if not any(u[0] == run_id and u[1] == "config" for u in committed):
+            self._persist_config(run_id)  # version the routing config
 
         # ---- phase 1: the one full pass (parse+enrich+route+write) ----
         obs = Observation(f"route_obs_{run_id}_{int(time.time()*1000)}")

@@ -126,3 +126,25 @@ def test_dead_letter_replay(spark, sf_dir, tmp_path):
     # the retry run is idempotent like any run
     r3 = p.replay_dead_letter("base")
     assert r3.rows_in == 0 and len(r3.skipped_units) >= 5
+
+
+def test_run_config_versioned(spark, sf_dir, tmp_path):
+    """Config lifecycle (SURVEY.md section 3.4; store.go:655-729): each
+    run's routing config is persisted under a content-addressed ConfId
+    and recoverable by run_id; resume does not duplicate it."""
+    tr = load_transcripts(spark, sf_dir)
+    p = Pipeline(spark, str(tmp_path / "w"))
+    p.run(tr, run_id="cfgrun")
+    cfg = p.run_config("cfgrun")
+    assert cfg is not None
+    assert [r["sink"] for r in cfg["rules"]] == [
+        "sink_app", "sink_security", "sink_tools", "sink_default"
+    ]
+    assert cfg["rejected_expr"] == "parse_error"
+    p.run(tr, run_id="cfgrun")  # resume/no-op
+    lin = p.lineage.records()
+    assert len(lin[(lin.run_id == "cfgrun") & (lin.stage == "config")]) == 1
+    # a replay run records its own (different) config version
+    p.replay_dead_letter("cfgrun")
+    rc = p.run_config("cfgrun-retry")
+    assert rc is not None and rc["rejected_expr"] == "FALSE"
