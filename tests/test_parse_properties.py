@@ -213,3 +213,27 @@ def test_rfc3164_roundtrip(pri, ts, host, app, procid, msg):
     epoch = (want - pd.Timestamp("1970-01-01")).value // 1000
     assert out["time_reported"] == epoch
     _assert_agree([line])
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_SYSLOGGY | _ANY, min_size=1, max_size=15))
+def test_forced_modes_agree_with_composite_dispatch(lines):
+    """Metamorphic property: the composite parser IS the per-row
+    dispatch between p5424 and p3164 (decode.go:19-30). So forcing
+    mode='rfc5424' must reproduce the composite output exactly on rows
+    the composite classified rfc5424, and mode='rfc3164' must reproduce
+    it on the rest (the 3164 cascade owns fallback too)."""
+    s = pd.Series(lines, dtype=object)
+    ing = pd.Series([ING] * len(s))
+    auto = parse_batch_arrow(s, ing)
+    f54 = parse_batch_arrow(s, ing, mode="rfc5424")
+    f31 = parse_batch_arrow(s, ing, mode="rfc3164")
+    is54 = (auto["parse_format"] == "rfc5424").to_numpy()
+    for col in auto.columns:
+        a = auto[col].astype(str).to_numpy()
+        assert (a[is54] == f54[col].astype(str).to_numpy()[is54]).all(), (
+            col, [lines[i] for i in np.flatnonzero(is54)[:3]]
+        )
+        assert (a[~is54] == f31[col].astype(str).to_numpy()[~is54]).all(), (
+            col, [lines[i] for i in np.flatnonzero(~is54)[:3]]
+        )
