@@ -64,25 +64,65 @@ def decode_gelf(df: DataFrame, col: str = "line") -> DataFrame:
 
 
 # ------------------------------------------------------------ InfluxDB
+# Field typing per the reference (influxdb.go:48-90): trailing 'i' ->
+# _integer, t/T/true/... -> _boolean (normalized true/false), quoted ->
+# _string (quotes stripped, \" unescaped), else _float. Header fields
+# per :29-44: appname 'influxdb', facility 16 severity 6 (=> pri 134),
+# version 1, message = measurement, hostname = the 'host' tag.
+# Deviations (documented): float text passes through as written (the
+# reference round-trips through float64 minimal formatting — identical
+# for canonical inputs); comma/space escapes inside string fields are
+# out of scope for the split-based demo (the reference links InfluxDB's
+# full models parser).
+_FIELD_CASE = (
+    "CASE "
+    "WHEN {f} {rlike} '^[^=]+=[0-9]+i$' THEN "
+    "'influxdb_fields|' || {k} || '_integer=' || {vi} "
+    "WHEN {f} {rlike} '^[^=]+=(t|T|true|True|TRUE)$' THEN "
+    "'influxdb_fields|' || {k} || '_boolean=true' "
+    "WHEN {f} {rlike} '^[^=]+=(f|F|false|False|FALSE)$' THEN "
+    "'influxdb_fields|' || {k} || '_boolean=false' "
+    "WHEN {f} {rlike} '^[^=]+=\".*\"$' THEN "
+    "'influxdb_fields|' || {k} || '_string=' || {vs} "
+    "ELSE 'influxdb_fields|' || {k} || '_float=' || {v} END"
+)
+
+
 def decode_influx(df: DataFrame, col: str = "line") -> DataFrame:
     line = F.col(col)
     meas = F.regexp_extract(line, r"^([^, ]+),", 1)
-    tags = F.regexp_extract(line, r"^[^, ]+,([^ ]*) ", 1)
-    fields = F.regexp_extract(line, r"^[^ ]+ ([^ ]+) ", 1)
+    host = F.expr(
+        "coalesce(filter(transform(split(regexp_extract(line, "
+        "'^[^, ]+,([^ ]*) ', 1), ','), t -> CASE WHEN t LIKE 'host=%' "
+        "THEN substr(t, 6) END), x -> x IS NOT NULL)[0], '')"
+    )
     ts = F.regexp_extract(line, r" (\d+)$", 1).cast("long")
     tags_arr = F.expr(
         "transform(split(regexp_extract(line, '^[^, ]+,([^ ]*) ', 1), ','), "
         "t -> 'influxdb_tags|' || t)"
     )
+    case = _FIELD_CASE.format(
+        f="f", rlike="RLIKE",
+        k="split(f, '=')[0]",
+        vi="rtrim('i', split(f, '=')[1])",
+        vs="replace(substr(split(f, '=')[1], 2, length(split(f, '=')[1]) - 2), "
+           "'\\\\\"', '\"')",
+        v="split(f, '=')[1]",
+    )
     fields_arr = F.expr(
-        "transform(split(regexp_extract(line, '^[^ ]+ ([^ ]+) ', 1), ','), "
-        "f -> CASE WHEN f RLIKE '^[^=]+=[0-9]+i$' "
-        "THEN 'influxdb_fields|' || split(f, '=')[0] || '_integer=' || rtrim('i', split(f, '=')[1]) "
-        "ELSE 'influxdb_fields|' || split(f, '=')[0] || '_float=' || split(f, '=')[1] END)"
+        f"transform(split(regexp_extract(line, '^[^ ]+ ([^ ]+) ', 1), ','), "
+        f"f -> {case})"
     )
     return df.select(
         "*",
         meas.alias("measurement"),
+        F.lit(134).alias("priority"),
+        F.lit(16).alias("facility"),
+        F.lit(6).alias("severity"),
+        F.lit(1).alias("version"),
+        F.lit("influxdb").alias("appname"),
+        host.alias("hostname"),
+        meas.alias("message"),
         F.array_join(F.array_sort(tags_arr), "\n").alias("tags_flat"),
         F.array_join(F.array_sort(fields_arr), "\n").alias("fields_flat"),
         ts.alias("ts_ns"),
@@ -91,17 +131,35 @@ def decode_influx(df: DataFrame, col: str = "line") -> DataFrame:
 
 def influx_oracle_exprs() -> str:
     """DuckDB SELECT-list fragment mirroring decode_influx over `line`."""
-    return """
+    # DuckDB spells the regex predicate regexp_matches(f, '...'):
+    # render with placeholders, then rewrite each predicate
+    case = _FIELD_CASE.format(
+        f="__F__", rlike="__RL__",
+        k="string_split(f, '=')[1]",
+        vi="rtrim(string_split(f, '=')[2], 'i')",
+        vs="replace(substr(string_split(f, '=')[2], 2, "
+           "length(string_split(f, '=')[2]) - 2), '\\\"', '\"')",
+        v="string_split(f, '=')[2]",
+    )
+    import re as _re
+
+    case = _re.sub(r"__F__ __RL__ '([^']*)'", r"regexp_matches(f, '\1')", case)
+    return f"""
     regexp_extract(line, '^([^, ]+),', 1) AS measurement,
+    cast(134 AS INT) AS priority, cast(16 AS INT) AS facility,
+    cast(6 AS INT) AS severity, cast(1 AS INT) AS version,
+    'influxdb' AS appname,
+    coalesce(list_filter(list_transform(
+      string_split(regexp_extract(line, '^[^, ]+,([^ ]*) ', 1), ','),
+      t -> CASE WHEN t LIKE 'host=%' THEN substr(t, 6) END),
+      x -> x IS NOT NULL)[1], '') AS hostname,
+    regexp_extract(line, '^([^, ]+),', 1) AS message,
     array_to_string(list_sort(list_transform(
       string_split(regexp_extract(line, '^[^, ]+,([^ ]*) ', 1), ','),
       t -> 'influxdb_tags|' || t)), chr(10)) AS tags_flat,
     array_to_string(list_sort(list_transform(
       string_split(regexp_extract(line, '^[^ ]+ ([^ ]+) ', 1), ','),
-      f -> CASE WHEN regexp_matches(f, '^[^=]+=[0-9]+i$')
-      THEN 'influxdb_fields|' || string_split(f, '=')[1] || '_integer=' || rtrim(string_split(f, '=')[2], 'i')
-      ELSE 'influxdb_fields|' || string_split(f, '=')[1] || '_float=' || string_split(f, '=')[2] END)), chr(10))
-      AS fields_flat,
+      f -> {case})), chr(10)) AS fields_flat,
     cast(regexp_extract(line, ' (\\d+)$', 1) AS BIGINT) AS ts_ns"""
 
 

@@ -217,7 +217,10 @@ _GELF_LINE = (
 _INFLUX_LINE = (
     """event_type || ',user=' || cast(user_id AS {i}) || ',host=h' ||"""
     """ cast(user_id % 50 AS {i}) || ' value=' || {fmt3} || ',count=' ||"""
-    """ cast(event_id % 100 AS {i}) || 'i ' || cast({epoch_us} AS {i}) || '000'"""
+    """ cast(event_id % 100 AS {i}) || 'i,up=' ||"""
+    """ CASE WHEN event_id % 2 = 0 THEN 't' ELSE 'False' END ||"""
+    """ ',note="n' || cast(event_id % 5 AS {i}) || '" ' ||"""
+    """ cast({epoch_us} AS {i}) || '000'"""
 )
 _W3C_LINE = (
     """{d} || ' ' || {t} || ' 10.0.' || cast(user_id % 250 AS {i}) || '.' ||"""
