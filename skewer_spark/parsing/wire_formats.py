@@ -45,21 +45,60 @@ def decode_rsyslog_json(df: DataFrame, col: str = "line") -> DataFrame:
 
 # ------------------------------------------------------------ GELF
 GELF_SCHEMA = (
-    "version string, host string, short_message string, timestamp double, "
-    "level int, _facility string, _ev string"
+    "version string, host string, short_message string, full_message string, "
+    "timestamp double, level int, _facility string, _appname string, "
+    "_procid string, _msgid string, _ev string"
 )
 
 
+def _facility_from_name(col):
+    """FacilityFromString (model/types.go:189-194): known name -> code,
+    anything else -> user(1). Literal map, constant-folded."""
+    from skewer_spark.dims import FACILITIES
+
+    pairs = []
+    for code, name in FACILITIES:
+        pairs += [F.lit(name), F.lit(code)]
+    m = F.create_map(*pairs)
+    return F.coalesce(m[col], F.lit(1))
+
+
 def decode_gelf(df: DataFrame, col: str = "line") -> DataFrame:
+    """GELF JSON -> SyslogMessage mapping (decoders/gelf.go:32-90):
+    level -> severity, facility NAME (from the _facility extra) ->
+    facility code with user(1) default, priority recomputed, version 1,
+    appname/procid/msgid from their extras, full_message ->
+    properties['gelf']['full'], other extras -> the gelf domain."""
     j = F.from_json(F.col(col), GELF_SCHEMA)
+    sev = F.coalesce(j["level"], F.lit(0))
+    fac = _facility_from_name(j["_facility"])
+    full = F.coalesce(j["full_message"], F.lit(""))
+    ev = F.coalesce(j["_ev"], F.lit(""))
+    props = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(full != "", F.concat(F.lit("gelf|full="), full)),
+                    F.when(ev != "", F.concat(F.lit("gelf|_ev="), ev)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        "\n",
+    )
     return df.select(
         "*",
-        F.coalesce(j["level"], F.lit(0)).alias("severity"),
+        sev.alias("severity"),
+        fac.alias("facility"),
+        (fac * 8 + sev).alias("priority"),
+        F.lit(1).alias("version"),
         F.coalesce(j["host"], F.lit("")).alias("hostname"),
+        F.coalesce(j["_appname"], F.lit("")).alias("appname"),
+        F.coalesce(j["_procid"], F.lit("")).alias("procid"),
+        F.coalesce(j["_msgid"], F.lit("")).alias("msgid"),
         F.coalesce(j["short_message"], F.lit("")).alias("message"),
         (j["timestamp"] * 1_000_000).cast("long").alias("time_reported"),
-        F.coalesce(j["_facility"], F.lit("")).alias("prop_facility"),
-        F.coalesce(j["_ev"], F.lit("")).alias("prop_ev"),
+        props.alias("props_flat"),
     )
 
 

@@ -209,10 +209,15 @@ _RSYSLOG_LINE = (
 )
 _GELF_LINE = (
     """'{"version":"1.1","host":"h' || cast(user_id % 50 AS {i}) ||"""
-    """ '","short_message":"evt ' || cast(event_id AS {i}) ||"""
-    """ '","timestamp":' || cast({epoch_s} AS {i}) ||"""
+    """ '","short_message":"evt ' || cast(event_id AS {i}) || '",' ||"""
+    """ CASE WHEN event_id % 4 = 0 THEN '"full_message":"full ' ||"""
+    """ cast(event_id AS {i}) || '",' ELSE '' END ||"""
+    """ '"timestamp":' || cast({epoch_s} AS {i}) ||"""
     """ ',"level":' || cast(event_id % 8 AS {i}) ||"""
-    """ ',"_facility":"daemon","_ev":"' || event_type || '"}'"""
+    """ ',"_facility":"' ||"""
+    """ CASE WHEN user_id % 7 = 0 THEN 'notafacility' ELSE 'daemon' END ||"""
+    """ '","_appname":"' || event_type || '","_procid":"' ||"""
+    """ cast(event_id % 1000 AS {i}) || '","_ev":"' || event_type || '"}'"""
 )
 _INFLUX_LINE = (
     """event_type || ',user=' || cast(user_id AS {i}) || ',host=h' ||"""
@@ -625,8 +630,9 @@ def q_gelf_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where("NOT (event_id % 10 = 0 AND seq_nr = 2)").drop("event_id")
     out = decode_gelf(reassemble_gelf_chunks(chunks))
     return out.select(
-        "msg_id", "line", "severity", "hostname", "message",
-        "time_reported", "prop_facility", "prop_ev",
+        "msg_id", "line", "severity", "facility", "priority", "version",
+        "hostname", "appname", "procid", "msgid", "message",
+        "time_reported", "props_flat",
     )
 
 
@@ -782,18 +788,42 @@ SELECT event_id, comm,
 FROM src"""
 
 
+def _gelf_field_sql() -> str:
+    """DuckDB twin of decode_gelf's output columns over `line`."""
+    from skewer_spark.dims import FACILITIES
+
+    fac_case = (
+        "CASE coalesce(json_extract_string(line, '$._facility'), '') "
+        + " ".join(f"WHEN '{n}' THEN {c}" for c, n in FACILITIES)
+        + " ELSE 1 END"
+    )
+    return f"""
+  coalesce(try_cast(json_extract_string(line, '$.level') AS INT), 0) AS severity,
+  cast({fac_case} AS INT) AS facility,
+  cast(({fac_case}) * 8
+       + coalesce(try_cast(json_extract_string(line, '$.level') AS INT), 0)
+       AS INT) AS priority,
+  cast(1 AS INT) AS version,
+  coalesce(json_extract_string(line, '$.host'), '') AS hostname,
+  coalesce(json_extract_string(line, '$._appname'), '') AS appname,
+  coalesce(json_extract_string(line, '$._procid'), '') AS procid,
+  coalesce(json_extract_string(line, '$._msgid'), '') AS msgid,
+  coalesce(json_extract_string(line, '$.short_message'), '') AS message,
+  cast(try_cast(json_extract_string(line, '$.timestamp') AS DOUBLE) * 1000000
+       AS BIGINT) AS time_reported,
+  array_to_string(list_sort(list_filter([
+    CASE WHEN coalesce(json_extract_string(line, '$.full_message'), '') <> ''
+         THEN 'gelf|full=' || json_extract_string(line, '$.full_message') END,
+    CASE WHEN coalesce(json_extract_string(line, '$._ev'), '') <> ''
+         THEN 'gelf|_ev=' || json_extract_string(line, '$._ev') END
+  ], x -> x IS NOT NULL)), chr(10)) AS props_flat"""
+
+
 def _gelf_chunked_oracle() -> str:
     gl = _fmt(_GELF_LINE, _DUCK_FMT)
     return f"""
 WITH src AS (SELECT event_id, {gl} AS line FROM events)
-SELECT 'm' || cast(event_id AS VARCHAR) AS msg_id, line,
-  coalesce(try_cast(json_extract_string(line, '$.level') AS INT), 0) AS severity,
-  coalesce(json_extract_string(line, '$.host'), '') AS hostname,
-  coalesce(json_extract_string(line, '$.short_message'), '') AS message,
-  cast(try_cast(json_extract_string(line, '$.timestamp') AS DOUBLE) * 1000000
-       AS BIGINT) AS time_reported,
-  coalesce(json_extract_string(line, '$._facility'), '') AS prop_facility,
-  coalesce(json_extract_string(line, '$._ev'), '') AS prop_ev
+SELECT 'm' || cast(event_id AS VARCHAR) AS msg_id, line, {_gelf_field_sql()}
 FROM src WHERE event_id % 10 <> 0 AND event_id % 13 <> 0"""
 
 
@@ -1014,14 +1044,7 @@ SELECT event_id, line,
 FROM src""",
         "decode_gelf": f"""
 WITH src AS (SELECT event_id, {gl} AS line FROM events)
-SELECT event_id, line,
-  coalesce(try_cast(json_extract_string(line, '$.level') AS INT), 0) AS severity,
-  coalesce(json_extract_string(line, '$.host'), '') AS hostname,
-  coalesce(json_extract_string(line, '$.short_message'), '') AS message,
-  cast(try_cast(json_extract_string(line, '$.timestamp') AS DOUBLE) * 1000000
-       AS BIGINT) AS time_reported,
-  coalesce(json_extract_string(line, '$._facility'), '') AS prop_facility,
-  coalesce(json_extract_string(line, '$._ev'), '') AS prop_ev
+SELECT event_id, line, {_gelf_field_sql()}
 FROM src""",
         "decode_influx": f"""
 WITH src AS (SELECT event_id, {infl} AS line FROM events)
