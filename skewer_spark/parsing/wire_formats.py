@@ -26,20 +26,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------ rsyslog JSON
-RSYSLOG_SCHEMA = "pri string, host string, msg string, `$!` map<string,string>"
+# The exact JsonRsyslogMessage shape (model/types.go:423-437): rsyslog's
+# JSON template keys, pri as a STRING, '$!' property bag.
+RSYSLOG_SCHEMA = (
+    "pri string, msg string, timereported string, timegenerated string, "
+    "hostname string, `app-name` string, procid string, msgid string, "
+    "`structured-data` string, `$!` map<string,string>"
+)
+
+_RFC3339_FMTS = ["yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"]
 
 
-def decode_rsyslog_json(df: DataFrame, col: str = "line") -> DataFrame:
+def _rs_ts(col, ing):
+    """RFC3339Nano parse (µs): '-'/empty -> ingest time (the reference
+    uses now(), json_format.go:34-52 — ingest keeps it deterministic);
+    unparseable -> null (caller flags the decode error)."""
+    parsed = F.coalesce(
+        *[F.unix_micros(F.try_to_timestamp(col, F.lit(f))) for f in _RFC3339_FMTS]
+    )
+    return F.when(col.isNull() | (col == "-") | (col == ""), ing).otherwise(parsed)
+
+
+def decode_rsyslog_json(
+    df: DataFrame, col: str = "line", ing_col: str = "ing_us"
+) -> DataFrame:
+    """pRsyslogJSON (decoders/json_format.go:22-98): pri string -> int
+    (invalid -> decode ERROR), '-' fields -> '', all fields trimmed,
+    version 1, RFC3339 times with ingest fallback, '$!' bag ->
+    properties['rsyslog'] (keys and values trimmed)."""
     j = F.from_json(F.col(col), RSYSLOG_SCHEMA)
-    pri = j["pri"].cast("int")
+    ing = F.col(ing_col)
+    pri = F.when(j["pri"].rlike("^[0-9]{1,10}$"), j["pri"].cast("long"))
+    pri = F.when(pri <= 2**31 - 1, pri)
+    tr = _rs_ts(j["timereported"], ing)
+    tg = _rs_ts(j["timegenerated"], ing)
+    err = pri.isNull() | tr.isNull() | tg.isNull()
+    nil = lambda c: F.when(
+        c.isNull() | (F.trim(c) == "-"), F.lit("")
+    ).otherwise(F.trim(c))
+    guard = lambda c, d: F.when(err, d).otherwise(c)
+    props = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.coalesce(j["$!"], F.expr("map()"))),
+                lambda e: F.concat(
+                    F.lit("rsyslog|"), F.trim(e["key"]), F.lit("="), F.trim(e["value"])
+                ),
+            )
+        ),
+        "\n",
+    )
     return df.select(
         "*",
-        F.coalesce(pri, F.lit(0)).alias("priority"),
-        F.coalesce((pri / 8).cast("int"), F.lit(0)).alias("facility"),
-        F.coalesce(F.pmod(pri, F.lit(8)).cast("int"), F.lit(0)).alias("severity"),
-        F.coalesce(j["host"], F.lit("")).alias("hostname"),
-        F.coalesce(j["msg"], F.lit("")).alias("message"),
-        F.coalesce(j["$!"]["k"], F.lit("")).alias("prop_k"),
+        err.alias("parse_error"),
+        guard(pri, F.lit(0)).cast("int").alias("priority"),
+        guard((pri / 8).cast("int"), F.lit(0)).alias("facility"),
+        guard(F.pmod(pri, F.lit(8)).cast("int"), F.lit(0)).alias("severity"),
+        F.when(err, 0).otherwise(1).cast("int").alias("version"),
+        guard(tr, ing).alias("time_reported"),
+        guard(tg, ing).alias("time_generated"),
+        guard(nil(j["hostname"]), F.lit("")).alias("hostname"),
+        guard(nil(j["app-name"]), F.lit("")).alias("appname"),
+        guard(nil(j["procid"]), F.lit("")).alias("procid"),
+        guard(nil(j["msgid"]), F.lit("")).alias("msgid"),
+        guard(nil(j["structured-data"]), F.lit("")).alias("structured"),
+        guard(F.coalesce(F.trim(j["msg"]), F.lit("")), F.lit("")).alias("message"),
+        guard(props, F.lit("")).alias("props_flat"),
     )
 
 

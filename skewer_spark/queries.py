@@ -202,10 +202,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+# full JsonRsyslogMessage shape; every 9th pri is junk (decode error),
+# fields carry '-' nils and padding spaces to exercise trim
 _RSYSLOG_LINE = (
-    """'{"pri":"' || cast((event_id * 7 + 13) % 192 AS {i}) || '","host":"h' ||"""
-    """ cast(user_id % 50 AS {i}) || '","msg":"evt ' || cast(event_id AS {i}) ||"""
-    """ '","$!":' || props || '}'"""
+    """'{"pri":"' ||"""
+    """ CASE WHEN event_id % 9 = 0 THEN 'oops'"""
+    """ ELSE cast((event_id * 7 + 13) % 192 AS {i}) END ||"""
+    """ '","msg":" evt ' || cast(event_id AS {i}) ||"""
+    """ ' ","timereported":"' || {r3339} ||"""
+    """ '","timegenerated":"-","hostname":" h' || cast(user_id % 50 AS {i}) ||"""
+    """ ' ","app-name":"' || event_type || '","procid":"' ||"""
+    """ cast(event_id % 1000 AS {i}) ||"""
+    """ '","msgid":"-","structured-data":"-","$!":' || props || '}'"""
 )
 _GELF_LINE = (
     """'{"version":"1.1","host":"h' || cast(user_id % 50 AS {i}) ||"""
@@ -234,6 +242,7 @@ _W3C_LINE = (
 
 _SPARK_FMT = dict(
     i="string",
+    r3339="date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\")",
     epoch_s="unix_seconds(cast(ts AS timestamp))",
     epoch_us="unix_micros(cast(ts AS timestamp))",
     fmt3="format_string('%.3f', value)",
@@ -242,6 +251,7 @@ _SPARK_FMT = dict(
 )
 _DUCK_FMT = dict(
     i="VARCHAR",
+    r3339="strftime(ts, '%Y-%m-%dT%H:%M:%SZ')",
     epoch_s="(epoch_us(ts) // 1000000)",
     epoch_us="epoch_us(ts)",
     fmt3="printf('%.3f', value)",
@@ -261,9 +271,11 @@ def q_decode_rsyslog_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skewer_spark.parsing.wire_formats import decode_rsyslog_json
 
     ev = _events(spark, sf_dir).select(
-        "event_id", F.expr(_fmt(_RSYSLOG_LINE, _SPARK_FMT)).alias("line")
+        "event_id",
+        F.expr(_fmt(_RSYSLOG_LINE, _SPARK_FMT)).alias("line"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ing_us"),
     )
-    return decode_rsyslog_json(ev)
+    return decode_rsyslog_json(ev).drop("ing_us")
 
 
 def q_decode_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,14 +1045,29 @@ def _wire_format_oracles() -> dict[str, str]:
     w3c = _fmt(_W3C_LINE, _DUCK_FMT)
     return {
         "decode_rsyslog_json": f"""
-WITH src AS (SELECT event_id, {rs} AS line FROM events)
-SELECT event_id, line,
-  coalesce(try_cast(json_extract_string(line, '$.pri') AS INT), 0) AS priority,
-  coalesce(try_cast(json_extract_string(line, '$.pri') AS INT) // 8, 0) AS facility,
-  coalesce(try_cast(json_extract_string(line, '$.pri') AS INT) % 8, 0) AS severity,
-  coalesce(json_extract_string(line, '$.host'), '') AS hostname,
-  coalesce(json_extract_string(line, '$.msg'), '') AS message,
-  coalesce(json_extract_string(line, '$."$!".k'), '') AS prop_k
+WITH src AS (
+  SELECT event_id, user_id, event_type, {rs} AS line, epoch_us(ts) AS ing,
+         (event_id % 9 = 0) AS err,
+         (event_id * 7 + 13) % 192 AS pri
+  FROM events)
+SELECT event_id, line, err AS parse_error,
+  cast(CASE WHEN err THEN 0 ELSE pri END AS INT) AS priority,
+  cast(CASE WHEN err THEN 0 ELSE pri // 8 END AS INT) AS facility,
+  cast(CASE WHEN err THEN 0 ELSE pri % 8 END AS INT) AS severity,
+  cast(CASE WHEN err THEN 0 ELSE 1 END AS INT) AS version,
+  CASE WHEN err THEN ing ELSE (ing // 1000000) * 1000000 END AS time_reported,
+  ing AS time_generated,
+  CASE WHEN err THEN ''
+       ELSE 'h' || cast(user_id % 50 AS VARCHAR) END AS hostname,
+  CASE WHEN err THEN '' ELSE event_type END AS appname,
+  CASE WHEN err THEN ''
+       ELSE cast(event_id % 1000 AS VARCHAR) END AS procid,
+  '' AS msgid, '' AS structured,
+  CASE WHEN err THEN ''
+       ELSE 'evt ' || cast(event_id AS VARCHAR) END AS message,
+  CASE WHEN err THEN ''
+       ELSE 'rsyslog|k=' || trim(json_extract_string(line, '$."$!".k'))
+       END AS props_flat
 FROM src""",
         "decode_gelf": f"""
 WITH src AS (SELECT event_id, {gl} AS line FROM events)
