@@ -383,11 +383,13 @@ def _ops_oracles() -> dict[str, str]:
 
 
 def q_decode_journald(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Journald entries are map<string,string>; the decoder is a
-    column-mapping select (journald/reader.go:36-90: PRIORITY->severity,
-    SYSLOG_FACILITY->facility, _HOSTNAME, SYSLOG_IDENTIFIER->appname,
-    _PID->procid, MESSAGE). The query builds the map column from events
-    (exercising the real MapType path) and extracts it back."""
+    """Full EntryToSyslog mapping (journald/reader.go:36-90) over a real
+    map<string,string> column: PRIORITY->severity,
+    SYSLOG_FACILITY->facility (priority recomputed), _COMM->appname with
+    SYSLOG_IDENTIFIER fallback (:74-76), _PID->procid, _HOSTNAME,
+    _SOURCE_REALTIME_TIMESTAMP (µs) -> time_reported, remaining
+    '_'-prefixed keys -> properties['journald'] (lowercased), plus the
+    skewer|client=hostname property (:87-88)."""
     ev = _events(spark, sf_dir)
     entry = F.create_map(
         F.lit("PRIORITY"), (F.col("event_id") % 8).cast("string"),
@@ -396,16 +398,44 @@ def q_decode_journald(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("SYSLOG_IDENTIFIER"), F.col("event_type"),
         F.lit("_PID"), (F.col("event_id") % 100000).cast("string"),
         F.lit("MESSAGE"), F.concat(F.lit("evt "), F.col("event_id").cast("string")),
+        F.lit("_SOURCE_REALTIME_TIMESTAMP"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        F.lit("_TRANSPORT"), F.lit("journal"),
+    )
+    # _COMM present for 2 of 3 rows; absent -> SYSLOG_IDENTIFIER fallback
+    entry = F.map_concat(
+        entry,
+        F.when(
+            F.col("user_id") % 3 != 0,
+            F.create_map(F.lit("_COMM"), F.concat(F.lit("c-"), F.col("event_type"))),
+        ).otherwise(F.expr("map()")),
     )
     withmap = ev.select("event_id", entry.alias("entry"))
+    e = withmap.entry
+    sev = F.coalesce(e["PRIORITY"].cast("int"), F.lit(0))
+    fac = F.coalesce(e["SYSLOG_FACILITY"].cast("int"), F.lit(0))
+    host = F.coalesce(e["_HOSTNAME"], F.lit(""))
+    consumed = "('_comm', '_pid', '_hostname', '_source_realtime_timestamp')"
+    props = F.expr(
+        "array_join(array_sort(transform("
+        "filter(map_entries(entry), x -> x.key LIKE '\\_%' "
+        f"AND lower(x.key) NOT IN {consumed}), "
+        "x -> 'journald|' || lower(x.key) || '=' || x.value) || "
+        "array('skewer|client=' || coalesce(entry['_HOSTNAME'], ''))), '\\n')"
+    )
     return withmap.select(
         "event_id",
-        F.coalesce(withmap.entry["PRIORITY"].cast("int"), F.lit(0)).alias("severity"),
-        F.coalesce(withmap.entry["SYSLOG_FACILITY"].cast("int"), F.lit(0)).alias("facility"),
-        F.coalesce(withmap.entry["_HOSTNAME"], F.lit("")).alias("hostname"),
-        F.coalesce(withmap.entry["SYSLOG_IDENTIFIER"], F.lit("")).alias("appname"),
-        F.coalesce(withmap.entry["_PID"], F.lit("")).alias("procid"),
-        F.coalesce(withmap.entry["MESSAGE"], F.lit("")).alias("message"),
+        sev.alias("severity"),
+        fac.alias("facility"),
+        (fac * 8 + sev).alias("priority"),
+        host.alias("hostname"),
+        F.coalesce(e["_COMM"], e["SYSLOG_IDENTIFIER"], F.lit("")).alias("appname"),
+        F.coalesce(e["_PID"], e["SYSLOG_PID"], F.lit("")).alias("procid"),
+        F.coalesce(e["MESSAGE"], F.lit("")).alias("message"),
+        F.coalesce(
+            e["_SOURCE_REALTIME_TIMESTAMP"].cast("long"), F.lit(0)
+        ).alias("time_reported"),
+        props.alias("props_flat"),
     )
 
 
@@ -973,10 +1003,18 @@ GROUP BY sink""",
 SELECT event_id,
   cast(event_id % 8 AS INT) AS severity,
   cast(((event_id * 7 + 13) % 192) // 8 AS INT) AS facility,
+  cast((((event_id * 7 + 13) % 192) // 8) * 8 + event_id % 8 AS INT)
+    AS priority,
   'h' || cast(user_id % 50 AS VARCHAR) AS hostname,
-  event_type AS appname,
+  CASE WHEN user_id % 3 = 0 THEN event_type
+       ELSE 'c-' || event_type END AS appname,
   cast(event_id % 100000 AS VARCHAR) AS procid,
-  'evt ' || cast(event_id AS VARCHAR) AS message
+  'evt ' || cast(event_id AS VARCHAR) AS message,
+  epoch_us(ts) AS time_reported,
+  array_to_string(list_sort(
+    ['journald|_transport=journal',
+     'skewer|client=h' || cast(user_id % 50 AS VARCHAR)]), chr(10))
+    AS props_flat
 FROM events""",
         "source_textfile": _textfile_oracle(sf),
         "protobuf_roundtrip": f"""{parsed_relation(sf)}
