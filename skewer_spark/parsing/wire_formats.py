@@ -319,23 +319,39 @@ W3C_FIELDS = ["date", "time", "c-ip", "cs-method", "sc-status"]
 
 
 def decode_w3c(df: DataFrame, col: str = "line", fields: list[str] | None = None) -> DataFrame:
+    """W3C extended log with configured field names (w3c.go:14-43):
+    every non-nil field -> properties['w3c'] (the parser yields nil for
+    '-' values, skipped by the `v != nil` guard); '#' directive lines
+    are parser metadata, not records — filtered out here."""
     fields = fields or W3C_FIELDS
     parts = F.split(F.col(col), " ")
     kvs = F.array_sort(
-        F.array(
-            *[
-                F.concat(F.lit(f"w3c|{name}="), parts.getItem(i))
-                for i, name in enumerate(fields)
-            ]
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        parts.getItem(i) != "-",
+                        F.concat(F.lit(f"w3c|{name}="), parts.getItem(i)),
+                    )
+                    for i, name in enumerate(fields)
+                ]
+            ),
+            lambda x: x.isNotNull(),
         )
     )
-    return df.select("*", F.array_join(kvs, "\n").alias("w3c_flat"))
+    return df.where(~F.col(col).startswith("#")).select(
+        "*", F.array_join(kvs, "\n").alias("w3c_flat")
+    )
 
 
 def w3c_oracle_expr(fields: list[str] | None = None) -> str:
     fields = fields or W3C_FIELDS
     items = ", ".join(
-        f"'w3c|{name}=' || string_split(line, ' ')[{i + 1}]"
+        f"CASE WHEN string_split(line, ' ')[{i + 1}] <> '-' THEN "
+        f"'w3c|{name}=' || string_split(line, ' ')[{i + 1}] END"
         for i, name in enumerate(fields)
     )
-    return f"array_to_string(list_sort([{items}]), chr(10)) AS w3c_flat"
+    return (
+        f"array_to_string(list_sort(list_filter([{items}], "
+        "x -> x IS NOT NULL)), chr(10)) AS w3c_flat"
+    )

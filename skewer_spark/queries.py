@@ -235,9 +235,14 @@ _INFLUX_LINE = (
     """ ',note="n' || cast(event_id % 5 AS {i}) || '" ' ||"""
     """ cast({epoch_us} AS {i}) || '000'"""
 )
+# every 6th row nils c-ip with '-' (skipped field); every 17th row is a
+# '#' directive line (not a record)
 _W3C_LINE = (
-    """{d} || ' ' || {t} || ' 10.0.' || cast(user_id % 250 AS {i}) || '.' ||"""
-    """ cast(event_id % 250 AS {i}) || ' GET ' || cast(200 + (event_id % 3) * 100 AS {i})"""
+    """CASE WHEN event_id % 17 = 0 THEN '#Fields: date time c-ip cs-method sc-status' """
+    """ELSE {d} || ' ' || {t} || ' ' ||"""
+    """ CASE WHEN event_id % 6 = 0 THEN '-' ELSE '10.0.' ||"""
+    """ cast(user_id % 250 AS {i}) || '.' || cast(event_id % 250 AS {i}) END ||"""
+    """ ' GET ' || cast(200 + (event_id % 3) * 100 AS {i}) END"""
 )
 
 _SPARK_FMT = dict(
@@ -1118,7 +1123,7 @@ FROM src""",
         "decode_w3c": f"""
 WITH src AS (SELECT event_id, {w3c} AS line FROM events)
 SELECT event_id, line, {w3c_oracle_expr()}
-FROM src""",
+FROM src WHERE line NOT LIKE '#%'""",
     }
 
 
