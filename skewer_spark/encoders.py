@@ -151,6 +151,37 @@ def encode_rfc5424() -> Column:
     ).otherwise(head)
 
 
+_ASCII_RE = "^[\\x21-\\x7e]*$"  # PrintableUsASCII (utils/strings.go:4-11)
+
+
+def rfc5424_encodable() -> Column:
+    """validRfc5424 (encoders/rfc5424.go:35-75): header fields must be
+    printable US-ASCII within the RFC length limits (host 255, app 48,
+    procid 128, msgid 32). Encoding an invalid message is an ERROR in
+    the reference (-> PermError, store/dests/base.go:207-265); here the
+    predicate gates/classifies rows instead of raising per row."""
+    checks = [
+        F.col("hostname").rlike(_ASCII_RE) & (F.length("hostname") <= 255),
+        F.col("appname").rlike(_ASCII_RE) & (F.length("appname") <= 48),
+        F.col("procid").rlike(_ASCII_RE) & (F.length("procid") <= 128),
+        F.col("msgid").rlike(_ASCII_RE) & (F.length("msgid") <= 32),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def rfc5424_encodable_sql() -> str:
+    parts = [
+        f"regexp_matches(hostname, '{_ASCII_RE}') AND length(hostname) <= 255",
+        f"regexp_matches(appname, '{_ASCII_RE}') AND length(appname) <= 48",
+        f"regexp_matches(procid, '{_ASCII_RE}') AND length(procid) <= 128",
+        f"regexp_matches(msgid, '{_ASCII_RE}') AND length(msgid) <= 32",
+    ]
+    return "(" + " AND ".join(parts) + ")"
+
+
 def encode_rfc5424_sql() -> str:
     nil = lambda c: f"(CASE WHEN {c} <> '' THEN {c} ELSE '-' END)"
     head = (

@@ -319,12 +319,20 @@ def q_encode_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_encode_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from skewer_spark.encoders import encode_rfc5424
+    from skewer_spark.encoders import encode_rfc5424, rfc5424_encodable
 
     p = load_parsed(spark, sf_dir).where(
         "parse_format = 'rfc5424' AND NOT parse_error"
     )
-    return p.select("conv_id", "turn_idx", encode_rfc5424().alias("encoded"))
+    ok = rfc5424_encodable()
+    return p.select(
+        "conv_id",
+        "turn_idx",
+        ok.alias("encodable"),
+        # invalid messages are encode ERRORS in the reference
+        # (validRfc5424 -> PermError); they encode to nothing
+        F.when(ok, encode_rfc5424()).otherwise(F.lit("")).alias("encoded"),
+    )
 
 
 def q_encode_file(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,6 +1141,7 @@ def _encoder_oracles(sf: str) -> dict[str, str]:
         encode_json_sql,
         encode_rfc3164_sql,
         encode_rfc5424_sql,
+        rfc5424_encodable_sql,
     )
 
     return {
@@ -1140,7 +1149,9 @@ def _encoder_oracles(sf: str) -> dict[str, str]:
 SELECT conv_id, turn_idx, {encode_rfc3164_sql()} AS encoded
 FROM parsed WHERE parse_format = 'rfc3164'""",
         "encode_rfc5424": f"""{parsed_relation(sf)}
-SELECT conv_id, turn_idx, {encode_rfc5424_sql()} AS encoded
+SELECT conv_id, turn_idx, {rfc5424_encodable_sql()} AS encodable,
+       CASE WHEN {rfc5424_encodable_sql()}
+            THEN {encode_rfc5424_sql()} ELSE '' END AS encoded
 FROM parsed WHERE parse_format = 'rfc5424' AND NOT parse_error""",
         "encode_file": f"""{parsed_relation(sf)}
 SELECT conv_id, turn_idx, {encode_file_sql()} AS encoded
