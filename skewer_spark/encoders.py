@@ -193,6 +193,72 @@ def encode_rfc5424_sql() -> str:
     return f"(CASE WHEN length(message) > 0 THEN {head} || ' ' || message ELSE {head} END)"
 
 
+def encode_gelf() -> Column:
+    """SyslogToGelfMessage (encoders/gelf.go:15-45): version 1.1, host,
+    short_message, float-seconds timestamp, level=severity, facility
+    NAME, appname/procid/msgid extras only when non-empty, properties
+    domains as nested extra objects. Needs enriched rows
+    (facility_name) + props_flat.
+
+    Deviations (documented, deterministic): timestamp is rendered with
+    exact integer arithmetic ('sec.micros6'); empty extras are OMITTED
+    (as the reference does) via JSON null-field omission; property
+    domains nest under '_props' with sorted keys (Go map order is
+    random — sorted is the deterministic superset)."""
+    from skewer_spark.parsing.syslog import properties_map
+
+    ts = F.concat(
+        (F.col("time_reported") / 1_000_000).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad(F.pmod(F.col("time_reported"), F.lit(1_000_000)).cast("string"), 6, "0"),
+    )
+    nz = lambda c: F.when(F.col(c) != "", F.col(c))
+    return F.to_json(
+        F.struct(
+            F.lit("1.1").alias("version"),
+            F.col("hostname").alias("host"),
+            F.col("message").alias("short_message"),
+            ts.alias("timestamp"),
+            F.col("severity").alias("level"),
+            F.col("facility_name").alias("_facility"),
+            nz("appname").alias("_appname"),
+            nz("procid").alias("_procid"),
+            nz("msgid").alias("_msgid"),
+            F.when(F.col("props_flat") != "", properties_map()).alias("_props"),
+        )
+    )
+
+
+def encode_gelf_sql() -> str:
+    """DuckDB twin of encode_gelf (json_merge_patch drops null fields,
+    matching Spark's to_json null omission)."""
+    lines = "string_split(props_flat, chr(10))"
+    sids = f"list_distinct(list_transform({lines}, l -> string_split(l, '|')[1]))"
+    kv = "substr(l, length(string_split(l, '|')[1]) + 2)"
+    k_of = f"string_split({kv}, '=')[1]"
+    v_of = f"substr({kv}, length({k_of}) + 2)"
+    inner = (
+        f"MAP(list_transform(list_filter({lines}, "
+        f"l -> string_split(l, '|')[1] = sid), l -> {k_of}), "
+        f"list_transform(list_filter({lines}, "
+        f"l -> string_split(l, '|')[1] = sid), l -> {v_of}))"
+    )
+    props_map = f"MAP({sids}, list_transform({sids}, sid -> {inner}))"
+    ts = (
+        "cast(time_reported // 1000000 AS VARCHAR) || '.' || "
+        "lpad(cast(time_reported % 1000000 AS VARCHAR), 6, '0')"
+    )
+    nz = lambda c: f"CASE WHEN {c} <> '' THEN {c} END"
+    return f"""json_merge_patch('{{}}', to_json(struct_pack(
+      version := '1.1', host := hostname, short_message := message,
+      "timestamp" := {ts}, "level" := severity,
+      "_facility" := facility_name,
+      "_appname" := {nz('appname')},
+      "_procid" := {nz('procid')},
+      "_msgid" := {nz('msgid')},
+      "_props" := CASE WHEN props_flat <> '' THEN {props_map} END)))"""
+
+
 def encode_file() -> Column:
     return F.concat_ws(
         " ",

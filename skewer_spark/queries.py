@@ -335,6 +335,16 @@ def q_encode_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encode_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GELF encode (encoders/gelf.go:15-45) over enriched parsed rows —
+    exercises facility-name enrichment, conditional extras, and the
+    two-level properties nesting in one JSON encoder."""
+    from skewer_spark.encoders import encode_gelf
+
+    p = enr.enrich(load_parsed(spark, sf_dir), spark).where("NOT parse_error")
+    return p.select("conv_id", "turn_idx", encode_gelf().alias("encoded"))
+
+
 def q_encode_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skewer_spark.encoders import encode_file
 
@@ -1138,6 +1148,7 @@ FROM src WHERE line NOT LIKE '#%'""",
 def _encoder_oracles(sf: str) -> dict[str, str]:
     from skewer_spark.encoders import (
         encode_file_sql,
+        encode_gelf_sql,
         encode_json_sql,
         encode_rfc3164_sql,
         encode_rfc5424_sql,
@@ -1153,6 +1164,10 @@ SELECT conv_id, turn_idx, {rfc5424_encodable_sql()} AS encodable,
        CASE WHEN {rfc5424_encodable_sql()}
             THEN {encode_rfc5424_sql()} ELSE '' END AS encoded
 FROM parsed WHERE parse_format = 'rfc5424' AND NOT parse_error""",
+        "encode_gelf": f"""{parsed_relation(sf)},
+enriched AS ({enr.enrich_sql('parsed')})
+SELECT conv_id, turn_idx, {encode_gelf_sql()} AS encoded
+FROM enriched WHERE NOT parse_error""",
         "encode_file": f"""{parsed_relation(sf)}
 SELECT conv_id, turn_idx, {encode_file_sql()} AS encoded
 FROM parsed WHERE NOT parse_error""",
@@ -1195,6 +1210,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_dispatch": q_parse_dispatch,
         "parse_custom_kv": q_parse_custom_kv,
         "encode_rfc3164": q_encode_rfc3164,
+        "encode_gelf": q_encode_gelf,
         "encode_rfc5424": q_encode_rfc5424,
         "encode_file": q_encode_file,
         "encode_json": q_encode_json,
