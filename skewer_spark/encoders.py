@@ -277,19 +277,71 @@ def encode_file_sql() -> str:
     )
 
 
+def _go_rfc3339(col: str) -> Column:
+    """Go time.Time JSON form, canonicalized to UTC: seconds precision
+    plus fractional micros with trailing zeros trimmed (RFC3339Nano
+    trimming; the reference's time.Unix output is local-zone and thus
+    host-dependent — UTC keeps it deterministic)."""
+    sec = F.date_format(F.timestamp_micros(F.col(col)), "yyyy-MM-dd'T'HH:mm:ss")
+    frac = F.pmod(F.col(col), F.lit(1_000_000))
+    frac_s = F.expr(f"rtrim('0', lpad(cast(pmod({col}, 1000000) AS string), 6, '0'))")
+    return F.when(frac == 0, F.concat(sec, F.lit("Z"))).otherwise(
+        F.concat(sec, F.lit("."), frac_s, F.lit("Z"))
+    )
+
+
+def _go_rfc3339_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} % 1000000 = 0 THEN "
+        f"strftime(make_timestamp({col}), '%Y-%m-%dT%H:%M:%SZ') "
+        f"ELSE strftime(make_timestamp({col}), '%Y-%m-%dT%H:%M:%S') || '.' || "
+        f"rtrim(lpad(cast({col} % 1000000 AS VARCHAR), 6, '0'), '0') || 'Z' END"
+    )
+
+
 def encode_json() -> Column:
+    """The exact RegularSyslog JSON shape (model/types.go:210-221,244-261
+    via encodeFullJSON, encoders/json.go:83-95): facility/severity as
+    NAMES, Go-style RFC3339 times, omitempty strings, nested properties.
+    Needs enriched rows (facility_name/severity_name) + props_flat."""
+    from skewer_spark.parsing.syslog import properties_map
+
+    nz = lambda c: F.when(F.col(c) != "", F.col(c))
     return F.to_json(
         F.struct(
-            F.col("priority"), F.col("facility"), F.col("severity"),
-            F.col("hostname"), F.col("appname"), F.col("procid"),
-            F.col("msgid"), F.col("message"),
+            F.col("facility_name").alias("facility"),
+            F.col("severity_name").alias("severity"),
+            _go_rfc3339("time_reported").alias("timereported"),
+            _go_rfc3339("time_generated").alias("timegenerated"),
+            nz("hostname").alias("hostname"),
+            nz("appname").alias("appname"),
+            nz("procid").alias("procid"),
+            nz("msgid").alias("msgid"),
+            nz("message").alias("message"),
+            F.when(F.col("props_flat") != "", properties_map()).alias("properties"),
         )
     )
 
 
 def encode_json_sql() -> str:
-    return (
-        "to_json(struct_pack(priority := priority, facility := facility, "
-        "severity := severity, hostname := hostname, appname := appname, "
-        "procid := procid, msgid := msgid, message := message))"
+    lines = "string_split(props_flat, chr(10))"
+    sids = f"list_distinct(list_transform({lines}, l -> string_split(l, '|')[1]))"
+    kv = "substr(l, length(string_split(l, '|')[1]) + 2)"
+    k_of = f"string_split({kv}, '=')[1]"
+    v_of = f"substr({kv}, length({k_of}) + 2)"
+    inner = (
+        f"MAP(list_transform(list_filter({lines}, "
+        f"l -> string_split(l, '|')[1] = sid), l -> {k_of}), "
+        f"list_transform(list_filter({lines}, "
+        f"l -> string_split(l, '|')[1] = sid), l -> {v_of}))"
     )
+    props_map = f"MAP({sids}, list_transform({sids}, sid -> {inner}))"
+    nz = lambda c: f"CASE WHEN {c} <> '' THEN {c} END"
+    return f"""json_merge_patch('{{}}', to_json(struct_pack(
+      facility := facility_name, severity := severity_name,
+      timereported := {_go_rfc3339_sql('time_reported')},
+      timegenerated := {_go_rfc3339_sql('time_generated')},
+      hostname := {nz('hostname')}, appname := {nz('appname')},
+      procid := {nz('procid')}, msgid := {nz('msgid')},
+      message := {nz('message')},
+      properties := CASE WHEN props_flat <> '' THEN {props_map} END)))"""

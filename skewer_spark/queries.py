@@ -355,7 +355,7 @@ def q_encode_file(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_encode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skewer_spark.encoders import encode_json
 
-    p = load_parsed(spark, sf_dir).where("NOT parse_error")
+    p = enr.enrich(load_parsed(spark, sf_dir), spark).where("NOT parse_error")
     return p.select("conv_id", "turn_idx", encode_json().alias("encoded"))
 
 
@@ -1171,9 +1171,10 @@ FROM enriched WHERE NOT parse_error""",
         "encode_file": f"""{parsed_relation(sf)}
 SELECT conv_id, turn_idx, {encode_file_sql()} AS encoded
 FROM parsed WHERE NOT parse_error""",
-        "encode_json": f"""{parsed_relation(sf)}
+        "encode_json": f"""{parsed_relation(sf)},
+enriched AS ({enr.enrich_sql('parsed')})
 SELECT conv_id, turn_idx, {encode_json_sql()} AS encoded
-FROM parsed WHERE NOT parse_error""",
+FROM enriched WHERE NOT parse_error""",
     }
 
 
