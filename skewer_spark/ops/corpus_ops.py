@@ -115,21 +115,42 @@ SELECT doc_id, {_simhash_bits()} AS simhash
 FROM ws GROUP BY doc_id"""
 
 
+def _simhash_int() -> str:
+    """32-bit simhash as a BIGINT (bit i = word-frequency vote for md5
+    hex digit i being in the high half) — popcount-verifiable."""
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN substring(md5(word), {i + 1}, 1) IN {hexhi} "
+        f"THEN cnt ELSE -cnt END) >= 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    return terms
+
+
 def dedup_simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """4-banded simhash blocking with a recall GUARANTEE: the 32-bit
+    signature split into 4 bands of 8 bits — two signatures within
+    hamming distance 3 differ in at most 3 bands, so by pigeonhole they
+    share at least one exact band and meet in that band's equi-join.
+    Candidates verify by integer popcount (HAMMING = bit_count of the
+    xor, one ALU op instead of 32 substring compares); DISTINCT
+    collapses pairs meeting in several bands. The join stays an
+    equality join (linear, AQE-skew-splittable), never all-pairs."""
     return f"""WITH {CORPUS},
 wx AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS word FROM corpus),
 ws AS (SELECT doc_id, word, count(*) AS cnt FROM wx GROUP BY doc_id, word),
-sim AS (SELECT doc_id, {_simhash_bits()} AS simhash FROM ws GROUP BY doc_id)
-SELECT x.doc_id AS a, y.doc_id AS b,
-       CAST(ASIZE(AFILTER(SEQ1(32),
-             i -> substring(x.simhash, i, 1) <> substring(y.simhash, i, 1)))
-         AS BIGINT) AS hamming
-FROM sim x JOIN sim y
-  ON substring(x.simhash, 1, 8) = substring(y.simhash, 1, 8)
- AND x.doc_id < y.doc_id
-WHERE ASIZE(AFILTER(SEQ1(32),
-            i -> substring(x.simhash, i, 1) <> substring(y.simhash, i, 1)))
-      <= {max_hamming}"""
+sim AS (SELECT doc_id, {_simhash_int()} AS sig FROM ws GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, sig, band_idx,
+         IDIV(sig, CAST(POW(2, band_idx * 8) AS BIGINT)) % 256 AS band
+  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS bi(band_idx)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(HAMMING(x.sig, y.sig) AS BIGINT) AS hamming
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.band = y.band AND x.doc_id < y.doc_id
+WHERE HAMMING(x.sig, y.sig) <= {max_hamming}"""
 
 
 # ------------------------------------------------------------ embeddings

@@ -86,6 +86,15 @@ def to_spark(sql: str) -> str:
     )
     sql = re.sub(r"\bEXPLODE\(", "explode(", sql)
     sql = re.sub(r"\bALIST\(", "array(", sql)
+    # HAMMING(a, b): popcount of the bitwise xor (DuckDB's ^ is POWER,
+    # so the xor spelling must be per-dialect)
+    sql = _expand_call(
+        sql, "HAMMING",
+        lambda a: "bit_count(({}) ^ ({}))".format(*_split_top(a)),
+    )
+    sql = _expand_call(
+        sql, "IDIV", lambda a: "(({}) div ({}))".format(*_split_top(a))
+    )
     return _apply_common(sql, {**_SPARK, **_SPARK_EXTRA})
 
 
@@ -100,7 +109,33 @@ def to_duck(sql: str) -> str:
     sql = _expand_call(sql, "ASUM_D", lambda a: f"list_aggregate({a}, 'sum')")
     sql = re.sub(r"\bEXPLODE\(", "unnest(", sql)
     sql = re.sub(r"\bALIST\(", "list_value(", sql)
+    sql = _expand_call(
+        sql, "HAMMING",
+        lambda a: "bit_count(xor(cast({} AS BIGINT), cast({} AS BIGINT)))".format(
+            *_split_top(a)
+        ),
+    )
+    sql = _expand_call(
+        sql, "IDIV", lambda a: "(({}) // ({}))".format(*_split_top(a))
+    )
     return _apply_common(sql, {**_DUCK, **_DUCK_EXTRA})
+
+
+def _split_top(args: str) -> list[str]:
+    """Split macro args on top-level commas (nesting-aware)."""
+    out, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur).strip())
+    return out
 
 
 def _expand_call(sql: str, name: str, render) -> str:
