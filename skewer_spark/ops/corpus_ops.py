@@ -47,17 +47,15 @@ sh AS (
 )"""
 
 _SEEDS = 8
+# all 8 minhashes in ONE aggregation pass (one hash-agg over the
+# exploded shingles, no 8x seed cross-join blowup — same minima, the
+# min over {md5(seed|s)} is independent per seed column)
 _MINHASH = f"""
 shx AS (SELECT doc_id, EXPLODE(shingles) AS s FROM sh),
-mh AS (
-  SELECT doc_id, seed, min(md5(cast(seed AS SSTR) || '|' || s)) AS mh
-  FROM shx CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(_SEEDS))}) AS seeds(seed)
-  GROUP BY doc_id, seed
-),
 sig AS (
   SELECT doc_id,
-         {", ".join(f"min(CASE WHEN seed = {i} THEN mh END) AS s{i}" for i in range(_SEEDS))}
-  FROM mh GROUP BY doc_id
+         {", ".join(f"min(md5('{i}|' || s)) AS s{i}" for i in range(_SEEDS))}
+  FROM shx GROUP BY doc_id
 ),
 bandkv AS (
   SELECT doc_id, EXPLODE(ALIST(md5(s0 || s1), md5(s2 || s3),
