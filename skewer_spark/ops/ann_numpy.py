@@ -54,7 +54,13 @@ def ann_topk_numpy(
                 valid = nids != qid
                 cand = np.flatnonzero(valid)
                 if len(cand) > k:
-                    cand = cand[np.argpartition(-row[cand], k)[: k + 1]]
+                    # prune on the FINAL ranking key — (round(cos,6) desc,
+                    # vec_id asc) — not raw cosine: with >k neighbors tied
+                    # at 6 decimals, raw-cosine pruning could drop the
+                    # smaller-vec_id candidate the window would keep
+                    key = np.round(row[cand], 6)
+                    order = np.lexsort((nids[cand], -key))
+                    cand = cand[order[:k]]
                 outs.append(
                     pd.DataFrame(
                         {"q": qid, "n": nids[cand], "cos": row[cand]}

@@ -76,6 +76,7 @@ p5424 AS (
 p5424b AS (
   SELECT *,
     CASE WHEN ok5424 AND f_ts IS NOT NULL
+              AND try_cast(substring(f_ts, 1, 4) AS INT) BETWEEN 1678 AND 2250
          THEN try_strptime(f_ts, {_TS_FMTS}) END AS ts5424,
     CASE WHEN ok5424 AND f_sd IS NOT NULL AND f_sd <> '' THEN
       array_to_string(list_sort(flatten(list_transform(
@@ -93,6 +94,7 @@ p5424b AS (
 p3164a AS (
   SELECT *,
     CASE WHEN is3164 AND regexp_matches(rest, '^[0-9]')
+              AND try_cast(substring(rest, 1, 4) AS INT) BETWEEN 1678 AND 2250
          THEN try_strptime(split_part(rest, ' ', 1), {_TS_FMTS}) END AS rts,
     CASE WHEN is3164 AND NOT regexp_matches(rest, '^[0-9]')
               AND len(string_split(rest, ' ')) >= 3

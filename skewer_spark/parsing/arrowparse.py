@@ -34,7 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from skewer_spark.parsing.syslog import _try_ts_formats, _to_us
+from skewer_spark.parsing.syslog import TS_YEAR_MAX, TS_YEAR_MIN, _try_ts_formats, _to_us
 
 _SD_ELEM = re.compile(r"\[([^ \]]+)((?:\\\]|[^\]])*)\]")
 _SD_PARAM = re.compile(r'([^ =\[\]]+)="((?:[^"\\]|\\.)*)"')
@@ -142,7 +142,9 @@ def _ts_us(sub: np.ndarray) -> np.ndarray:
     if mok.any():
         y, mo, d = _ifield(st, "y"), _ifield(st, "mo"), _ifield(st, "d")
         h, mi, s = _ifield(st, "h"), _ifield(st, "mi"), _ifield(st, "s")
-        valid = mok & _civil_valid(y, mo, d)
+        # year gate shared with the pandas reference (syslog.TS_YEAR_*):
+        # out-of-range years are parse failures in every kernel
+        valid = mok & _civil_valid(y, mo, d) & (y >= TS_YEAR_MIN) & (y <= TS_YEAR_MAX)
         fa = pc.fill_null(pc.struct_field(st, "frac"), ".")
         us = _np(
             pc.cast(
@@ -275,6 +277,7 @@ def parse_batch_arrow(
         )
 
     pm_ok, pm = _extract(t, _PRI_PAT, ["pri", "rest"])
+    grammar_ok = np.zeros(n, dtype=bool)  # rows passing the full 5424 grammar
     if mode == "rfc5424":
         # p5424 alone: every row must conform; errors are real errors
         parse_format[:] = "rfc5424"
@@ -324,6 +327,7 @@ def parse_batch_arrow(
         ok, g = _extract(rest[idx], _R5424_PAT, ["ts", "host", "app", "proc", "msgid", "sd", "msg"])
         parse_error[idx[~ok]] = True
         okx = idx[ok]
+        grammar_ok[okx] = True
         parse_error[okx] = False  # conforming rows (mode='rfc5424' presets True)
         if len(okx):
             version[okx] = 1
@@ -458,5 +462,16 @@ def parse_batch_arrow(
                     appname[base[m_g]] = app_t1[m_g]
                     procid[base[m_g]] = proc_t1[m_g]
                     message[base[m_g]] = r2[m_g]
+
+    if mode == "rfc5424":
+        # decode-error rows carry NO partially-decoded header fields:
+        # the reference discards the whole message when the 5424 grammar
+        # fails (rfc5424_format.go:25-51), so PRI-derived fields must not
+        # leak. Rows that pass the grammar but fail only the timestamp
+        # keep their fields (same as the composite cascade).
+        bad = parse_error & ~grammar_ok
+        priority[bad] = 0
+        facility[bad] = 0
+        severity[bad] = 0
 
     return finish()

@@ -21,6 +21,8 @@ import re
 import numpy as np
 import pandas as pd
 
+from skewer_spark.parsing.syslog import TS_YEAR_MAX, TS_YEAR_MIN
+
 _PRI = re.compile(r"^<(\d+)>(.*)$", re.DOTALL)
 _SD_BLOCK = r"(?:\[(?:\\\]|[^\]])*\])+"
 _R5424 = re.compile(
@@ -60,6 +62,8 @@ def _rfc3339_us(s: str) -> int | None:
     if not m:
         return None
     y, mo, d, h, mi, se = (int(m.group(i)) for i in range(1, 7))
+    if y < TS_YEAR_MIN or y > TS_YEAR_MAX:  # shared gate, see syslog.py
+        return None
     if mo < 1 or mo > 12 or d < 1 or d > 31 or h > 23 or mi > 59 or se > 60:
         return None
     frac = m.group(7)

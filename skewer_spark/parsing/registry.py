@@ -93,6 +93,35 @@ def parse_kv_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
 register_parser("kv", parse_kv_batch)
 
 
+def _unknown_format_frame(
+    text: pd.Series, ingest_us: pd.Series, name: str
+) -> pd.DataFrame:
+    """PARSED_SCHEMA-shaped degraded rows for an unregistered format."""
+    t = text.fillna("").str.strip()
+    ing = pd.to_numeric(ingest_us, errors="coerce").fillna(0).astype("int64")
+    n = len(t)
+    zi = np.zeros(n, dtype="int32")
+    return pd.DataFrame(
+        {
+            "priority": zi,
+            "facility": zi,
+            "severity": zi,
+            "version": zi,
+            "time_reported": ing,
+            "time_generated": ing,
+            "hostname": [""] * n,
+            "appname": [""] * n,
+            "procid": [""] * n,
+            "msgid": [""] * n,
+            "structured": [""] * n,
+            "message": t.to_numpy(copy=True),
+            "props_flat": [""] * n,
+            "parse_format": [f"unknown:{name}"] * n,
+            "parse_error": np.ones(n, dtype="bool"),
+        }
+    )
+
+
 def parse_with_formats(
     df: DataFrame,
     format_col: str = "fmt",
@@ -111,8 +140,23 @@ def parse_with_formats(
             return formats["auto"](text, ing)
         pieces = []
         for name, idx in fmt.groupby(fmt).groups.items():
-            kernel = formats.get(str(name)) or formats["auto"]
-            part = kernel(text[idx].reset_index(drop=True), ing[idx].reset_index(drop=True))
+            kernel = formats.get(str(name))
+            if kernel is None:
+                # Unregistered format name (typo'd/stale config): do NOT
+                # silently parse under a different grammar. Degrade to the
+                # no-fail fallback shape (whole line in message, zeroed
+                # header) and flag loudly — parse_format='unknown:<name>',
+                # parse_error=True — so skw_parsing_errors_total surfaces
+                # the misconfiguration. get_parser() still raises for
+                # direct lookups; here a raise would abort the whole job
+                # over one bad row at 100 TB.
+                part = _unknown_format_frame(
+                    text[idx].reset_index(drop=True),
+                    ing[idx].reset_index(drop=True),
+                    str(name),
+                )
+            else:
+                part = kernel(text[idx].reset_index(drop=True), ing[idx].reset_index(drop=True))
             part.index = idx
             pieces.append(part)
         return pd.concat(pieces).sort_index().reset_index(drop=True)

@@ -33,12 +33,17 @@ _PARAM = _sq(r'([^ =\[\]]+)="((?:[^"\\]|\\.)*)"')
 _TAG = _sq(r"^([^\[]*)(?:\[([^\]]*)\]?.*)?$")
 _HOSTNAME = _sq(r"^[A-Za-z0-9.:_\-]+$")
 
+# The year gate (syslog.TS_YEAR_MIN..MAX) is part of the cross-kernel
+# timestamp contract: JVM timestamps would happily represent year 2500,
+# but the pandas reference (datetime64[ns]) cannot — so every kernel
+# rejects years outside [1678, 2250] identically.
 _TS_EXPR = (
-    "coalesce("
+    "CASE WHEN try_cast(substring({c}, 1, 4) AS INT) BETWEEN 1678 AND 2250 "
+    "THEN coalesce("
     "try_to_timestamp({c}, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'\"), "
     "try_to_timestamp({c}, \"yyyy-MM-dd'T'HH:mm:ss'Z'\"), "
     "try_to_timestamp({c}, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX\"), "
-    "try_to_timestamp({c}, \"yyyy-MM-dd'T'HH:mm:ssXXX\"))"
+    "try_to_timestamp({c}, \"yyyy-MM-dd'T'HH:mm:ssXXX\")) END"
 )
 
 

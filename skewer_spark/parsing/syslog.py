@@ -91,10 +91,25 @@ def _to_us(dt: pd.Series) -> pd.Series:
     return dt.dt.tz_convert("UTC").dt.as_unit("us").astype("int64")
 
 
+# Supported year range for RFC3339 timestamps (all kernels + oracle).
+# Inside datetime64[ns] (1677-09-21..2262-04-11) AND the float64-exact
+# epoch-micros range (|us| < 2^53 ~ year 2255), so every kernel —
+# pandas (datetime64[ns]), fastpath/arrow (integer civil arithmetic),
+# JVM SQL (Spark timestamps) and DuckDB — represents every accepted
+# value exactly and rejects the same lines. Out-of-range years are a
+# parse failure everywhere (the 3164 cascade degrades, 5424 errors),
+# pinning the cross-kernel equality contract on attacker-controllable
+# input. The reference's Go time.Parse accepts any year; bounding is a
+# documented deviation (COVERAGE.md) chosen over silently divergent
+# kernels.
+TS_YEAR_MIN, TS_YEAR_MAX = 1678, 2250
+
+
 def _try_ts_formats(s: pd.Series) -> pd.Series:
     """RFC3339-ish parse returning epoch micros (NaN on failure)."""
     out = pd.Series(np.nan, index=s.index, dtype="float64")
-    pending = s.notna() & (s != "")
+    yr = pd.to_numeric(s.str.slice(0, 4), errors="coerce")
+    pending = s.notna() & (s != "") & yr.between(TS_YEAR_MIN, TS_YEAR_MAX)
     for fmt in _TS_FORMATS:
         if not pending.any():
             break

@@ -266,24 +266,34 @@ def reassemble_gelf_chunks(df: DataFrame) -> DataFrame:
     analog (in streaming it maps to a watermark on the chunk group).
 
     Input columns: msg_id, seq_nr int, seq_count int, chunk string.
-    One shuffle on msg_id (the unavoidable regroup); collect_list order
-    is made deterministic by array_sort on (seq_nr, chunk) structs."""
+    One shuffle on msg_id (the unavoidable regroup); ordering is made
+    deterministic by array_sort on (seq_nr, chunk) structs.
+
+    Duplicate datagrams (normal under UDP retransmit) are deduplicated
+    by seq_nr, as the reference's map-keyed buffer does
+    (graylog.go:258-262 ``chunks[msgid][seq] = ...``; completeness is
+    ``len(map) == total``): completeness counts DISTINCT seq_nrs, and a
+    duplicated seq_nr contributes exactly one chunk to the rebuilt line
+    (deterministically the lexicographically-smallest payload — the
+    reference keeps the last-arrived, an ordering a batch has no analog
+    for). Groups with seq_count > 128 are discarded (:236-240)."""
+    g = df.groupBy("msg_id").agg(
+        F.countDistinct("seq_nr").alias("n_chunks"),
+        F.max("seq_count").alias("seq_count"),
+        F.max((F.col("seq_nr") >= F.col("seq_count")).cast("int")).alias("oob"),
+        F.array_sort(F.collect_set(F.struct("seq_nr", "chunk"))).alias("parts"),
+    )
     return (
-        df.groupBy("msg_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.max("seq_count").alias("seq_count"),
-            F.max((F.col("seq_nr") >= F.col("seq_count")).cast("int")).alias("oob"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seq_nr", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                "",
-            ).alias("line"),
+        g.withColumn(
+            "line",
+            F.expr(
+                "array_join(transform(filter(parts, (s, i) -> i = 0 OR "
+                "s.seq_nr <> try_element_at(parts, i).seq_nr), "
+                "s -> s.chunk), '')"
+            ),
         )
-        .where("n_chunks = seq_count AND oob = 0")
-        .drop("n_chunks", "oob")
+        .where("n_chunks = seq_count AND oob = 0 AND seq_count <= 128")
+        .drop("n_chunks", "oob", "parts")
     )
 
 

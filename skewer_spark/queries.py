@@ -681,9 +681,16 @@ def q_gelf_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "line",
     ).selectExpr(
         "msg_id",
-        "explode(array(struct(0 AS seq_nr, substr(line, 1, s) AS chunk),"
+        # every 7th message retransmits chunk 1 (duplicate datagram):
+        # reassembly must dedupe by seq_nr, not count raw arrivals
+        "explode(CASE WHEN event_id % 7 = 0 THEN"
+        " array(struct(0 AS seq_nr, substr(line, 1, s) AS chunk),"
         " struct(1 AS seq_nr, substr(line, s + 1, s) AS chunk),"
-        " struct(2 AS seq_nr, substr(line, 2 * s + 1, s) AS chunk))) AS part",
+        " struct(1 AS seq_nr, substr(line, s + 1, s) AS chunk),"
+        " struct(2 AS seq_nr, substr(line, 2 * s + 1, s) AS chunk))"
+        " ELSE array(struct(0 AS seq_nr, substr(line, 1, s) AS chunk),"
+        " struct(1 AS seq_nr, substr(line, s + 1, s) AS chunk),"
+        " struct(2 AS seq_nr, substr(line, 2 * s + 1, s) AS chunk)) END) AS part",
         "event_id",
     ).selectExpr(
         "msg_id",
@@ -768,8 +775,16 @@ def _parse_dispatch_oracle(sf: str) -> str:
         "CASE WHEN regexp_matches(text, '^<[0-9]{1,9}>1 ') "
         "THEN 'rfc5424' ELSE 'rfc3164' END"
     )
+    # forced-p5424 decode errors carry NO header fields (the reference
+    # discards the whole message on a grammar failure); in the composite
+    # CTE those rows are parse_error with version=0, so zero them here.
+    z = (
+        "CASE WHEN {f} = 'rfc5424' AND parse_error AND version = 0 "
+        "THEN 0 ELSE {c} END AS {c}"
+    )
+    zeroed = ", ".join(z.format(f=fmt, c=c) for c in ("priority", "facility", "severity"))
     return f"""{parsed_relation(sf)}
-SELECT conv_id, turn_idx, {fmt} AS fmt, priority, facility, severity,
+SELECT conv_id, turn_idx, {fmt} AS fmt, {zeroed},
        hostname, appname, message, parse_error
 FROM parsed"""
 

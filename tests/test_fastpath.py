@@ -32,6 +32,19 @@ JUNK = [
     # corrupt other rows in the same batch (float64 to_numeric fallback)
     "<0000000000000000007>x", "<000>y", "<2147483647>x", "<2147483648>x",
     "<99999999999>x", "<9223372036854775807>x",
+    # timestamp year-gate edges (syslog.TS_YEAR_MIN/MAX = 1678/2250):
+    # out-of-range years must be a parse failure in EVERY kernel — the
+    # pandas reference is bounded by datetime64[ns], the arithmetic
+    # kernels are not, and this pins the shared gate
+    "<13>2500-01-01T00:00:00Z host app: msg",
+    "<13>1500-01-01T00:00:00Z host app: msg",
+    "<165>1 2500-01-01T00:00:00Z h a - - - msg",
+    "<165>1 1677-12-31T23:59:59Z h a - - - msg",
+    "<165>1 2262-01-01T00:00:00Z h a - - - msg",
+    "<13>2250-12-31T23:59:59.999999Z host app: msg",  # last accepted year
+    "<13>1678-01-01T00:00:00Z host app: msg",  # first accepted year
+    "<13>2251-01-01T00:00:00Z host app: msg",  # first rejected year
+    "<13>999-01-01T00:00:00Z host app: msg",  # 3-digit year
 ]
 
 

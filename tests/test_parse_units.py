@@ -276,6 +276,59 @@ def test_forced_parser_modes():
     assert f31["parse_format"][2] == "fallback"
 
 
+def test_forced_5424_error_rows_carry_no_header_fields():
+    # the reference discards the whole message when the 5424 grammar
+    # fails (rfc5424_format.go:25-51): decode-error rows must not leak
+    # PRI-derived facility/severity into downstream aggregations
+    from skewer_spark.parsing.arrowparse import parse_batch_arrow
+
+    lines = pd.Series(
+        [
+            "<165>not 5424 at all",  # PRI but no '1 ' prefix
+            "<165>1 bad grammar",  # '1 ' prefix but grammar fails
+            "<165>1 NOT-A-TIME h a - - - msg",  # grammar ok, ts fails
+        ]
+    )
+    f = parse_batch_arrow(lines, pd.Series([ING] * 3), mode="rfc5424")
+    assert list(f["parse_error"]) == [True, True, True]
+    # grammar failures: zeroed header
+    assert list(f["priority"][:2]) == [0, 0]
+    assert list(f["facility"][:2]) == [0, 0]
+    assert list(f["severity"][:2]) == [0, 0]
+    # grammar-pass-but-bad-timestamp keeps its fields (composite parity)
+    assert f["priority"][2] == 165 and f["appname"][2] == "a"
+
+
+def test_dispatch_unknown_format_degrades_and_flags():
+    from skewer_spark.parsing.registry import _unknown_format_frame
+
+    t = pd.Series(["<13>Oct 11 22:14:15 h app: body", ""])
+    f = _unknown_format_frame(t, pd.Series([ING, ING]), "typo_fmt")
+    assert list(f["parse_format"]) == ["unknown:typo_fmt"] * 2
+    assert list(f["parse_error"]) == [True, True]
+    assert f["message"][0] == t[0]  # no-fail degrade: whole line kept
+    assert f["priority"][0] == 0  # NOT parsed under another grammar
+
+
+def test_dispatch_udf_routes_unknown_format(spark):
+    from pyspark.sql import functions as F
+
+    from skewer_spark.parsing.registry import parse_with_formats
+
+    df = spark.createDataFrame(
+        [("c", 0, "", "<13>Oct 11 22:14:15 h app: body", "", "nope_fmt"),
+         ("c", 1, "", "<13>Oct 11 22:14:15 h app: body", "", "auto")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, fmt string",
+    ).withColumn("ts", F.timestamp_micros(F.lit(ING)))
+    out = {r["turn_idx"]: r for r in parse_with_formats(df).collect()}
+    assert out[0]["parse_format"] == "unknown:nope_fmt"
+    assert out[0]["parse_error"] is True
+    assert out[0]["appname"] == ""
+    assert out[1]["parse_format"] == "rfc3164"
+    assert out[1]["appname"] == "app"
+
+
 def test_registry_unknown_format_raises_and_custom_registers():
     import pytest as _pytest
 
@@ -287,6 +340,30 @@ def test_registry_unknown_format_raises_and_custom_registers():
     reg.register_parser("_test_fmt", marker)
     assert reg.get_parser("_test_fmt") is marker
     del reg._REGISTRY["_test_fmt"]
+
+
+def test_gelf_chunk_dedup_and_caps(spark):
+    # duplicate datagrams (UDP retransmit) dedupe by seq_nr like the
+    # reference's map-keyed buffer (graylog.go:258-262); a duplicate must
+    # neither block emission nor mask a genuinely missing chunk; groups
+    # with seq_count > 128 are discarded (graylog.go:236-240)
+    from skewer_spark.parsing.wire_formats import reassemble_gelf_chunks
+
+    rows = [
+        # m1: complete, chunk 1 duplicated -> emits "abc"
+        ("m1", 0, 3, "a"), ("m1", 1, 3, "b"), ("m1", 1, 3, "b"), ("m1", 2, 3, "c"),
+        # m2: chunk 2 missing, chunk 0 duplicated -> must NOT emit
+        ("m2", 0, 3, "x"), ("m2", 0, 3, "x"), ("m2", 1, 3, "y"),
+        # m3: complete, no duplicates -> emits "pq"
+        ("m3", 0, 2, "p"), ("m3", 1, 2, "q"),
+        # m4: seq_count over the 128 cap -> discarded even if "complete"
+        ("m4", 0, 129, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "msg_id string, seq_nr int, seq_count int, chunk string"
+    )
+    got = {r["msg_id"]: r["line"] for r in reassemble_gelf_chunks(df).collect()}
+    assert got == {"m1": "abc", "m3": "pq"}
 
 
 def test_ipv6_hostname_two_token_branch():
