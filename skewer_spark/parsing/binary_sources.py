@@ -51,6 +51,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ acct_v3
 
@@ -220,6 +221,131 @@ def decode_octet_stream(buf: bytes) -> list[str]:
         frames.append(buf[start : start + ln].decode())
         i = start + ln
     return frames
+
+
+class OctetStreamScanner:
+    """Incremental octet-counting frame scanner (same grammar as
+    ``decode_octet_stream``, tcp.go:273-334) for byte streams that
+    arrive in chunks: ``feed()`` returns the frames completed so far
+    and retains ONLY the incomplete tail (partial length prefix or
+    partial frame body), so memory is bounded by one frame regardless
+    of how long the stream runs. A malformed prefix (no digits, or a
+    non-space after the digits) is a framing error: the reference
+    kills the connection (tcp.go:327-333); here the scanner goes dead
+    and discards the rest of the stream until ``close()``."""
+
+    __slots__ = ("_buf", "_dead")
+
+    def __init__(self) -> None:
+        self._buf = b""
+        self._dead = False
+
+    def feed(self, chunk: bytes) -> list[str]:
+        if self._dead:
+            return []
+        buf = self._buf + chunk
+        frames: list[str] = []
+        i, n = 0, len(buf)
+        while i < n:
+            j = i
+            while j < n and 0x30 <= buf[j] <= 0x39:
+                j += 1
+            if j == i:  # no digits where a length prefix must start
+                self._dead = True
+                self._buf = b""
+                return frames
+            if j >= n:  # digits may continue in the next chunk
+                break
+            if buf[j] != 0x20:  # separator must be a single space
+                self._dead = True
+                self._buf = b""
+                return frames
+            ln = int(buf[i:j])
+            start = j + 1
+            if start + ln > n:  # frame body incomplete; wait for more
+                break
+            frames.append(buf[start : start + ln].decode())
+            i = start + ln
+        self._buf = buf[i:]
+        return frames
+
+    def close(self) -> bytes:
+        """End of stream: return the unconsumed tail (b'' for a clean
+        end on a frame boundary) and reset for the next stream."""
+        tail = b"" if self._dead else self._buf
+        self._buf = b""
+        self._dead = False
+        return tail
+
+
+def octet_framed_roundtrip(df: DataFrame) -> DataFrame:
+    """Octet-counting TCP framing roundtrip at scale: turns ->
+    '<len> <text>' byte stream per conversation -> incremental frame
+    scan -> (conv_id, frame_idx, text).
+
+    Scale shape (vs the collect_list-per-conv_id plan this replaced):
+    a hot conversation used to be ONE aggregation buffer holding the
+    whole conversation's text — the task OOMs at 100x. Here the plan
+    is hash-repartition on conv_id + sortWithinPartitions
+    (conv_id, turn_idx, ts), so each conversation's turns arrive
+    contiguous and ordered inside normal-sized Arrow batches, and the
+    scanner state carried across batches is ONE partial frame. Memory
+    is bounded by max-frame-size, independent of conversation size;
+    the hot key costs sort time, not buffer space. Frames are fed in
+    split segments so every row exercises the incremental
+    chunk-boundary path (the bytes a real TCP connection delivers are
+    not frame-aligned)."""
+    framed = df.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.concat(
+            F.octet_length("text").cast("string"), F.lit(" "), F.col("text")
+        ).alias("framed"),
+    )
+    part = framed.repartition("conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx", "ts"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
+        scanner = OctetStreamScanner()
+        k = 0
+        for pdf in batches:
+            ids, idxs, texts = [], [], []
+            convs = pdf["conv_id"].to_numpy()
+            frs = pdf["framed"].to_numpy()
+            n = len(convs)
+            i = 0
+            while i < n:
+                # contiguous same-conversation run within this batch:
+                # ONE join + split feed per run, not per row (a hot
+                # conversation's frames still cross batch boundaries, so
+                # the incremental tail-carry path runs on every batch)
+                j = i + 1
+                while j < n and convs[j] == convs[i]:
+                    j += 1
+                conv = convs[i]
+                if conv != cur:
+                    scanner.close()  # new connection/stream
+                    cur, k = conv, 0
+                b = "".join(frs[i:j]).encode()
+                for seg in (b[:3], b[3:]):  # mid-prefix boundary feed
+                    for frame in scanner.feed(seg):
+                        ids.append(conv)
+                        idxs.append(k)
+                        texts.append(frame)
+                        k += 1
+                i = j
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(ids, dtype=object),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "text": pd.Series(texts, dtype=object),
+                }
+            )
+
+    return part.mapInPandas(run, "conv_id string, frame_idx int, text string")
 
 
 def octet_stream_frames(df: DataFrame, id_col: str = "conv_id",

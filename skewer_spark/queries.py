@@ -503,35 +503,22 @@ def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_source_octet_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Octet-counting TCP framing (tcp.go:273-334): build one
-    concatenated '<len> <bytes>' stream per conversation (turns in
-    stable order — the bytes a TCP connection would carry), split it
-    back with the frame scanner, return (conv_id, frame_idx, text).
-    The oracle reads the original transcripts directly: recovered
-    frames must equal the source rows byte-for-byte, in order."""
+    """Octet-counting TCP framing (tcp.go:273-334): stream each
+    conversation's turns as '<len> <bytes>' — the bytes a TCP
+    connection would carry — through the INCREMENTAL frame scanner,
+    returning (conv_id, frame_idx, text). The oracle reads the
+    original transcripts directly: recovered frames must equal the
+    source rows byte-for-byte, in order.
+
+    The plan is repartition(conv_id) + sortWithinPartitions +
+    mapInPandas with bounded scanner state — NO per-key collect_list,
+    so a hot conversation costs sort time instead of one giant
+    aggregation buffer (tests/test_plans.py asserts the shape)."""
     from skewer_spark.datagen import ensure_transcripts
-    from skewer_spark.parsing.binary_sources import octet_stream_frames
+    from skewer_spark.parsing.binary_sources import octet_framed_roundtrip
 
     df = spark.read.parquet(ensure_transcripts(sf_dir))
-    streams = (
-        df.groupBy("conv_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("turn_idx", "ts", "text"))
-                    ),
-                    lambda s: F.concat(
-                        F.octet_length(s["text"]).cast("string"),
-                        F.lit(" "),
-                        s["text"],
-                    ),
-                ),
-                "",
-            ).alias("stream")
-        )
-    )
-    return octet_stream_frames(streams)
+    return octet_framed_roundtrip(df)
 
 
 def q_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

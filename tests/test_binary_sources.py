@@ -292,3 +292,46 @@ def test_avro_binary_negative_block_count_form():
     entry = _enc_str("dom") + inner_map
     buf += _zigzag(-1) + _zigzag(len(entry)) + entry + _zigzag(0)
     assert decode_record(buf)["props_flat"] == "dom|k=v"
+
+
+def test_octet_scanner_incremental_boundaries():
+    from skewer_spark.parsing.binary_sources import OctetStreamScanner
+
+    s = OctetStreamScanner()
+    # '5 hello3 foo' fed in adversarial fragments: digits split from
+    # separator, body split mid-frame, next length split across feeds
+    assert s.feed(b"5") == []
+    assert s.feed(b" he") == []
+    assert s.feed(b"llo3 f") == ["hello"]
+    assert s.feed(b"oo") == ["foo"]
+    assert s.close() == b""
+    # zero-length frames and empty feeds
+    assert s.feed(b"0 0 2 ab") == ["", "", "ab"]
+    assert s.feed(b"") == []
+    assert s.close() == b""
+    # malformed prefix kills the stream (reference kills the connection)
+    assert s.feed(b"3 abcx 5 hello") == ["abc"]
+    assert s.feed(b"1 z") == []  # dead until close()
+    assert s.close() == b""
+    # truncated tail is returned by close
+    assert s.feed(b"10 abc") == []
+    assert s.close() == b"10 abc"
+
+
+def test_octet_framed_roundtrip_equals_source(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.parsing.binary_sources import octet_framed_roundtrip
+
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    got = octet_framed_roundtrip(df)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    want = df.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("frame_idx"),
+        "text",
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -108,3 +108,19 @@ def test_parse_input_pruned_to_text_and_ts(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "conv_id" not in read_schema  # pruned away
     assert "text" in read_schema and "ts" in read_schema
+
+def test_octet_framing_has_no_per_key_aggregation_buffer(spark, sf_dir):
+    # the framing roundtrip must NOT materialize a whole conversation in
+    # one aggregation buffer (collect_list per conv_id OOMs on hot keys
+    # at scale): the plan is repartition + in-partition sort + streaming
+    # mapInPandas with bounded scanner state
+    from skewer_spark.queries import q_source_octet_framed
+
+    plan = plan_of(q_source_octet_framed(spark, sf_dir))
+    assert "collect_list" not in plan
+    assert "collect_set" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "MapInPandas" in plan
+    # the sort is within partitions (non-global): 'Sort [...], false'
+    sort_lines = [l for l in plan.splitlines() if "+- Sort [" in l or "Sort [conv_id" in l]
+    assert sort_lines and all(", false, 0" in l for l in sort_lines), sort_lines
