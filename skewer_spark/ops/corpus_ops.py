@@ -50,7 +50,7 @@ _SEEDS = 8
 # all 8 minhashes in ONE aggregation pass (one hash-agg over the
 # exploded shingles, no 8x seed cross-join blowup — same minima, the
 # min over {md5(seed|s)} is independent per seed column)
-_MINHASH = f"""
+_SIG_BANDS = f"""
 shx AS (SELECT doc_id, EXPLODE(shingles) AS s FROM sh),
 sig AS (
   SELECT doc_id,
@@ -61,7 +61,9 @@ bandkv AS (
   SELECT doc_id, EXPLODE(ALIST(md5(s0 || s1), md5(s2 || s3),
                                md5(s4 || s5), md5(s6 || s7))) AS band
   FROM sig
-),
+)"""
+
+_MINHASH = f"""{_SIG_BANDS},
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bandkv x JOIN bandkv y ON x.band = y.band AND x.doc_id < y.doc_id
@@ -124,6 +126,20 @@ def _simhash_int() -> str:
         for i in range(32)
     )
     return terms
+
+
+def _simhash_bands_ctes() -> str:
+    """corpus -> simhash signature -> 4 x 8-bit bands (shared by the
+    pair query and the canonicalization edge builder)."""
+    return f"""
+wx AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS word FROM corpus),
+ws AS (SELECT doc_id, word, count(*) AS cnt FROM wx GROUP BY doc_id, word),
+sim AS (SELECT doc_id, {_simhash_int()} AS sig FROM ws GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, sig, band_idx,
+         IDIV(sig, CAST(POW(2, band_idx * 8) AS BIGINT)) % 256 AS band
+  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS bi(band_idx)
+)"""
 
 
 def dedup_simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -275,3 +291,124 @@ SELECT doc_id,
        md5(text) AS exact_fp,
        md5(AJOIN(ASORT(ADISTINCT(SPLIT(text, ' '))), ' ')) AS canonical_fp
 FROM documents"""
+
+
+# ------------------------------------------- dedup canonicalization
+# (pair lists -> per-document keep/drop verdicts; VERDICT round-1 top
+# item). Edge generation is capped so clustered corpora cost O(n)
+# edges per bucket, never O(n^2) pairs; connected components turn the
+# edges into (doc_id, cluster_id=min id in component, keep).
+
+
+def minhash_edge_ctes(threshold: float = 0.8, cap: int = 3) -> str:
+    """CTE chain -> edges(a, b) for MinHash-LSH dedup with oversized-
+    bucket capping.
+
+    Normal band buckets (<= cap members): all in-bucket pairs, verified
+    by shingle Jaccard >= threshold — the classic LSH-then-verify path.
+    Oversized buckets (> cap members): a band key is TWO full 128-bit
+    minhash values colliding, so a crowd sharing one is boilerplate
+    mass-duplication; the bucket collapses to star edges on its min
+    doc_id WITHOUT pairwise output — O(n) edges, no Jaccard pass. The
+    correctness-gate instance uses cap=3 so BOTH paths execute on the
+    sf0.01 corpus (max observed bucket there is 4); a production corpus
+    would run cap ~64."""
+    return f"""{CORPUS}, {SHINGLES}, {_SIG_BANDS},
+bsz AS (
+  SELECT band, count(*) AS n, min(doc_id) AS root
+  FROM (SELECT DISTINCT band, doc_id FROM bandkv) AS db GROUP BY band
+),
+spairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkv x
+  JOIN bsz z ON z.band = x.band AND z.n <= {cap}
+  JOIN bandkv y ON y.band = x.band AND x.doc_id < y.doc_id
+),
+sets AS (SELECT doc_id, ADISTINCT(shingles) AS sset FROM sh),
+verified AS (
+  SELECT p.a, p.b FROM spairs p
+  JOIN sets sa ON p.a = sa.doc_id
+  JOIN sets sb ON p.b = sb.doc_id
+  WHERE CAST(ASIZE(AINTERSECT(sa.sset, sb.sset)) AS DOUBLE) /
+        (ASIZE(sa.sset) + ASIZE(sb.sset) - ASIZE(AINTERSECT(sa.sset, sb.sset)))
+        >= {threshold}
+),
+star AS (
+  SELECT DISTINCT z.root AS a, x.doc_id AS b
+  FROM bandkv x JOIN bsz z ON z.band = x.band AND z.n > {cap}
+  WHERE x.doc_id <> z.root
+),
+edges AS (SELECT a, b FROM verified UNION SELECT a, b FROM star)"""
+
+
+def simhash_edge_ctes(max_hamming: int = 3, cap: int = 48) -> str:
+    """CTE chain -> edges(a, b) for SimHash dedup with oversized-bucket
+    capping.
+
+    An 8-bit simhash band collides easily (256 values), so an oversized
+    bucket is NOT all near-duplicates and a blind star would merge
+    strangers. Instead, oversized buckets link only their exact-equal
+    FULL-signature subgroups (hamming 0 — every emitted edge still
+    satisfies the <= max_hamming verification predicate) via an O(n)
+    star on the subgroup min. Cross-signature candidates inside
+    oversized buckets are dropped: the documented recall cost of
+    capping (they may still meet in one of the other 3 bands). Normal
+    buckets keep the exact popcount-verified pairwise path. The
+    sf0.01/sf0.1 corpora have buckets of 416/4017 docs — the source of
+    the round-1 617k-pair blowup this replaces."""
+    return f"""{CORPUS}, {_simhash_bands_ctes()},
+bsz AS (
+  SELECT band_idx, band, count(*) AS n FROM bands GROUP BY band_idx, band
+),
+spairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN bsz z ON z.band_idx = x.band_idx AND z.band = x.band AND z.n <= {cap}
+  JOIN bands y ON y.band_idx = x.band_idx AND y.band = x.band
+             AND x.doc_id < y.doc_id
+  WHERE HAMMING(x.sig, y.sig) <= {max_hamming}
+),
+sgroup AS (
+  SELECT x.band_idx, x.band, x.sig, min(x.doc_id) AS root
+  FROM bands x
+  JOIN bsz z ON z.band_idx = x.band_idx AND z.band = x.band AND z.n > {cap}
+  GROUP BY x.band_idx, x.band, x.sig
+),
+star AS (
+  SELECT DISTINCT g.root AS a, x.doc_id AS b
+  FROM bands x
+  JOIN sgroup g ON g.band_idx = x.band_idx AND g.band = x.band
+               AND g.sig = x.sig
+  WHERE x.doc_id <> g.root
+),
+edges AS (SELECT a, b FROM spairs UNION SELECT a, b FROM star)"""
+
+
+def corpus_nodes_sql() -> str:
+    return f"WITH {CORPUS} SELECT CAST(doc_id AS BIGINT) AS doc_id FROM corpus"
+
+
+def edges_select_sql(edge_ctes: str) -> str:
+    return (
+        f"WITH {edge_ctes} SELECT CAST(a AS BIGINT) AS a, "
+        f"CAST(b AS BIGINT) AS b FROM edges"
+    )
+
+
+def canonical_closure_sql(edge_ctes: str) -> str:
+    """Oracle-side canonicalization: an INDEPENDENT transitive closure
+    (recursive min-label walk) over the same capped edge set — DuckDB
+    recursion vs the Spark side's iterative label propagation; the
+    converged fixpoint (min doc_id per connected component) is unique,
+    so the two computations must agree exactly."""
+    return f"""WITH RECURSIVE {edge_ctes},
+sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b AS s, a AS d FROM edges),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT w.node, y.d FROM walk w JOIN sym y ON y.s = w.lab
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(lab) AS BIGINT) AS cluster_id,
+       (CAST(node AS BIGINT) = CAST(min(lab) AS BIGINT)) AS keep
+FROM walk GROUP BY node"""

@@ -405,6 +405,33 @@ def _ops_oracles() -> dict[str, str]:
     return {name: to_duck(sql) for name, sql in _ops_registry().items()}
 
 
+def _dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops.dedup_cc import dedup_canonical
+
+    return dedup_canonical(spark, sf_dir)
+
+
+def _dedup_simhash_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops.dedup_cc import dedup_simhash_canonical
+
+    return dedup_simhash_canonical(spark, sf_dir)
+
+
+def _canonical_oracles() -> dict[str, str]:
+    """Oracle = DuckDB recursive transitive closure over the SAME capped
+    edge CTEs the Spark side uses (corpus_ops), an independent CC
+    mechanism converging to the same unique min-per-component fixpoint."""
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_duck
+
+    return {
+        "dedup_canonical": to_duck(C.canonical_closure_sql(C.minhash_edge_ctes())),
+        "dedup_simhash_canonical": to_duck(
+            C.canonical_closure_sql(C.simhash_edge_ctes())
+        ),
+    }
+
+
 def q_decode_journald(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full EntryToSyslog mapping (journald/reader.go:36-90) over a real
     map<string,string> column: PRIORITY->severity,
@@ -1023,6 +1050,7 @@ GROUP BY sink""",
         "parse_custom_kv": _parse_custom_kv_oracle(),
         **_encoder_oracles(sf),
         **_ops_oracles(),
+        **_canonical_oracles(),
         "multimodal_features": _multimodal_oracle(),
         "decode_journald": """
 SELECT event_id,
@@ -1218,6 +1246,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_file": q_encode_file,
         "encode_json": q_encode_json,
         **{name: _make_ops_query(name) for name in _ops_registry()},
+        "dedup_canonical": _dedup_canonical_q,
+        "dedup_simhash_canonical": _dedup_simhash_canonical_q,
         "multimodal_features": q_multimodal_features,
         "decode_journald": q_decode_journald,
         "source_textfile": q_source_textfile,

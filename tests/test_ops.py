@@ -99,3 +99,56 @@ def test_ann_numpy_equals_sql_strategy(spark, sf_dir):
     a = sorted(map(tuple, q["ann_topk_bruteforce"](spark, sf_dir).collect()))
     b = sorted(map(tuple, q["ann_topk_numpy"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_connected_components_chain_and_star(spark):
+    # a 5-node chain (diameter 4, forces several propagation rounds),
+    # a 3-node star, an isolated node — labels must converge to the
+    # component min everywhere
+    from skewer_spark.ops.dedup_cc import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),  # chain 1-5
+         (7, 6), (7, 8)],                 # star centered off-min
+        "a long, b long",
+    )
+    got = {r["doc_id"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 6, 9: 9}
+
+
+def test_dedup_canonical_verdicts(spark, sf_dir):
+    # exact dupes (doc_id+100000) must collapse onto their source doc
+    # with keep=False; cluster_id is always the component min; keep
+    # marks exactly one doc per cluster
+    from skewer_spark.ops.dedup_cc import dedup_canonical
+
+    rows = dedup_canonical(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert all(r["cluster_id"] <= r["doc_id"] for r in rows)
+    assert all(r["keep"] == (r["doc_id"] == r["cluster_id"]) for r in rows)
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        assert sum(m["keep"] for m in members) == 1
+        assert by_id[cid]["keep"]
+    # every injected exact duplicate is clustered with its source
+    dups = [r for r in rows if 100000 <= r["doc_id"] < 200000]
+    assert dups, "fixture must contain exact duplicates"
+    for r in dups:
+        src = r["doc_id"] - 100000
+        assert r["cluster_id"] == by_id[src]["cluster_id"]
+        assert not r["keep"]
+
+
+def test_simhash_canonical_output_is_linear_not_quadratic(spark, sf_dir):
+    # the round-1 pair list was quadratic in bucket size (617k pairs at
+    # sf0.1); the canonical output is exactly one row per corpus doc
+    from skewer_spark.ops.dedup_cc import dedup_simhash_canonical
+    from skewer_spark.queries import build_queries
+
+    n_docs = build_queries()["dedup_simhash"](spark, sf_dir).count()
+    out = dedup_simhash_canonical(spark, sf_dir)
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
