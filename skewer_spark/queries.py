@@ -548,6 +548,43 @@ def q_source_octet_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return octet_framed_roundtrip(df)
 
 
+# latin-1-only codepoints beyond ASCII (0xE9 0xEF 0xFC 0xDF 0xA9 0xB0):
+# appended to every line so the bytes->str transcode is load-bearing —
+# a UTF-8 misread of these bytes garbles the message and fails the hash
+_LATIN1_SUFFIX = " café naïve süß ©1987 ±5°"
+
+
+def q_parse_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset transcoding wrapper (decode.go:174-199 +
+    encoding.go:9-25): encode each transcript line (plus a latin-1-only
+    suffix) to ISO-8859-1 BYTES, then parse through the charset=latin1
+    transcoding path. The oracle parses the same logical text directly
+    — verifying parse(transcode(encode(x))) == parse(x), i.e. the
+    transcode is byte-exact for the whole latin-1 plane."""
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.parsing.charsets import parse_transcripts_bytes
+
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    raw = df.withColumn(
+        "raw",
+        F.encode(F.concat(F.col("text"), F.lit(_LATIN1_SUFFIX)), "ISO-8859-1"),
+    )
+    return parse_transcripts_bytes(raw, charset="latin-1").select(*PARSED_COLS)
+
+
+def _parse_latin1_oracle(sf: str) -> str:
+    from skewer_spark.datagen import transcripts_path
+    from skewer_spark.oracle import parsed_relation
+
+    src = (
+        "SELECT conv_id, turn_idx, role, tool, ts, "
+        f"text || '{_LATIN1_SUFFIX}' AS text "
+        f"FROM read_parquet('{transcripts_path(sf)}')"
+    )
+    parsed_cols = ", ".join(PARSED_COLS)
+    return f"{parsed_relation(sf, src)} SELECT {parsed_cols} FROM parsed"
+
+
 def q_avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro BINARY roundtrip (avro/syslogmessage.avsc; Go conversion
     model/types.go:262-301): encode each enriched row as a binary Avro
@@ -977,6 +1014,7 @@ def build_oracles(sf: str = ORACLE_SF_DIR) -> dict[str, str]:
     parsed_cols = ", ".join(PARSED_COLS)
     return {
         "parse_syslog": f"{parsed_relation(sf)} SELECT {parsed_cols} FROM parsed",
+        "parse_latin1": _parse_latin1_oracle(sf),
         "enrich_dims": f"""{parsed_relation(sf)}
 SELECT conv_id, turn_idx, severity, severity_name, facility, facility_name,
        role, role_class, role_weight, tool, tool_class, sink_hint
@@ -1255,4 +1293,5 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_binary_roundtrip": q_avro_binary_roundtrip,
         "source_octet_framed": q_source_octet_framed,
         "encode_avro_json": q_encode_avro_json,
+        "parse_latin1": q_parse_latin1,
     }

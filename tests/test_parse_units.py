@@ -380,3 +380,58 @@ def test_ipv6_hostname_three_token_quirk():
     assert r["hostname"] == ""
     assert r["appname"] == "2001:db8:0:0:0:0:0:1"
     assert r["message"] == "app[2]: b"
+
+
+def test_charset_normalization_matches_reference():
+    # encoding.go:10: lowercase, strip dashes, unknown -> utf8
+    from skewer_spark.parsing.charsets import normalize_charset
+
+    assert normalize_charset("UTF-8") == ("utf-8", "skewer_onebyte")
+    assert normalize_charset("ISO-8859-1") == ("latin-1", "replace")
+    assert normalize_charset("latin1") == ("latin-1", "replace")
+    assert normalize_charset("Windows-1252") == ("cp1252", "replace")
+    assert normalize_charset("iso-8859-15") == ("iso8859-15", "replace")
+    assert normalize_charset("LATIN15") == ("iso8859-15", "replace")
+    assert normalize_charset("koi8-r") == ("utf-8", "skewer_onebyte")  # unknown
+    assert normalize_charset("") == ("utf-8", "skewer_onebyte")
+
+
+def test_transcode_degrades_never_fails():
+    import pandas as pd
+
+    from skewer_spark.parsing.charsets import transcode_series
+
+    # latin-1: full byte plane maps 1:1 to codepoints
+    s = transcode_series(pd.Series([bytes(range(256))]), "latin1")
+    assert s[0] == "".join(chr(i) for i in range(256))
+    # cp1252: 0x80 -> euro, 0x99 -> TM; the five undefined bytes -> U+FFFD
+    s = transcode_series(
+        pd.Series([b"\x80 \x99 \x81\x8d\x8f\x90\x9d"]), "windows-1252"
+    )
+    assert s[0] == "€ ™ �����"
+    # latin-15: 0xA4 is the euro (differs from latin-1's currency sign)
+    assert transcode_series(pd.Series([b"\xa4"]), "latin15")[0] == "€"
+    assert transcode_series(pd.Series([b"\xa4"]), "latin1")[0] == "\xa4"
+    # invalid utf-8: ONE U+FFFD per bogus byte (Go utf8.DecodeRune
+    # consumes one byte per error), not Python's maximal-subpart policy
+    s = transcode_series(pd.Series([b"a\xe2\x82b", b"\xff\xfe", b"caf\xc3\xa9"]), "utf8")
+    assert s[0] == "a��b"
+    assert s[1] == "��"
+    assert s[2] == "café"
+    # None/missing bytes degrade to empty string
+    assert transcode_series(pd.Series([None], dtype=object), "utf8")[0] == ""
+
+
+def test_parse_bytes_udf_latin1(spark):
+    from pyspark.sql import functions as F
+
+    from skewer_spark.parsing.charsets import parse_transcripts_bytes
+
+    line = "<13>Oct 11 22:14:15 h app: caf\xe9 \xfcber"
+    df = spark.createDataFrame(
+        [("c", 0, bytearray(line.encode("latin-1")))],
+        "conv_id string, turn_idx int, raw binary",
+    ).withColumn("ts", F.timestamp_micros(F.lit(ING)))
+    r = parse_transcripts_bytes(df, charset="iso-8859-1").collect()[0]
+    assert r["message"] == "café über"
+    assert r["appname"] == "app" and r["priority"] == 13
