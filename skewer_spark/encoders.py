@@ -323,6 +323,64 @@ def encode_json() -> Column:
     )
 
 
+def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
+    """pJSON decoder — the decode direction of the RegularSyslog shape
+    (decoders/json_format.go:13-20 via RegularSyslog.Internal(),
+    model/types.go:223-242): facility/severity NAMES map back to codes
+    with the reference's defaults (unknown facility -> user=1, unknown
+    severity -> info=6, model/types.go:189-208), Version is forced to
+    1, priority is recomputed as facility*8+severity (SetPriority),
+    structured is cleared, omitted fields become empty strings, and the
+    two-level properties map flattens back to the canonical sorted
+    'sid|k=v' lines. Pure Column expressions (from_json + map lookups),
+    JVM-side."""
+    from skewer_spark.dims import FACILITIES, SEVERITIES
+
+    schema = (
+        "facility string, severity string, timereported string, "
+        "timegenerated string, hostname string, appname string, "
+        "procid string, msgid string, message string, "
+        "properties map<string,map<string,string>>"
+    )
+    x = df.withColumn("_j", F.from_json(F.col(col), schema))
+    fmap = F.create_map(
+        *[F.lit(v) for code, name in FACILITIES for v in (name, code)]
+    )
+    smap = F.create_map(
+        *[F.lit(v) for code, name in SEVERITIES for v in (name, code)]
+    )
+    fac = F.coalesce(F.try_element_at(fmap, F.col("_j.facility")), F.lit(1))
+    sev = F.coalesce(F.try_element_at(smap, F.col("_j.severity")), F.lit(6))
+    lines = F.expr(
+        "array_join(array_sort(flatten(transform(map_entries(_j.properties), "
+        "e -> transform(map_entries(e.value), "
+        "kv -> e.key || '|' || kv.key || '=' || kv.value)))), '\\n')"
+    )
+    nz = lambda c: F.coalesce(F.col(f"_j.{c}"), F.lit(""))
+    return (
+        x.withColumn("priority", (fac * 8 + sev).cast("int"))
+        .withColumn("facility", fac.cast("int"))
+        .withColumn("severity", sev.cast("int"))
+        .withColumn("version", F.lit(1).cast("int"))
+        .withColumn(
+            "time_reported",
+            F.unix_micros(F.col("_j.timereported").cast("timestamp")),
+        )
+        .withColumn(
+            "time_generated",
+            F.unix_micros(F.col("_j.timegenerated").cast("timestamp")),
+        )
+        .withColumn("hostname", nz("hostname"))
+        .withColumn("appname", nz("appname"))
+        .withColumn("procid", nz("procid"))
+        .withColumn("msgid", nz("msgid"))
+        .withColumn("structured", F.lit(""))
+        .withColumn("message", nz("message"))
+        .withColumn("props_flat", F.coalesce(lines, F.lit("")))
+        .drop("_j")
+    )
+
+
 def encode_json_sql() -> str:
     lines = "string_split(props_flat, chr(10))"
     sids = f"list_distinct(list_transform({lines}, l -> string_split(l, '|')[1]))"

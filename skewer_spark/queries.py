@@ -88,6 +88,50 @@ def q_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FilterMessage mutation-on-PASS (javascript/vm.go:427-436): rules may
+# rewrite message fields before forwarding; mutations are per-rule and
+# only applied to rows the rule passes. Portable SQL on both sides.
+_MUTATE_RULES: tuple[R.RouteRule, ...] = (
+    R.RouteRule(
+        "sink_app",
+        "'syslog-' || appname",
+        "severity <= 4",
+        transform_exprs=(
+            ("appname", "'fw-' || appname"),
+            ("message", "upper(message)"),
+        ),
+    ),
+    R.RouteRule(
+        "sink_tools",
+        "'tool-' || tool",
+        "tool <> ''",
+        transform_exprs=(("msgid", "'T-' || tool"),),
+    ),
+    R.RouteRule("sink_default", "'default-topic'", "TRUE"),
+)
+
+
+def q_route_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutating filter rules: sink_app rewrites appname+message,
+    sink_tools stamps msgid, sink_default forwards untouched — the
+    same source row carries DIFFERENT field values per sink, exactly
+    the reference's copy-mutations-back-on-PASS contract."""
+    parsed = R.with_route_status(load_parsed(spark, sf_dir))
+    passing = parsed.where(F.col("route_status") == "passing")
+    routed = R.route_fanout(passing, rules=_MUTATE_RULES)
+    return routed.select(
+        "sink", "topic", "conv_id", "turn_idx", "appname", "msgid", "message"
+    )
+
+
+def _route_mutate_oracle(sf: str) -> str:
+    return f"""{parsed_relation(sf)},
+statusd AS (SELECT *, {_status_sql()} AS route_status FROM parsed),
+passing AS (SELECT * FROM statusd WHERE route_status = 'passing'),
+routed AS ({R.routing_union_sql('passing', _MUTATE_RULES)})
+SELECT sink, topic, conv_id, turn_idx, appname, msgid, message FROM routed"""
+
+
 def q_route_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = R.with_route_status(load_parsed(spark, sf_dir))
     routed = load_routed(spark, sf_dir)
@@ -357,6 +401,24 @@ def q_encode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = enr.enrich(load_parsed(spark, sf_dir), spark).where("NOT parse_error")
     return p.select("conv_id", "turn_idx", encode_json().alias("encoded"))
+
+
+def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pJSON decode direction (json_format.go:13-20): encode each
+    enriched row to the RegularSyslog JSON shape, decode it BACK with
+    from_json + name->code mapping, and emit the internal fields. The
+    oracle computes the expected internal fields directly from its own
+    parse — verifying decode(encode(x)) == Internal(x) including the
+    forced Version=1 / recomputed priority / cleared structured."""
+    from skewer_spark.encoders import decode_json, encode_json
+
+    p = enr.enrich(load_parsed(spark, sf_dir), spark).where("NOT parse_error")
+    lines = p.select("conv_id", "turn_idx", encode_json().alias("line"))
+    return decode_json(lines).select(
+        "conv_id", "turn_idx", "priority", "facility", "severity", "version",
+        "time_reported", "time_generated", "hostname", "appname", "procid",
+        "msgid", "structured", "message", "props_flat",
+    )
 
 
 # ------------------------------------------------- training-data ops
@@ -1023,6 +1085,13 @@ FROM ({enr.enrich_sql('parsed')})""",
 SELECT sink, topic, partition_key, partition_number, conv_id, turn_idx,
        facility, severity, appname, text
 FROM routed""",
+        "route_mutate": _route_mutate_oracle(sf),
+        "decode_json": f"""{parsed_relation(sf)}
+SELECT conv_id, turn_idx, priority, facility, severity,
+       CAST(1 AS INT) AS version, time_reported, time_generated,
+       hostname, appname, procid, msgid, '' AS structured, message,
+       props_flat
+FROM parsed WHERE NOT parse_error""",
         "route_status": f"""{_routed_ctes(sf)}
 SELECT sink, status, n FROM (
   SELECT sink, 'passing' AS status, count(*) AS n FROM routed GROUP BY sink
@@ -1257,6 +1326,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_syslog": q_parse_syslog,
         "enrich_dims": q_enrich_dims,
         "route_fanout": q_route_fanout,
+        "route_mutate": q_route_mutate,
+        "decode_json": q_decode_json,
         "route_status": q_route_status,
         "agg_facility": q_agg_facility,
         "agg_severity": q_agg_severity,

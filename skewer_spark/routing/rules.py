@@ -47,6 +47,13 @@ class RouteRule:
     # routing column of OutputMsg (model/types.go:155-160). Portable SQL
     # (turn_idx >= 0, so % behaves identically in both engines).
     partition_number_expr: str = "turn_idx % 32"
+    # FilterMessage mutation-on-PASS (javascript/vm.go:427-436: the JS
+    # filter's edits are copied back into the message before
+    # forwarding). (column, portable SQL expr) pairs applied to rows
+    # this rule passes — the routed row carries the rewritten values;
+    # DROPPED/REJECTED rows are never mutated (the reference returns
+    # before the copy-back).
+    transform_exprs: tuple[tuple[str, str], ...] = ()
 
 
 # FIXTURES.md section 3 (mirrors skewer.example.toml FilterSubConfig examples)
@@ -113,6 +120,17 @@ def route_fanout(
     write covers every sink including the dead-letter table. DROPPED
     rows match nothing (counted upstream, emitted nowhere).
     """
+    # union of columns any rule rewrites on PASS; each rule's struct
+    # carries its own view of them (identity where the rule has no
+    # transform), still inside the same single codegen'd projection
+    tcols = sorted({c for r in rules for c, _ in r.transform_exprs})
+
+    def _tfields(r: RouteRule | None):
+        exprs = dict(r.transform_exprs) if r is not None else {}
+        return [
+            F.expr(exprs.get(c, c)).alias(f"t_{c}") for c in tcols
+        ]
+
     structs = [
         F.when(
             F.expr(r.filter_expr)
@@ -122,6 +140,7 @@ def route_fanout(
                 _topic_col(r).alias("topic"),
                 F.expr(r.partition_key_expr).alias("partition_key"),
                 F.expr(r.partition_number_expr).cast("int").alias("partition_number"),
+                *_tfields(r),
             ),
         )
         for r in rules
@@ -135,10 +154,11 @@ def route_fanout(
                     F.lit("dead-letter").alias("topic"),
                     F.lit("").alias("partition_key"),
                     F.lit(0).alias("partition_number"),
+                    *_tfields(None),  # dead-letter rows are never mutated
                 ),
             )
         )
-    return (
+    out = (
         df.withColumn("_matches", F.filter(F.array(*structs), lambda x: x.isNotNull()))
         .withColumn("_route", F.explode("_matches"))
         .drop("_matches")
@@ -146,17 +166,26 @@ def route_fanout(
         .withColumn("topic", F.col("_route.topic"))
         .withColumn("partition_key", F.col("_route.partition_key"))
         .withColumn("partition_number", F.col("_route.partition_number"))
-        .drop("_route")
     )
+    for c in tcols:
+        out = out.withColumn(c, F.col(f"_route.t_{c}"))
+    return out.drop("_route")
 
 
 def routing_union_sql(from_relation: str, rules: tuple[RouteRule, ...] = DEFAULT_RULES) -> str:
-    """DuckDB oracle: the same fan-out as a UNION ALL of filtered selects."""
-    parts = [
-        f"SELECT *, '{r.sink}' AS sink, {topic_sql(r)} AS topic, "
-        f"{r.partition_key_expr} AS partition_key, "
-        f"cast({r.partition_number_expr} AS INT) AS partition_number "
-        f"FROM {from_relation} WHERE {r.filter_expr}"
-        for r in rules
-    ]
+    """DuckDB oracle: the same fan-out as a UNION ALL of filtered
+    selects; per-rule PASS mutations become SELECT * REPLACE."""
+    parts = []
+    for r in rules:
+        if r.transform_exprs:
+            repl = ", ".join(f"{e} AS {c}" for c, e in r.transform_exprs)
+            star = f"* REPLACE ({repl})"
+        else:
+            star = "*"
+        parts.append(
+            f"SELECT {star}, '{r.sink}' AS sink, {topic_sql(r)} AS topic, "
+            f"{r.partition_key_expr} AS partition_key, "
+            f"cast({r.partition_number_expr} AS INT) AS partition_number "
+            f"FROM {from_relation} WHERE {r.filter_expr}"
+        )
     return " UNION ALL ".join(parts)

@@ -435,3 +435,61 @@ def test_parse_bytes_udf_latin1(spark):
     r = parse_transcripts_bytes(df, charset="iso-8859-1").collect()[0]
     assert r["message"] == "café über"
     assert r["appname"] == "app" and r["priority"] == 13
+
+
+def test_decode_json_unknown_names_use_reference_defaults(spark):
+    # FacilityFromString/SeverityFromString fall back to user=1/info=6
+    # (model/types.go:189-208); omitted fields become empty strings;
+    # Version forced 1, priority recomputed, structured cleared
+    from pyspark.sql import functions as F
+
+    from skewer_spark.encoders import decode_json
+
+    rows = [
+        ('{"facility":"auth","severity":"crit",'
+         '"timereported":"2020-01-02T03:04:05.25Z",'
+         '"timegenerated":"2020-01-02T03:04:05Z",'
+         '"hostname":"h","message":"m",'
+         '"properties":{"d":{"k":"v","a":"b"}}}',),
+        ('{"facility":"nope","severity":"alsono"}',),
+    ]
+    df = spark.createDataFrame(rows, "line string")
+    out = decode_json(df).collect()
+    r0 = out[0]
+    assert (r0["facility"], r0["severity"], r0["priority"]) == (4, 2, 34)
+    assert r0["version"] == 1 and r0["structured"] == ""
+    assert r0["time_reported"] == 1577934245250000
+    assert r0["appname"] == "" and r0["hostname"] == "h"
+    assert r0["props_flat"] == "d|a=b\nd|k=v"
+    r1 = out[1]
+    assert (r1["facility"], r1["severity"], r1["priority"]) == (1, 6, 14)
+    assert r1["message"] == "" and r1["props_flat"] == ""
+
+
+def test_route_mutation_is_per_rule_and_pass_only(spark):
+    # vm.go:427-436: mutations kept on PASS; other rules and the
+    # dead-letter path see the ORIGINAL fields
+    from pyspark.sql import functions as F
+
+    from skewer_spark.routing.rules import RouteRule, route_fanout, with_route_status
+
+    rules = (
+        RouteRule("s_mut", "'t'", "severity <= 4",
+                  transform_exprs=(("appname", "'fw-' || appname"),)),
+        RouteRule("s_plain", "'t'", "TRUE"),
+    )
+    df = (
+        spark.createDataFrame(
+            [("c", 0, "app1", 2, False), ("c", 1, "app2", 7, True)],
+            "conv_id string, turn_idx int, appname string, severity int, "
+            "parse_error boolean",
+        )
+        .withColumn("facility", F.lit(16))
+        .withColumn("hostname", F.lit("h"))
+    )
+    routed = route_fanout(with_route_status(df), rules=rules, status_aware=True)
+    got = {(r["sink"], r["turn_idx"]): r["appname"] for r in routed.collect()}
+    assert got[("s_mut", 0)] == "fw-app1"     # mutated for the mutating rule
+    assert got[("s_plain", 0)] == "app1"      # same row, untouched elsewhere
+    assert got[("dead_letter", 1)] == "app2"  # rejected rows never mutated
+    assert ("s_mut", 1) not in got
