@@ -441,6 +441,8 @@ def _ops_registry() -> dict[str, str]:
             "embed_neardup": C.embed_neardup_sql(),
             "ann_topk_bruteforce": C.ann_topk_sql(),
             "ann_lsh_bucketed": C.ann_lsh_bucketed_sql(),
+            "ann_lsh_multitable": C.ann_lsh_multitable_sql(),
+            "ann_recall": C.ann_recall_sql(),
             "lang_id": C.lang_id_sql(),
             "quality_score": C.quality_score_sql(),
             "token_count": C.token_count_sql(),

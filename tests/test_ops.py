@@ -152,3 +152,15 @@ def test_simhash_canonical_output_is_linear_not_quadratic(spark, sf_dir):
     out = dedup_simhash_canonical(spark, sf_dir)
     assert out.count() == n_docs
     assert out.select("doc_id").distinct().count() == n_docs
+
+
+def test_ann_multitable_recall_meets_target(spark):
+    # 16 sign-LSH tables of 4 dims: recall@5 vs brute force must hold
+    # the >= 0.9 bar on the correctness-scale corpus
+    from skewer_spark.queries import build_queries
+
+    rows = build_queries()["ann_recall"](spark, "/root/testdata/sf0.01").collect()
+    hit = sum(r["n_hit"] for r in rows)
+    true = sum(r["n_true"] for r in rows)
+    assert true == 50
+    assert hit / true >= 0.9, (hit, true)
