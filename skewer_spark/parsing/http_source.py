@@ -1,0 +1,62 @@
+"""HTTP server source semantics, batch analog.
+
+The reference's HTTP source (/root/reference/services/network/
+httpserver.go:312-415) accepts a request body carrying ONE message or
+a delimited batch of messages; each message is trimmed
+(``bytes.TrimSpace(bytes.Trim(b, config.FrameDelimiter))``, :121-126),
+parsed, and stashed INDIVIDUALLY, while a per-request tracker
+(:60-101, :136-160) counts parse outcomes: the HTTP response is
+201 Created only if EVERY message in the request parsed, else
+400 Bad Request for the whole request — request-level all-or-nothing
+acknowledgment. Crucially, a failure does NOT roll back the request's
+already-stashed messages (the parse loop ``fail()``s the tracker and
+keeps going, :423-444); the failed status tells the CLIENT to retry,
+which is why downstream storage must be idempotent (the IceLite
+run-id/anti-join resume path).
+
+Batch analog: a request is a group of rows keyed by request id; the
+body splits into messages exactly as the handler does; statuses come
+from one groupBy over the parse_error flags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_http_body(
+    df: DataFrame, body_col: str = "body", delimiter: str = "\n"
+) -> DataFrame:
+    """One row per framed message: split on the frame delimiter, trim
+    delimiter chars then whitespace per :121-126, drop empty frames
+    (the handler skips zero-length messages)."""
+    d = delimiter.replace("\\", "\\\\").replace("'", "\\'")
+    frames = F.expr(
+        f"filter(transform(split({body_col}, '{d}'), "
+        f"m -> trim(trim(BOTH '{d}' FROM m))), m -> m <> '')"
+    )
+    return df.select("*", F.posexplode(frames).alias("msg_idx", "text")).drop(
+        body_col
+    )
+
+
+def http_request_status(parsed: DataFrame, request_col: str = "req_id") -> DataFrame:
+    """Per-request acknowledgment: (req_id, n_messages, status) where
+    status='created' iff every message parsed, 'bad_request' if any
+    failed — the requestTracker contract. One hash aggregation; the
+    parsed rows themselves flow on regardless of request status."""
+    return (
+        parsed.groupBy(request_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.max(F.col("parse_error").cast("int")).alias("_any"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("_any") == 1, F.lit("bad_request")).otherwise(
+                F.lit("created")
+            ),
+        )
+        .drop("_any")
+    )

@@ -165,3 +165,62 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert "08:00" not in by_window, by_window
     # the on-time window emits exactly the two run-1 rows
     assert by_window.get("10:00") == 2, by_window
+
+
+def test_kafka_decode_chain_on_record_schema(spark):
+    # the kafka source's record-decode chain, run on a batch frame of
+    # the EXACT schema the connector emits — the swap-in claim minus
+    # the broker: value JSON -> transcript rows, broker-timestamp
+    # fallback for envelopes without ts, then the normal routed spine
+    import datetime as dt
+
+    from skewer_spark.streaming import (
+        KAFKA_RECORD_SCHEMA,
+        kafka_records_to_transcripts,
+        routed_stream,
+    )
+
+    ts = dt.datetime(2023, 11, 14, 22, 13, 20)
+    rows = [
+        (None, b'{"conv_id":"c1","turn_idx":0,"role":"user",'
+               b'"text":"<13>Oct 11 22:14:15 h app: hello","tool":"",'
+               b'"ts":"2023-11-14T22:13:20"}',
+         "t", 0, 0, ts, 0),
+        (None, b'{"conv_id":"c1","turn_idx":1,"role":"assistant",'
+               b'"text":"<14>Oct 11 22:14:16 h app: world","tool":""}',
+         "t", 0, 1, ts, 0),  # no ts in envelope -> broker timestamp
+    ]
+    records = spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+    tr = kafka_records_to_transcripts(records)
+    assert [f.simpleString() for f in tr.schema.fields] == [
+        "conv_id:string", "turn_idx:int", "role:string", "text:string",
+        "tool:string", "ts:timestamp_ntz",
+    ]
+    got = {r["turn_idx"]: r for r in tr.collect()}
+    assert got[1]["ts"] == ts  # broker-timestamp fallback
+    routed = routed_stream(tr, spark)  # same spine as the file source
+    sinks = {r["sink"] for r in routed.select("sink").distinct().collect()}
+    assert "sink_default" in sinks
+
+
+def test_kafka_source_options_and_connector_contract(spark):
+    # without the spark-sql-kafka jar the load() fails with the
+    # documented error; with it, the same builder yields the stream.
+    # Either way the options the builder passes are pinned here.
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from skewer_spark.streaming import kafka_source_options, read_kafka_stream
+
+    assert kafka_source_options("b:9092", "turns") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "turns",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    try:
+        df = read_kafka_stream(spark, "localhost:9092", "turns")
+    except AnalysisException as e:
+        assert "Failed to find data source: kafka" in str(e)
+        _pytest.skip("spark-sql-kafka connector not on classpath (sandbox)")
+    assert df.isStreaming  # connector present: plan builds
