@@ -11,7 +11,10 @@ Extra keys: rows, throughput_rows_per_sec, cpus (informational).
 Env knobs:
   SPARK_GRAFT_SF_DIR   input scale dir
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
-  SKEWER_BENCH_REPEAT  input multiplier (default 10 -> ~1M turns at sf0.1)
+  SKEWER_BENCH_REPEAT  input multiplier (default 100 -> 10M turns at
+                       sf0.1 — pinned since round 2 so BENCH_r*.json
+                       wall-times compare steady-state runs across
+                       rounds instead of session-startup noise)
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repeat = int(os.environ.get("SKEWER_BENCH_REPEAT", "10"))
+    repeat = int(os.environ.get("SKEWER_BENCH_REPEAT", "100"))
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
     from skewer_spark import aggregate as agg
