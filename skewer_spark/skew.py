@@ -67,7 +67,13 @@ def blocked_row_number(
     local = blocked.withColumn("_lrn", F.row_number().over(w_local))
     # phase b: per-block counts -> cumulative offsets (tiny aggregate:
     # one row per (key, block); for 10^12 rows / 4096 block ~ 2.4e8 rows,
-    # itself windowed by key but only block-count-sized)
+    # itself windowed by key but only block-count-sized).
+    # Residual bound to know about: a single hot key at 10^12 rows
+    # still puts ~7e7 tiny (block, count) rows through ONE task in this
+    # cumulative window — fine at ~16 bytes/row (~1 GB, counts not
+    # data), but if conversations ever get longer than that, raise
+    # block_size (the count-row volume is rows/block_size) or apply the
+    # same blocking trick recursively to the counts.
     counts = blocked.groupBy(part_col, "_blk").agg(F.count(F.lit(1)).alias("_bn"))
     w_cum = Window.partitionBy(part_col).orderBy("_blk").rowsBetween(
         Window.unboundedPreceding, -1
