@@ -52,22 +52,21 @@ def connected_components(
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(max_iter):
+        # one union + one hash-agg per round; the old label rides along
+        # (exactly one non-null per doc_id) so convergence detection is
+        # a cheap scan of the materialized checkpoint, not another join
         prop = sym.join(labels, sym["src"] == labels["doc_id"]).select(
-            F.col("dst").alias("doc_id"), "label"
+            F.col("dst").alias("doc_id"), "label", F.lit(None).cast("long").alias("old")
         )
         new = (
-            labels.unionByName(prop)
+            labels.select("doc_id", "label", F.col("label").alias("old"))
+            .unionByName(prop)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("label") < F.col("old")).count()
+        labels = new.select("doc_id", "label")
         if changed == 0:
             break
     sym.unpersist()
@@ -86,6 +85,44 @@ def _canonicalize(spark: SparkSession, sf_dir: str, edge_ctes: str) -> DataFrame
         F.col("label").cast("long").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("keep"),
     )
+
+
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the MinHash canonical verdicts: keep one representative per
+    cluster and report the surviving corpus per language — the step a
+    training-data pipeline actually feeds the tokenizer. Scale shape:
+    verdicts are (id, id, bool) longs; the kept-rows join is an
+    equi-join on doc_id that AQE can broadcast when the verdict side is
+    small relative to the corpus."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql(to_spark(C.edges_select_sql(C.minhash_edge_ctes())))
+    corpus = spark.sql(
+        to_spark(f"WITH {C.CORPUS} SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM corpus")
+    )
+    labels = connected_components(corpus.select("doc_id"), edges)
+    kept = labels.where(F.col("doc_id") == F.col("label")).select("doc_id")
+    return (
+        kept.join(corpus, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+
+
+def dedup_apply_oracle_sql() -> str:
+    return f"""WITH RECURSIVE {C.minhash_edge_ctes()},
+sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b AS s, a AS d FROM edges),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT w.node, y.d FROM walk w JOIN sym y ON y.s = w.lab
+),
+clu AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node)
+SELECT c.lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM clu JOIN corpus c ON c.doc_id = clu.node
+WHERE clu.node = clu.cluster_id
+GROUP BY c.lang"""
 
 
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

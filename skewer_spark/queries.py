@@ -481,11 +481,18 @@ def _dedup_simhash_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_simhash_canonical(spark, sf_dir)
 
 
+def _dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops.dedup_cc import dedup_apply
+
+    return dedup_apply(spark, sf_dir)
+
+
 def _canonical_oracles() -> dict[str, str]:
     """Oracle = DuckDB recursive transitive closure over the SAME capped
     edge CTEs the Spark side uses (corpus_ops), an independent CC
     mechanism converging to the same unique min-per-component fixpoint."""
     from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.dedup_cc import dedup_apply_oracle_sql
     from skewer_spark.ops.portable import to_duck
 
     return {
@@ -493,6 +500,7 @@ def _canonical_oracles() -> dict[str, str]:
         "dedup_simhash_canonical": to_duck(
             C.canonical_closure_sql(C.simhash_edge_ctes())
         ),
+        "dedup_apply": to_duck(dedup_apply_oracle_sql()),
     }
 
 
@@ -1359,6 +1367,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{name: _make_ops_query(name) for name in _ops_registry()},
         "dedup_canonical": _dedup_canonical_q,
         "dedup_simhash_canonical": _dedup_simhash_canonical_q,
+        "dedup_apply": _dedup_apply_q,
         "multimodal_features": q_multimodal_features,
         "decode_journald": q_decode_journald,
         "source_textfile": q_source_textfile,

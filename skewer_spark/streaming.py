@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -172,6 +173,107 @@ def windowed_severity_counts(
     return events.groupBy(
         F.window("event_time", window).alias("w"), "severity"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------- streaming GELF reassembly
+# The batch reassembly (wire_formats.reassemble_gelf_chunks) has no
+# analog for graylog.go's 5-second chunk-group expiry (:253-257) —
+# that's wall-clock state. Here it is: chunk groups accumulate in
+# per-msg_id state, emit on completion, and EXPIRE via an event-time
+# timeout measured from the group's first chunk, surfaced as
+# status='expired' rows (the reference logs-and-drops; surfacing keeps
+# the semantics observable/testable).
+
+GELF_CHUNK_STREAM_SCHEMA = (
+    "msg_id string, seq_nr int, seq_count int, chunk string, "
+    "event_time timestamp"
+)
+GELF_REASSEMBLY_SCHEMA = StructType(
+    [
+        StructField("msg_id", StringType()),
+        StructField("line", StringType()),
+        StructField("status", StringType()),  # ok | expired
+    ]
+)
+_GELF_STATE_SCHEMA = StructType(
+    [
+        StructField("first_ms", LongType()),
+        StructField("total", IntegerType()),
+        StructField("seqs", ArrayType(IntegerType())),
+        StructField("chunks", ArrayType(StringType())),
+    ]
+)
+
+
+def gelf_chunk_reassembly_stream(
+    chunks: DataFrame, expiry_ms: int = 5000
+) -> DataFrame:
+    """Streaming chunked-GELF reassembly (graylog.go:196-306):
+
+    - chunks buffer per msg_id keyed by seq_nr, LAST arrival wins on a
+      duplicate (the reference's map write :258-262);
+    - completeness = all seq_count distinct seqs present -> emit the
+      concatenated line (fromChunks :294-303) and clear state;
+    - seq_nr >= seq_count or seq_count > 128 discards the whole group
+      (:236-246); later chunks may start a fresh group, as in the
+      reference (delete + continue);
+    - a group older than ``expiry_ms`` (measured from its FIRST chunk,
+      :253-257) expires via the event-time timeout when the watermark
+      passes — state is bounded by in-flight groups, never unbounded.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (msg_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"msg_id": [msg_id], "line": [""], "status": ["expired"]}
+            )
+            return
+        if state.exists:
+            first_ms, total, seqs, chks = state.get
+            buf = dict(zip(list(seqs), list(chks)))
+        else:
+            first_ms, total, buf = None, 0, {}
+        lines: list[str] = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                ts_ms = int(pd.Timestamp(r.event_time).timestamp() * 1000)
+                if first_ms is None:
+                    first_ms = ts_ms
+                if int(r.seq_count) > 128 or int(r.seq_nr) >= int(r.seq_count):
+                    buf, first_ms, total = {}, None, 0  # delete + continue
+                    continue
+                total = int(r.seq_count)
+                buf[int(r.seq_nr)] = str(r.chunk)
+                if len(buf) == total:
+                    lines.append("".join(buf[i] for i in range(total)))
+                    buf, first_ms, total = {}, None, 0
+        if buf:
+            state.update(
+                (first_ms, total, list(buf.keys()), list(buf.values()))
+            )
+            state.setTimeoutTimestamp(first_ms + expiry_ms)
+        elif state.exists:
+            state.remove()
+        if lines:
+            yield pd.DataFrame(
+                {
+                    "msg_id": [msg_id] * len(lines),
+                    "line": lines,
+                    "status": ["ok"] * len(lines),
+                }
+            )
+
+    return chunks.groupBy("msg_id").applyInPandasWithState(
+        update,
+        outputStructType=GELF_REASSEMBLY_SCHEMA,
+        stateStructType=_GELF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
 
 CONV_STATE_SCHEMA = StructType(

@@ -224,3 +224,76 @@ def test_kafka_source_options_and_connector_contract(spark):
         assert "Failed to find data source: kafka" in str(e)
         _pytest.skip("spark-sql-kafka connector not on classpath (sandbox)")
     assert df.isStreaming  # connector present: plan builds
+
+
+def test_gelf_chunk_reassembly_stream_with_expiry(spark, tmp_path):
+    # graylog.go chunk-group lifecycle as a stateful stream: completion
+    # emits, duplicates dedupe (last wins), out-of-band discards, and a
+    # group older than 5s (event time, from its FIRST chunk) expires
+    # when the watermark passes. Three single-file micro-batches:
+    # timeouts are evaluated against the PREVIOUS batch's watermark, so
+    # the third batch is what reaps the group left incomplete in the
+    # first.
+    import datetime as dt
+    import os
+    import time as _time
+
+    from skewer_spark.streaming import (
+        GELF_CHUNK_STREAM_SCHEMA,
+        gelf_chunk_reassembly_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    indir = tmp_path / "chunks"
+    indir.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, GELF_CHUNK_STREAM_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(str(indir / name))
+
+    # batch 1: m1 completes (with a duplicated chunk 1 whose LAST
+    # arrival wins); m2 stays incomplete; m3 is discarded out-of-band
+    write_file("f1", [
+        ("m1", 0, 3, "a", at(0)), ("m1", 1, 3, "X", at(0)),
+        ("m1", 1, 3, "b", at(1)), ("m1", 2, 3, "c", at(1)),
+        ("m2", 0, 2, "p", at(0)),
+        ("m3", 5, 3, "z", at(0)),
+    ])
+    _time.sleep(0.05)
+    # batch 2: advances the watermark far past m2's 5s deadline
+    write_file("f2", [("m4", 0, 1, "solo", at(60))])
+    _time.sleep(0.05)
+    # batch 3: evaluated against batch 2's watermark -> m2 expires
+    write_file("f3", [("m5", 0, 1, "later", at(120))])
+
+    # file source lists per subdirectory; glob the three parts in order
+    stream = (
+        spark.readStream.schema(GELF_CHUNK_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+        .withWatermark("event_time", "1 second")
+    )
+    out = gelf_chunk_reassembly_stream(stream)
+    outdir = tmp_path / "out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["msg_id"], r["status"]): r["line"]
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    assert got[("m1", "ok")] == "abc"  # duplicate seq: last arrival won
+    assert got[("m4", "ok")] == "solo"
+    assert got[("m5", "ok")] == "later"
+    assert got[("m2", "expired")] == ""  # 5s expiry from first chunk
+    assert ("m3", "ok") not in got and ("m3", "expired") not in got  # oob discard
