@@ -95,6 +95,10 @@ def to_spark(sql: str) -> str:
     sql = _expand_call(
         sql, "IDIV", lambda a: "(({}) div ({}))".format(*_split_top(a))
     )
+    # hex string -> BIGINT (Spark's CAST does not parse 0x literals)
+    sql = _expand_call(
+        sql, "HEX2INT", lambda a: f"cast(conv({a}, 16, 10) AS BIGINT)"
+    )
     return _apply_common(sql, {**_SPARK, **_SPARK_EXTRA})
 
 
@@ -117,6 +121,9 @@ def to_duck(sql: str) -> str:
     )
     sql = _expand_call(
         sql, "IDIV", lambda a: "(({}) // ({}))".format(*_split_top(a))
+    )
+    sql = _expand_call(
+        sql, "HEX2INT", lambda a: f"cast(('0x' || ({a})) AS BIGINT)"
     )
     return _apply_common(sql, {**_DUCK, **_DUCK_EXTRA})
 

@@ -443,6 +443,10 @@ def _ops_registry() -> dict[str, str]:
             "ann_lsh_bucketed": C.ann_lsh_bucketed_sql(),
             "ann_lsh_multitable": C.ann_lsh_multitable_sql(),
             "ann_recall": C.ann_recall_sql(),
+            "ann_ivf": C.ann_ivf_sql(),
+            "ann_ivf_recall": C.ann_ivf_recall_sql(),
+            "split_assign": C.split_assign_sql(),
+            "stratified_sample": C.stratified_sample_counts_sql(),
             "lang_id": C.lang_id_sql(),
             "quality_score": C.quality_score_sql(),
             "token_count": C.token_count_sql(),

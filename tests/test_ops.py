@@ -164,3 +164,42 @@ def test_ann_multitable_recall_meets_target(spark):
     true = sum(r["n_true"] for r in rows)
     assert true == 50
     assert hit / true >= 0.9, (hit, true)
+
+
+def test_split_assign_is_stable_under_corpus_growth(spark, sf_dir):
+    # the point of hash-splitting over random sampling: a document's
+    # split NEVER changes when other documents arrive. sf0.001 docs are
+    # a prefix of sf0.01 docs by doc_id, so assignments must agree.
+    from skewer_spark.queries import build_queries
+
+    q = build_queries()["split_assign"]
+    small = {r["doc_id"]: r["split"] for r in q(spark, "/root/testdata/sf0.001").collect()}
+    big = {r["doc_id"]: r["split"] for r in q(spark, "/root/testdata/sf0.01").collect()}
+    common = set(small) & set(big)
+    assert common, "corpora must overlap by doc_id"
+    assert all(small[d] == big[d] for d in common)
+    # proportions roughly match the 90/5/5 request
+    from collections import Counter
+
+    c = Counter(big.values())
+    n = sum(c.values())
+    assert 0.85 <= c["train"] / n <= 0.95
+    assert c["val"] > 0 and c["test"] > 0
+
+
+def test_stratified_sample_rate_per_language(spark):
+    from skewer_spark.queries import build_queries
+
+    rows = build_queries()["stratified_sample"](spark, "/root/testdata/sf0.01").collect()
+    for r in rows:
+        rate = r["n_sampled"] / r["n_total"]
+        assert 0.05 <= rate <= 0.35, (r["lang"], rate)  # 20% +- sampling noise
+
+
+def test_ann_ivf_recall_meets_target(spark):
+    from skewer_spark.queries import build_queries
+
+    rows = build_queries()["ann_ivf_recall"](spark, "/root/testdata/sf0.01").collect()
+    hit = sum(r["n_hit"] for r in rows)
+    true = sum(r["n_true"] for r in rows)
+    assert hit / true >= 0.9, (hit, true)
