@@ -607,3 +607,66 @@ SELECT lang,
        CAST(sum(CASE WHEN bucket < {rate_pct} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_sampled
 FROM b GROUP BY lang"""
+
+
+def winnow_fingerprint_sql(w: int = 4) -> str:
+    """Rolling-hash winnowing fingerprints (the Schleimer/Wilkerson/
+    Aiken MOSS scheme): hash every 3-word shingle, slide a window of w
+    consecutive hashes, keep each window's minimum — guarantees any
+    shared run of >= w+2 words between two documents shares at least
+    one fingerprint, at ~1/w the storage of all-shingles. Output per
+    doc: fingerprint count + an order-insensitive digest of the
+    selected minima (set semantics — the same doc content yields the
+    same digest regardless of position). Single narrow projection per
+    doc; the per-doc work is O(words * w) integer mins."""
+    shingles = (
+        "XFORM(SEQ1(ASIZE(SPLIT(text, ' ')) - 2),"
+        " i -> ARR_GET(SPLIT(text, ' '), i) || ' ' ||"
+        " ARR_GET(SPLIT(text, ' '), i + 1) || ' ' ||"
+        " ARR_GET(SPLIT(text, ' '), i + 2))"
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+         XFORM({shingles}, s -> HEX2INT(substring(md5(s), 1, 8))) AS h
+  FROM documents
+),
+wn AS (
+  SELECT doc_id,
+         ADISTINCT(XFORM(SEQ1(ASIZE(h) - {w} + 1),
+                         i -> AMIN(ASLICE(h, i, {w})))) AS fps
+  FROM hs WHERE ASIZE(h) >= {w}
+)
+SELECT doc_id,
+       CAST(ASIZE(fps) AS BIGINT) AS n_fingerprints,
+       md5(AJOIN(XFORM(ASORT(fps), v -> CAST(v AS SSTR)), ',')) AS fp_digest
+FROM wn"""
+
+
+def corpus_filter_sql() -> str:
+    """Quality-filter funnel: classify every document by its FIRST
+    failing rule (too_short / too_long / repetitive / low_stopword for
+    English) or 'kept', and count per reason — the summary a filtering
+    stage reports before the kept set flows on. One pass, one tiny
+    aggregate; at scale the kept set is the same projection with a
+    WHERE reason = 'kept'."""
+    return f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         ASIZE(SPLIT(text, ' ')) AS n_words,
+         CAST(ASIZE(AFILTER(SPLIT(text, ' '), w -> w IN {_EN_STOP})) AS DOUBLE)
+           / ASIZE(SPLIT(text, ' ')) AS stop_ratio,
+         CAST(ASIZE(ADISTINCT(SPLIT(text, ' '))) AS DOUBLE)
+           / ASIZE(SPLIT(text, ' ')) AS distinct_ratio
+  FROM documents
+),
+cls AS (
+  SELECT doc_id,
+    CASE WHEN n_words < 5 THEN 'too_short'
+         WHEN n_words > 5000 THEN 'too_long'
+         WHEN distinct_ratio < 0.30 THEN 'repetitive'
+         WHEN lang = 'en' AND stop_ratio < 0.01 THEN 'low_stopword'
+         ELSE 'kept' END AS reason
+  FROM f
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY reason"""

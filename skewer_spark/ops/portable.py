@@ -99,6 +99,11 @@ def to_spark(sql: str) -> str:
     sql = _expand_call(
         sql, "HEX2INT", lambda a: f"cast(conv({a}, 16, 10) AS BIGINT)"
     )
+    # ASLICE(a, i, n): n elements starting at 1-based i
+    sql = _expand_call(
+        sql, "ASLICE", lambda a: "slice({}, {}, {})".format(*_split_top(a))
+    )
+    sql = _expand_call(sql, "AMIN", lambda a: f"array_min({a})")
     return _apply_common(sql, {**_SPARK, **_SPARK_EXTRA})
 
 
@@ -125,6 +130,13 @@ def to_duck(sql: str) -> str:
     sql = _expand_call(
         sql, "HEX2INT", lambda a: f"cast(('0x' || ({a})) AS BIGINT)"
     )
+    # DuckDB list_slice's end bound is an inclusive index, not a length
+    sql = _expand_call(
+        sql,
+        "ASLICE",
+        lambda a: "list_slice({0}, {1}, ({1}) + ({2}) - 1)".format(*_split_top(a)),
+    )
+    sql = _expand_call(sql, "AMIN", lambda a: f"list_min({a})")
     return _apply_common(sql, {**_DUCK, **_DUCK_EXTRA})
 
 

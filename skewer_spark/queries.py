@@ -447,6 +447,8 @@ def _ops_registry() -> dict[str, str]:
             "ann_ivf_recall": C.ann_ivf_recall_sql(),
             "split_assign": C.split_assign_sql(),
             "stratified_sample": C.stratified_sample_counts_sql(),
+            "winnow_fingerprint": C.winnow_fingerprint_sql(),
+            "corpus_filter": C.corpus_filter_sql(),
             "lang_id": C.lang_id_sql(),
             "quality_score": C.quality_score_sql(),
             "token_count": C.token_count_sql(),

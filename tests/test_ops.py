@@ -203,3 +203,42 @@ def test_ann_ivf_recall_meets_target(spark):
     hit = sum(r["n_hit"] for r in rows)
     true = sum(r["n_true"] for r in rows)
     assert hit / true >= 0.9, (hit, true)
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    # MOSS winnowing property: two documents sharing a run of >= w+2
+    # words (w=4 -> 6 words) must share at least one fingerprint, and
+    # identical content yields an identical digest
+    from skewer_spark.ops.corpus_ops import winnow_fingerprint_sql
+    from skewer_spark.ops.portable import to_spark
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, f"one two {shared} three four five six", "en"),
+        (2, f"seven eight nine ten {shared} eleven twelve", "en"),
+        (3, "unrelated words entirely different content here now", "en"),
+        (4, f"one two {shared} three four five six", "en"),  # == doc 1
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .createOrReplaceTempView("documents")
+    # recompute fingerprint SETS (not just the digest) to check overlap
+    sql = to_spark(winnow_fingerprint_sql())
+    rows = {r["doc_id"]: r for r in spark.sql(sql).collect()}
+    assert rows[1]["fp_digest"] == rows[4]["fp_digest"]  # determinism
+    assert rows[1]["fp_digest"] != rows[3]["fp_digest"]
+    from skewer_spark.ops.portable import to_spark as _ts
+    fps_sql = _ts(
+        """WITH hs AS (
+  SELECT doc_id, XFORM(
+    XFORM(SEQ1(ASIZE(SPLIT(text, ' ')) - 2),
+      i -> ARR_GET(SPLIT(text, ' '), i) || ' ' ||
+           ARR_GET(SPLIT(text, ' '), i + 1) || ' ' ||
+           ARR_GET(SPLIT(text, ' '), i + 2)),
+    s -> HEX2INT(substring(md5(s), 1, 8))) AS h
+  FROM documents)
+SELECT doc_id, ADISTINCT(XFORM(SEQ1(ASIZE(h) - 3),
+       i -> AMIN(ASLICE(h, i, 4)))) AS fps FROM hs"""
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in spark.sql(fps_sql).collect()}
+    assert fps[1] & fps[2], "docs sharing an 8-word run must share a fingerprint"
+    assert not (fps[1] & fps[3]) or len(fps[1] & fps[3]) < len(fps[1])
