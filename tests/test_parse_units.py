@@ -493,3 +493,31 @@ def test_route_mutation_is_per_rule_and_pass_only(spark):
     assert got[("s_plain", 0)] == "app1"      # same row, untouched elsewhere
     assert got[("dead_letter", 1)] == "app2"  # rejected rows never mutated
     assert ("s_mut", 1) not in got
+
+
+def test_w3c_decode_through_charset_transcode(spark):
+    # parserWithEncoding wraps W3C too (decode.go:176): latin-1 W3C
+    # bytes must transcode then decode with field values byte-exact
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from skewer_spark.parsing.charsets import transcode_series
+    from skewer_spark.parsing.wire_formats import decode_w3c
+
+    line = "2024-01-01 12:00:00 10.0.0.1 GET 200"
+    accented = "2024-01-01 12:00:00 caf\xe9-host GET 200"
+
+    @F.pandas_udf("string")
+    def latin1(raw: pd.Series) -> pd.Series:
+        return transcode_series(raw, "latin1")
+
+    df = spark.createDataFrame(
+        [(bytearray(line.encode("latin-1")),),
+         (bytearray(accented.encode("latin-1")),)],
+        "raw binary",
+    ).withColumn("line", latin1("raw"))
+    rows = decode_w3c(df).collect()
+    flats = {r["w3c_flat"] for r in rows}
+    assert any("c-ip=café-host" in f for f in flats)
+    assert any("c-ip=10.0.0.1" in f for f in flats)
