@@ -37,9 +37,13 @@ from pyspark.sql import DataFrame, SparkSession
 class Snapshot:
     snapshot_id: str
     run_id: str
-    operation: str  # append | overwrite
+    operation: str  # append | overwrite | compact
     rows: int
     committed_at: float
+    # run_ids whose data this snapshot absorbed (compaction): resume
+    # idempotency is keyed on committed run_ids, so a rewrite must
+    # carry the markers of everything it replaced
+    parents: list[str] | None = None
 
 
 class IceLiteTable:
@@ -66,7 +70,11 @@ class IceLiteTable:
         return [Snapshot(**s) for s in self._read_manifest()]
 
     def committed_runs(self) -> set[str]:
-        return {s.run_id for s in self.snapshots()}
+        runs: set[str] = set()
+        for s in self.snapshots():
+            runs.add(s.run_id)
+            runs.update(s.parents or [])
+        return runs
 
     # ---------------------------------------------------------- write
     def append(self, df: DataFrame, run_id: str, overwrite: bool = False) -> Snapshot | None:
@@ -74,7 +82,7 @@ class IceLiteTable:
         snapshot for run_id is already committed, skip and return None
         (rerun/resume safety)."""
         snaps = self._read_manifest()
-        if any(s["run_id"] == run_id for s in snaps):
+        if _has_run(snaps, run_id):
             return None
         snapshot_id = f"snap-{int(time.time() * 1000)}-{len(snaps)}"
         data_dir = os.path.join(self.dir, "data", snapshot_id)
@@ -102,7 +110,7 @@ class IceLiteTable:
         import pyarrow.parquet as pq
 
         snaps = self._read_manifest()
-        if any(s["run_id"] == run_id for s in snaps):
+        if _has_run(snaps, run_id):
             return None
         snapshot_id = f"snap-{int(time.time() * 1000)}-{len(snaps)}"
         data_dir = os.path.join(self.dir, "data", snapshot_id)
@@ -122,7 +130,7 @@ class IceLiteTable:
         write becomes the sink table's data). Idempotent per run_id.
         This is exactly Iceberg's add_files/commit path."""
         snaps = self._read_manifest()
-        if any(s["run_id"] == run_id for s in snaps):
+        if _has_run(snaps, run_id):
             return None
         snapshot_id = f"snap-{int(time.time() * 1000)}-{len(snaps)}"
         data_dir = os.path.join(self.dir, "data", snapshot_id)
@@ -139,6 +147,63 @@ class IceLiteTable:
         snap = Snapshot(snapshot_id, run_id, "append", rows, time.time())
         snaps.append(snap.__dict__)
         self._commit_manifest(snaps)
+        return snap
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 4,
+    ) -> Snapshot | None:
+        """Bin-pack small committed files into ~target-sized ones as ONE
+        new snapshot that atomically replaces the manifest — the
+        Iceberg rewrite_data_files maintenance op. Every run that keeps
+        appending leaves one file set per (run, partition); at 10^12
+        turns that is the classic small-file death spiral for both the
+        scan planner and the rollup re-reads, so compaction is part of
+        the table contract, not an afterthought.
+
+        Invariants:
+        - resume idempotency survives: the compacted snapshot carries
+          the replaced snapshots' run_ids (and their parents) in
+          ``parents``, and every writer checks parents too — a rerun of
+          an absorbed run_id still skips;
+        - rows are preserved exactly (asserted);
+        - no-op (returns None) when the table already has < min_files
+          data files.
+        The brief non-atomic window (old dirs removed after the manifest
+        swap) matches ``overwrite``; real Iceberg keeps old snapshots
+        for time travel and GCs them separately."""
+        snaps = self._read_manifest()
+        files = self.data_files()
+        if len(files) < min_files:
+            return None
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        total_rows = sum(_parquet_rows(f) for f in files)
+        n_out = max(1, -(-total_bytes // target_file_bytes))
+        snapshot_id = f"snap-{int(time.time() * 1000)}-compact"
+        data_dir = os.path.join(self.dir, "data", snapshot_id)
+        spark.read.parquet(*files).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        rows = sum(
+            _parquet_rows(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        assert rows == total_rows, (rows, total_rows)
+        parents = sorted(
+            {s["run_id"] for s in snaps}
+            | {p for s in snaps for p in (s.get("parents") or [])}
+        )
+        snap = Snapshot(
+            snapshot_id, f"compact-{snapshot_id}", "compact", rows, time.time(),
+            parents=parents,
+        )
+        old_ids = [s["snapshot_id"] for s in snaps]
+        self._commit_manifest([snap.__dict__])
+        for oid in old_ids:
+            shutil.rmtree(os.path.join(self.dir, "data", oid), ignore_errors=True)
         return snap
 
     # ---------------------------------------------------------- read
@@ -182,6 +247,13 @@ class IceLiteTable:
         scan — the Iceberg manifest-stats analog."""
         rows = self.per_file_rows(snapshot_id)
         return [(f, n, *_parquet_key_bounds(f, key_col)) for f, n in rows]
+
+
+def _has_run(snaps: list[dict], run_id: str) -> bool:
+    """run_id already committed — directly or absorbed by a compaction."""
+    return any(
+        s["run_id"] == run_id or run_id in (s.get("parents") or []) for s in snaps
+    )
 
 
 def _parquet_rows(path: str) -> int:

@@ -86,6 +86,28 @@ class Pipeline:
     def table(self, name: str) -> IceLiteTable:
         return IceLiteTable(self.warehouse, name)
 
+    def compact_sinks(
+        self, target_file_bytes: int = 128 * 1024 * 1024, min_files: int = 4
+    ) -> dict[str, int]:
+        """Maintenance pass: bin-pack every sink table's accumulated
+        per-run files (Iceberg rewrite_data_files analog). Returns
+        {table: rows} for the tables actually rewritten. Run it between
+        ingest runs — resume idempotency is preserved because compacted
+        snapshots carry the absorbed run_ids."""
+        import os as _os
+
+        done: dict[str, int] = {}
+        if not _os.path.isdir(self.warehouse):
+            return done
+        for name in sorted(_os.listdir(self.warehouse)):
+            t = self.table(name)
+            if not _os.path.exists(t.manifest_path):
+                continue
+            snap = t.compact(self.spark, target_file_bytes, min_files)
+            if snap is not None:
+                done[name] = snap.rows
+        return done
+
     # ------------------------------------------------------------ config
     def _config_json(self) -> str:
         """The run's routing config as canonical JSON — the analog of

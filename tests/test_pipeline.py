@@ -148,3 +148,56 @@ def test_run_config_versioned(spark, sf_dir, tmp_path):
     p.replay_dead_letter("cfgrun")
     rc = p.run_config("cfgrun-retry")
     assert rc is not None and rc["rejected_expr"] == "FALSE"
+
+
+def test_compaction_preserves_rows_and_run_idempotency(spark, tmp_path):
+    # Iceberg rewrite_data_files analog: many small per-run files
+    # become ~target-sized ones in ONE atomic snapshot; rows survive
+    # exactly and a rerun of an ABSORBED run_id still skips (resume
+    # idempotency is keyed on run markers, which compaction must carry)
+    from skewer_spark.icelite import IceLiteTable
+
+    t = IceLiteTable(str(tmp_path / "wh"), "sink_app")
+    df = spark.range(100).selectExpr("id", "cast(id % 7 as string) AS k")
+    for r in ("r1", "r2", "r3", "r4"):
+        assert t.append(df.repartition(4), r) is not None
+    assert len(t.data_files()) == 16
+    before = t.read(spark).count()
+
+    snap = t.compact(spark, target_file_bytes=1 << 30)  # everything -> 1 file
+    assert snap is not None and snap.operation == "compact"
+    assert len(t.data_files()) == 1
+    assert t.read(spark).count() == before == 400
+    # absorbed run markers survive the rewrite
+    assert {"r1", "r2", "r3", "r4"} <= t.committed_runs()
+    assert t.append(df, "r2") is None  # rerun of an absorbed run: skip
+    assert t.read(spark).count() == 400
+    # fresh runs still append; small tables are a no-op
+    assert t.append(df, "r5") is not None
+    assert t.read(spark).count() == 500
+    assert t.compact(spark, min_files=64) is None
+
+
+def test_pipeline_compact_sinks_roundtrip(spark, tmp_path, sf_dir):
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.pipeline import Pipeline
+
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    pipe = Pipeline(spark, str(tmp_path / "wh"))
+    pipe.run(df, run_id="runA")
+    df2 = df.selectExpr("concat('b-', conv_id) AS conv_id", "turn_idx",
+                        "role", "text", "tool", "ts")
+    pipe.run(df2, run_id="runB")
+    counts_before = {
+        n: pipe.table(n).read(spark).count()
+        for n in ("sink_app", "sink_default")
+    }
+    done = pipe.compact_sinks(target_file_bytes=1 << 30, min_files=2)
+    assert "sink_app" in done and "sink_default" in done
+    for n, c in counts_before.items():
+        assert pipe.table(n).read(spark).count() == c
+    # reruns of compacted-away runs remain no-ops end-to-end
+    res = pipe.run(df, run_id="runA")
+    assert res.rows_in == 0 or res.skipped_units, res
+    for n, c in counts_before.items():
+        assert pipe.table(n).read(spark).count() == c
