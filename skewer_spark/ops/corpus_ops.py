@@ -670,3 +670,77 @@ cls AS (
   FROM f
 )
 SELECT reason, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY reason"""
+
+
+# ------------------------------------------------ telemetry-stream ops
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    """Gap-based sessionization over the events stream: a new session
+    starts when a user's inter-event gap exceeds gap_minutes. One
+    shuffle on user_id; both windows share the same partitioning so
+    Catalyst evaluates them in a single Window exchange. Classic
+    telemetry-pipeline operator; output = per-session rollup."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_id, EPOCH_US(ts) AS tus FROM events),
+g AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT user_id, event_id, tus,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sess
+  FROM g
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(tus) AS BIGINT) AS start_us,
+       CAST(max(tus) - min(tus) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, sess"""
+
+
+def asof_join_sql() -> str:
+    """As-of join: attach to every event the most recent "config"
+    event (every 10th event_id plays that role) of the same user at or
+    before its timestamp — the standard point-in-time enrichment Spark
+    lacks as a builtin. Implemented as the union-and-carry-forward
+    pattern: tag both streams, sort within user by (ts, config-first),
+    and carry the last non-null config columns forward — ONE shuffle on
+    user_id, no range-join quadratic blowup, skew handled by AQE like
+    any window. The DuckDB oracle runs the same portable SQL; a pytest
+    additionally cross-checks the result against DuckDB's NATIVE
+    ASOF JOIN operator, pinning the semantics to an independent
+    implementation."""
+    return """
+WITH cfg AS (
+  SELECT user_id, EPOCH_US(ts) AS ord_us, event_id AS cfg_id, value AS cfg_value
+  FROM events WHERE event_id % 10 = 0
+),
+l AS (SELECT user_id, event_id, EPOCH_US(ts) AS ord_us FROM events),
+u AS (
+  SELECT user_id, ord_us, 1 AS is_cfg, cfg_id, cfg_value,
+         CAST(NULL AS BIGINT) AS event_id
+  FROM cfg
+  UNION ALL
+  SELECT user_id, ord_us, 0 AS is_cfg, CAST(NULL AS BIGINT) AS cfg_id,
+         CAST(NULL AS DOUBLE) AS cfg_value, event_id
+  FROM l
+),
+c AS (
+  SELECT user_id, ord_us, is_cfg, event_id,
+         LASTNN(cfg_id) OVER w AS asof_cfg_id,
+         LASTNN(cfg_value) OVER w AS asof_cfg_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ord_us, is_cfg DESC, COALESCE(event_id, -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, CAST(ord_us AS BIGINT) AS tus,
+       CAST(COALESCE(asof_cfg_id, -1) AS BIGINT) AS cfg_id,
+       FMT4(COALESCE(asof_cfg_value, 0)) AS cfg_value
+FROM c WHERE is_cfg = 0"""

@@ -104,6 +104,13 @@ def to_spark(sql: str) -> str:
         sql, "ASLICE", lambda a: "slice({}, {}, {})".format(*_split_top(a))
     )
     sql = _expand_call(sql, "AMIN", lambda a: f"array_min({a})")
+    # parquet ts columns are TIMESTAMP_NTZ; session tz is pinned UTC so
+    # the cast to TIMESTAMP is exact (unix_micros rejects NTZ directly)
+    sql = _expand_call(
+        sql, "EPOCH_US", lambda a: f"unix_micros(cast({a} AS TIMESTAMP))"
+    )
+    # last non-null over a window (IGNORE NULLS spelling differs)
+    sql = _expand_call(sql, "LASTNN", lambda a: f"last({a}, true)")
     return _apply_common(sql, {**_SPARK, **_SPARK_EXTRA})
 
 
@@ -137,6 +144,8 @@ def to_duck(sql: str) -> str:
         lambda a: "list_slice({0}, {1}, ({1}) + ({2}) - 1)".format(*_split_top(a)),
     )
     sql = _expand_call(sql, "AMIN", lambda a: f"list_min({a})")
+    sql = _expand_call(sql, "EPOCH_US", lambda a: f"epoch_us({a})")
+    sql = _expand_call(sql, "LASTNN", lambda a: f"last_value({a} IGNORE NULLS)")
     return _apply_common(sql, {**_DUCK, **_DUCK_EXTRA})
 
 

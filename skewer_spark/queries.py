@@ -449,6 +449,8 @@ def _ops_registry() -> dict[str, str]:
             "stratified_sample": C.stratified_sample_counts_sql(),
             "winnow_fingerprint": C.winnow_fingerprint_sql(),
             "corpus_filter": C.corpus_filter_sql(),
+            "sessionize": C.sessionize_sql(),
+            "asof_join": C.asof_join_sql(),
             "lang_id": C.lang_id_sql(),
             "quality_score": C.quality_score_sql(),
             "token_count": C.token_count_sql(),
@@ -461,7 +463,7 @@ def _make_ops_query(name: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from skewer_spark.ops.portable import to_spark
 
-        for t in ("documents", "embeddings"):
+        for t in ("documents", "embeddings", "events"):
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
         return spark.sql(to_spark(_ops_registry()[name]))
 

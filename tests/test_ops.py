@@ -242,3 +242,64 @@ SELECT doc_id, ADISTINCT(XFORM(SEQ1(ASIZE(h) - 3),
     fps = {r["doc_id"]: set(r["fps"]) for r in spark.sql(fps_sql).collect()}
     assert fps[1] & fps[2], "docs sharing an 8-word run must share a fingerprint"
     assert not (fps[1] & fps[3]) or len(fps[1] & fps[3]) < len(fps[1])
+
+
+def test_asof_join_matches_duckdb_native_asof(spark):
+    # the union-and-carry-forward implementation must agree with an
+    # INDEPENDENT as-of implementation: DuckDB's native ASOF JOIN
+    import duckdb
+
+    from skewer_spark.ops.corpus_ops import asof_join_sql
+    from skewer_spark.ops.portable import to_spark
+
+    sf = "/root/testdata/sf0.01"
+    spark.read.parquet(f"{sf}/events.parquet").createOrReplaceTempView("events")
+    mine = {
+        (r["user_id"], r["event_id"]): r["cfg_id"]
+        for r in spark.sql(to_spark(asof_join_sql())).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    native = con.execute("""
+WITH cfg AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS cfg_id
+             FROM events WHERE event_id % 10 = 0),
+l AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events)
+SELECT l.user_id, l.event_id, COALESCE(c.cfg_id, -1)
+FROM l ASOF LEFT JOIN cfg c
+  ON l.user_id = c.user_id AND l.tus >= c.cus
+""").fetchall()
+    assert len(native) == len(mine) == 10000
+    assert all(mine[(u, e)] == c for u, e, c in native)
+
+
+def test_sessionize_gap_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from skewer_spark.ops.corpus_ops import sessionize_sql
+    from skewer_spark.ops.portable import to_spark
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events in 10 min, then a 2h gap, then 1 more
+        (1, 1, t0), (2, 1, t0 + dt.timedelta(minutes=5)),
+        (3, 1, t0 + dt.timedelta(minutes=10)),
+        (4, 1, t0 + dt.timedelta(hours=2, minutes=10)),
+        # user 2: single event
+        (5, 2, t0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.createOrReplaceTempView("events")
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_us"])
+        for r in spark.sql(to_spark(sessionize_sql(gap_minutes=30))).collect()
+    }
+    assert got == {
+        (1, 1): (3, 600_000_000),  # 10-minute session of 3 events
+        (1, 2): (1, 0),            # post-gap singleton
+        (2, 1): (1, 0),
+    }
