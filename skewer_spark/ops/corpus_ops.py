@@ -744,3 +744,61 @@ SELECT user_id, event_id, CAST(ord_us AS BIGINT) AS tus,
        CAST(COALESCE(asof_cfg_id, -1) AS BIGINT) AS cfg_id,
        FMT4(COALESCE(asof_cfg_value, 0)) AS cfg_value
 FROM c WHERE is_cfg = 0"""
+
+
+def value_percentiles_sql() -> str:
+    """Latency-style percentile rollup per event type (p50/p95/p99 of
+    the value column, exact linear interpolation) — the observability
+    aggregate every telemetry pipeline publishes next to its counts.
+    Exact percentiles need the full sorted group; at 10^12 rows the
+    production variant is approx_percentile (t-digest) with this exact
+    form as the verification oracle on samples."""
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       FMT4(PCTL(value, 0.5)) AS p50,
+       FMT4(PCTL(value, 0.95)) AS p95,
+       FMT4(PCTL(value, 0.99)) AS p99
+FROM events GROUP BY event_type"""
+
+
+def corpus_quality_expr() -> str:
+    """The quality_score heuristic as a reusable expression over a
+    relation aliased ``t`` (same formula as quality_score_sql)."""
+    return (
+        "(0.4 * least(CAST(ASIZE(SPLIT(t.text, ' ')) AS DOUBLE) / 100, 1.0)"
+        " + 0.3 * (CAST(ASIZE(AFILTER(SPLIT(t.text, ' '), w -> w IN "
+        f"{_EN_STOP})) AS DOUBLE) / ASIZE(SPLIT(t.text, ' '))) * 10"
+        " + 0.3 * (CAST(ASIZE(ADISTINCT(SPLIT(t.text, ' '))) AS DOUBLE)"
+        " / ASIZE(SPLIT(t.text, ' '))))"
+    )
+
+
+def keep_best_closure_sql(threshold: float = 0.8, cap: int = 3) -> str:
+    """Oracle for quality-based representative selection: recursive
+    transitive closure for cluster ids (same mechanism as
+    canonical_closure_sql) + one argmax window over (cluster, quality
+    DESC, doc_id)."""
+    return f"""WITH RECURSIVE {minhash_edge_ctes(threshold, cap)},
+sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b AS s, a AS d FROM edges),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT w.node, y.d FROM walk w JOIN sym y ON y.s = w.lab
+),
+clu AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+scored AS (
+  SELECT clu.doc_id, clu.cluster_id, {corpus_quality_expr()} AS quality
+  FROM clu JOIN corpus t ON t.doc_id = clu.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       FMT4(quality) AS quality,
+       (rn = 1) AS keep
+FROM ranked"""

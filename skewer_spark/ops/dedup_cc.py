@@ -125,6 +125,47 @@ WHERE clu.node = clu.cluster_id
 GROUP BY c.lang"""
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based representative selection: within each near-dup
+    cluster (true connected components over the capped MinHash edges)
+    keep the HIGHEST-quality document (ties -> lowest doc_id) — a
+    curation pipeline keeps the cleanest copy, not the oldest. One
+    argmax window over (cluster_id, quality) after the CC labels."""
+    from pyspark.sql.window import Window
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql(to_spark(C.edges_select_sql(C.minhash_edge_ctes())))
+    nodes = spark.sql(to_spark(C.corpus_nodes_sql()))
+    labels = connected_components(nodes, edges)
+    scored = spark.sql(
+        to_spark(
+            f"WITH {C.CORPUS} SELECT CAST(t.doc_id AS BIGINT) AS doc_id, "
+            f"{C.corpus_quality_expr()} AS quality FROM corpus t"
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        labels.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("label").cast("long").alias("cluster_id"),
+        )
+        .join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.expr(
+                "format_string('%.4f', floor(quality * 10000 + 0.5) / 10000)"
+            ).alias("quality"),
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup verdicts: Jaccard-verified pairs in normal
     band buckets, min-id star collapse in oversized ones, connected

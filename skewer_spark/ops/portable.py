@@ -111,6 +111,11 @@ def to_spark(sql: str) -> str:
     )
     # last non-null over a window (IGNORE NULLS spelling differs)
     sql = _expand_call(sql, "LASTNN", lambda a: f"last({a}, true)")
+    # exact linear-interpolation percentile (verified hash-equal to
+    # DuckDB's quantile_cont on doubles at 4-decimal rounding)
+    sql = _expand_call(
+        sql, "PCTL", lambda a: "percentile({}, {})".format(*_split_top(a))
+    )
     return _apply_common(sql, {**_SPARK, **_SPARK_EXTRA})
 
 
@@ -146,6 +151,9 @@ def to_duck(sql: str) -> str:
     sql = _expand_call(sql, "AMIN", lambda a: f"list_min({a})")
     sql = _expand_call(sql, "EPOCH_US", lambda a: f"epoch_us({a})")
     sql = _expand_call(sql, "LASTNN", lambda a: f"last_value({a} IGNORE NULLS)")
+    sql = _expand_call(
+        sql, "PCTL", lambda a: "quantile_cont({}, {})".format(*_split_top(a))
+    )
     return _apply_common(sql, {**_DUCK, **_DUCK_EXTRA})
 
 

@@ -451,6 +451,7 @@ def _ops_registry() -> dict[str, str]:
             "corpus_filter": C.corpus_filter_sql(),
             "sessionize": C.sessionize_sql(),
             "asof_join": C.asof_join_sql(),
+            "value_percentiles": C.value_percentiles_sql(),
             "lang_id": C.lang_id_sql(),
             "quality_score": C.quality_score_sql(),
             "token_count": C.token_count_sql(),
@@ -495,6 +496,12 @@ def _dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_apply(spark, sf_dir)
 
 
+def _dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops.dedup_cc import dedup_keep_best
+
+    return dedup_keep_best(spark, sf_dir)
+
+
 def _canonical_oracles() -> dict[str, str]:
     """Oracle = DuckDB recursive transitive closure over the SAME capped
     edge CTEs the Spark side uses (corpus_ops), an independent CC
@@ -509,6 +516,7 @@ def _canonical_oracles() -> dict[str, str]:
             C.canonical_closure_sql(C.simhash_edge_ctes())
         ),
         "dedup_apply": to_duck(dedup_apply_oracle_sql()),
+        "dedup_keep_best": to_duck(C.keep_best_closure_sql()),
     }
 
 
@@ -1376,6 +1384,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _dedup_canonical_q,
         "dedup_simhash_canonical": _dedup_simhash_canonical_q,
         "dedup_apply": _dedup_apply_q,
+        "dedup_keep_best": _dedup_keep_best_q,
         "multimodal_features": q_multimodal_features,
         "decode_journald": q_decode_journald,
         "source_textfile": q_source_textfile,
