@@ -802,3 +802,31 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        FMT4(quality) AS quality,
        (rn = 1) AS keep
 FROM ranked"""
+
+
+def frame_sample_sql(n_frames: int = 4) -> str:
+    """Video frame-sampling SCHEDULE: given typed metadata (duration,
+    fps — synthesized deterministically per doc here, carried columns
+    in a real table), compute the uniformly-sampled frame indices per
+    document as pure column math. This is the step a video pipeline
+    runs BEFORE touching any payload bytes: metadata-only, so the scan
+    never reads the blob column (pruning), and the decode stage
+    receives an explicit per-doc work list instead of whole videos."""
+    return f"""
+WITH meta AS (
+  SELECT doc_id,
+         1000 + (doc_id % 29) * 997 AS duration_ms,
+         CASE WHEN doc_id % 3 = 0 THEN 30 ELSE 24 END AS fps
+  FROM documents
+),
+plan AS (
+  SELECT doc_id, duration_ms, fps,
+         CAST(IDIV(duration_ms * fps, 1000) AS BIGINT) AS total_frames
+  FROM meta
+)
+SELECT doc_id, CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(fps AS INT) AS fps, total_frames,
+       XFORM(SEQ1({n_frames}),
+             k -> CAST(IDIV((k - 1) * total_frames, {n_frames}) AS BIGINT))
+         AS frame_indices
+FROM plan"""

@@ -89,3 +89,56 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "modality", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame_bytes binary, frame_feature array<double>"
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Execute a frame-sampling plan over the payload column: one
+    output row per (doc, sampled frame index), each carrying the
+    frame's bytes and a per-frame feature vector.
+
+    The video DECODE is the documented stub (no ffmpeg in this
+    container): the per-frame byte window is a deterministic surrogate
+    — payload sliced proportionally to frame position — so the REAL
+    parts (plan join, Arrow batch shape, per-frame fan-out inside
+    mapInPandas without exploding the blob through a shuffle, output
+    schema) are all exercised. Swap `_frame_bytes` for a real
+    keyframe-extract at deployment.
+
+    Input columns: doc_id, payload (binary), total_frames,
+    frame_indices (array<long>)."""
+
+    def _frame_bytes(payload: bytes, idx: int, total: int) -> bytes:
+        if not payload or total <= 0:
+            return b""
+        n = len(payload)
+        start = (idx * n) // max(total, 1)
+        return payload[start : min(start + 16, n)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, feats = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                payload = r.payload or b""
+                for fi in r.frame_indices:
+                    fb = _frame_bytes(payload, int(fi), int(r.total_frames))
+                    ids.append(r.doc_id)
+                    idxs.append(int(fi))
+                    frames.append(fb)
+                    feats.append(_fake_feature(fb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(frames, dtype=object),
+                    "frame_feature": pd.Series(feats, dtype=object),
+                }
+            )
+
+    return df.select(
+        "doc_id", "payload", "total_frames", "frame_indices"
+    ).mapInPandas(run, FRAME_SCHEMA)

@@ -303,3 +303,29 @@ def test_sessionize_gap_semantics(spark):
         (1, 2): (1, 0),            # post-gap singleton
         (2, 1): (1, 0),
     }
+
+
+def test_frame_sampling_executes_plan_over_payloads(spark, sf_dir):
+    # metadata-only plan -> per-frame fan-out in mapInPandas: one row
+    # per sampled frame, frame count and indices from the plan, payload
+    # windows deterministic (decode itself is the documented stub)
+    from pyspark.sql import functions as F
+
+    from skewer_spark.ops.corpus_ops import frame_sample_sql
+    from skewer_spark.ops.multimodal import sample_frames, with_binary_payload
+    from skewer_spark.ops.portable import to_spark
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    plan = spark.sql(to_spark(frame_sample_sql(n_frames=4)))
+    with_payload = with_binary_payload(docs).select("doc_id", "payload")
+    frames = sample_frames(with_payload.join(plan, "doc_id"))
+    n_docs = docs.count()
+    assert frames.count() == n_docs * 4
+    per_doc = frames.groupBy("doc_id").count().where("count != 4").count()
+    assert per_doc == 0
+    r = frames.where("doc_id = 1").orderBy("frame_idx").collect()
+    p = [x["frame_idx"] for x in r]
+    assert p == sorted(p) and p[0] == 0
+    assert all(len(x["frame_feature"]) == 8 for x in r)
+    assert all(isinstance(x["frame_bytes"], (bytes, bytearray)) for x in r)
