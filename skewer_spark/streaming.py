@@ -276,6 +276,28 @@ def gelf_chunk_reassembly_stream(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a document/turn feed: content-hash the
+    text and drop rows whose hash was already seen, across micro-batch
+    boundaries, with dedup state bounded by the event-time watermark
+    (hashes older than the horizon are evicted — the unbounded-state
+    trap dropDuplicates has without a watermark). This is the streaming
+    twin of the batch dedup_exact op: at ingest time it keeps the first
+    copy ever seen inside the horizon, so the batch pass downstream
+    only handles near-dups."""
+    hashed = stream.withColumn(
+        "text_hash", F.md5(F.col(text_col))
+    ).withColumn("event_time", F.col(ts_col).cast("timestamp"))
+    return hashed.withWatermark("event_time", watermark).dropDuplicates(
+        ["text_hash"]
+    )
+
+
 CONV_STATE_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),

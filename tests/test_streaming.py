@@ -297,3 +297,50 @@ def test_gelf_chunk_reassembly_stream_with_expiry(spark, tmp_path):
     assert got[("m5", "ok")] == "later"
     assert got[("m2", "expired")] == ""  # 5s expiry from first chunk
     assert ("m3", "ok") not in got and ("m3", "expired") not in got  # oob discard
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    # duplicates must drop WITHIN a micro-batch and ACROSS batches
+    # (state carries hashes); distinct texts all survive
+    import datetime as dt
+    import time as _time
+
+    from skewer_spark.streaming import TRANSCRIPT_SCHEMA, dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    indir = tmp_path / "docs"
+    indir.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(indir / name))
+
+    write_file("f1", [
+        ("c1", 0, "user", "hello world", "", t0),
+        ("c1", 1, "user", "hello world", "", t0),   # in-batch dup
+        ("c2", 0, "user", "unique one", "", t0),
+    ])
+    _time.sleep(0.05)
+    write_file("f2", [
+        ("c3", 0, "user", "hello world", "", t0),   # cross-batch dup
+        ("c3", 1, "user", "unique two", "", t0),
+    ])
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    out = dedup_stream(stream)
+    outdir = tmp_path / "out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["text"] for r in spark.read.parquet(str(outdir)).collect()]
+    assert sorted(got) == ["hello world", "unique one", "unique two"]
