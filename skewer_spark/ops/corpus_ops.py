@@ -78,6 +78,11 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
 
 
 def dedup_minhash_sql() -> str:
+    """LSH candidate PAIRS — a similarity op. The production dedup
+    route is dedup_canonical/dedup_apply (capped edges + connected
+    components): pair output is quadratic inside a band bucket, the
+    canonical path is linear. Kept as the candidate-stage correctness
+    check and for similarity queries that genuinely want pairs."""
     return f"""WITH {CORPUS}, {SHINGLES}, {_MINHASH}
 SELECT a, b FROM cand"""
 

@@ -237,3 +237,40 @@ def test_forced_modes_agree_with_composite_dispatch(lines):
         assert (a[~is54] == f31[col].astype(str).to_numpy()[~is54]).all(), (
             col, [lines[i] for i in np.flatnonzero(~is54)[:3]]
         )
+
+
+@given(
+    st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=60), max_size=12),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_octet_scanner_recovers_frames_under_any_chunking(frames, chunk):
+    # encode frames as '<len> <bytes>', feed the stream in arbitrary
+    # fixed-size chunks: the incremental scanner must recover exactly
+    # the original frames with an empty tail
+    from skewer_spark.parsing.binary_sources import OctetStreamScanner
+
+    stream = b"".join(
+        str(len(f.encode())).encode() + b" " + f.encode() for f in frames
+    )
+    s = OctetStreamScanner()
+    got = []
+    for i in range(0, len(stream), chunk):
+        got.extend(s.feed(stream[i : i + chunk]))
+    assert got == frames
+    assert s.close() == b""
+
+
+@given(st.binary(max_size=200), st.sampled_from(
+    ["utf8", "latin1", "windows-1252", "latin15", "bogus-charset"]))
+@settings(max_examples=80, deadline=None)
+def test_transcode_never_fails_on_arbitrary_bytes(raw, charset):
+    import pandas as pd
+
+    from skewer_spark.parsing.charsets import transcode_series
+
+    out = transcode_series(pd.Series([raw]), charset)[0]
+    assert isinstance(out, str)
+    # latin-1 decode is a bijection on bytes: re-encoding roundtrips
+    if charset == "latin1":
+        assert out.encode("latin-1") == raw
