@@ -835,3 +835,28 @@ SELECT doc_id, CAST(duration_ms AS BIGINT) AS duration_ms,
              k -> CAST(IDIV((k - 1) * total_frames, {n_frames}) AS BIGINT))
          AS frame_indices
 FROM plan"""
+
+
+def token_rarity_sql() -> str:
+    """Corpus-frequency rarity score per document — the quality signal
+    an LM-perplexity filter provides, in EXACT integer arithmetic so
+    both engines agree bit-for-bit regardless of aggregation order
+    (float log-prob sums are order-sensitive across shuffles; integer
+    sums are not). rarity(token) = total_tokens div count(token); doc
+    score = sum over tokens, plus the mean. Two hash aggregations (the
+    vocab build and the per-doc rollup) and one equi-join on the token
+    — the same shape a real unigram-LM scorer has, with the vocab side
+    broadcastable when the vocabulary is small relative to the corpus."""
+    return """
+WITH wx AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS w FROM documents),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wx GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+scored AS (
+  SELECT x.doc_id, CAST(IDIV(tt.t, v.c) AS BIGINT) AS rarity
+  FROM wx x JOIN vocab v ON v.w = x.w CROSS JOIN tot tt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(rarity) AS BIGINT) AS rarity_sum,
+       FMT4(CAST(sum(rarity) AS DOUBLE) / count(*)) AS mean_rarity
+FROM scored GROUP BY doc_id"""

@@ -124,3 +124,40 @@ def test_octet_framing_has_no_per_key_aggregation_buffer(spark, sf_dir):
     # the sort is within partitions (non-global): 'Sort [...], false'
     sort_lines = [l for l in plan.splitlines() if "+- Sort [" in l or "Sort [conv_id" in l]
     assert sort_lines and all(", false, 0" in l for l in sort_lines), sort_lines
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    # the co-located-join scale technique: two tables bucketed on the
+    # join key join with ZERO shuffle exchanges (SortMergeJoin reads
+    # pre-bucketed files). At 100 TB this is how repeated joins against
+    # a large keyed table (e.g. per-conversation state) avoid paying
+    # the shuffle every run.
+    import uuid
+
+    from skewer_spark.datagen import ensure_transcripts
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path / 'bktdb'}'")
+    try:
+        df = spark.read.parquet(ensure_transcripts(sf_dir := "/root/testdata/sf0.001"))
+        (df.write.bucketBy(8, "conv_id").sortBy("conv_id")
+           .saveAsTable(f"{db}.turns_a"))
+        (df.groupBy("conv_id").count().write.bucketBy(8, "conv_id")
+           .saveAsTable(f"{db}.conv_counts"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(f"{db}.turns_a").join(
+                spark.table(f"{db}.conv_counts"), "conv_id"
+            )
+            plan = plan_of(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        shuffles = [
+            l for l in plan.splitlines()
+            if "Exchange" in l and "BroadcastExchange" not in l
+        ]
+        assert shuffles == [], shuffles
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert joined.count() == df.count()
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
