@@ -43,14 +43,21 @@ def connected_components(
 ) -> DataFrame:
     """(doc_id) nodes + (a, b) edges -> (doc_id, label) with label =
     min doc_id reachable. Deterministic; converges in <= diameter
-    rounds (early-exits when a round changes nothing)."""
+    rounds (early-exits when a round changes nothing).
+
+    Only edge-touched nodes iterate: documents with no dedup edge (the
+    overwhelming majority of a real corpus) are their own singleton
+    component by definition and join back as label=self at the end —
+    the per-round shuffles scale with the DUPLICATED subset, not the
+    corpus."""
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
         .cache()  # reused every round
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    touched = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(max_iter):
         # one union + one hash-agg per round; the old label rides along
         # (exactly one non-null per doc_id) so convergence detection is
@@ -70,7 +77,11 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    # isolated nodes: singleton components, label = self (no iteration)
+    singletons = nodes.join(labels.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    return labels.unionByName(singletons)
 
 
 def _canonicalize(spark: SparkSession, sf_dir: str, edge_ctes: str) -> DataFrame:
