@@ -132,6 +132,27 @@ routed AS ({R.routing_union_sql('passing', _MUTATE_RULES)})
 SELECT sink, topic, conv_id, turn_idx, appname, msgid, message FROM routed"""
 
 
+def q_tool_token_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star invariant, stated directly: tool-invocation turns
+    carry their tool as an RFC5424 SD param on the wire
+    (``[tool name="..." status="..."]``); the parse must recover it
+    from TEXT alone, matching the table's tool column on every tool
+    turn. Output: per-tool turn counts + how many parsed tokens match
+    (all of them, or the row hashes differ)."""
+    p = load_parsed(spark, sf_dir).where(F.col("role") == "tool")
+    parsed_tool = F.regexp_extract(F.col("props_flat"), r"tool\|name=([^\n]+)", 1)
+    return (
+        p.select("tool", parsed_tool.alias("parsed_tool"))
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("parsed_tool") == F.col("tool")).cast("long")).alias(
+                "n_token_match"
+            ),
+        )
+    )
+
+
 def q_route_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = R.with_route_status(load_parsed(spark, sf_dir))
     routed = load_routed(spark, sf_dir)
@@ -1114,6 +1135,12 @@ SELECT sink, topic, partition_key, partition_number, conv_id, turn_idx,
        facility, severity, appname, text
 FROM routed""",
         "route_mutate": _route_mutate_oracle(sf),
+        "tool_token_parity": f"""{parsed_relation(sf)}
+SELECT tool, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN regexp_extract(props_flat,
+                     'tool\\|name=([^\\n]+)', 1) = tool
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_token_match
+FROM parsed WHERE role = 'tool' GROUP BY tool""",
         "decode_json": f"""{parsed_relation(sf)}
 SELECT conv_id, turn_idx, priority, facility, severity,
        CAST(1 AS INT) AS version, time_reported, time_generated,
@@ -1356,6 +1383,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_fanout": q_route_fanout,
         "route_mutate": q_route_mutate,
         "decode_json": q_decode_json,
+        "tool_token_parity": q_tool_token_parity,
         "route_status": q_route_status,
         "agg_facility": q_agg_facility,
         "agg_severity": q_agg_severity,
