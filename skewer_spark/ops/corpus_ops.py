@@ -860,3 +860,48 @@ SELECT doc_id,
        CAST(sum(rarity) AS BIGINT) AS rarity_sum,
        FMT4(CAST(sum(rarity) AS DOUBLE) / count(*)) AS mean_rarity
 FROM scored GROUP BY doc_id"""
+
+
+def embed_edge_ctes(threshold: float = 0.35, n_tables: int = 16, bits: int = 4) -> str:
+    """CTE chain -> edges(a, b) for embedding-cosine near-dup:
+    multi-table sign-LSH candidates (linear equi-joins) verified by
+    exact cosine >= threshold. Measured on sf0.01: recall 0.96 of the
+    true >= 0.35 pairs; candidate selectivity is weak on these
+    near-random synthetic vectors (real near-dup corpora cluster far
+    tighter, and a higher threshold pairs with more bits per table)."""
+    values = ", ".join(f"({i})" for i in range(n_tables))
+    return f"""
+b AS (
+  SELECT vec_id, embedding, tbl,
+         AJOIN(XFORM(SEQ1({bits}), i -> CASE WHEN ARR_GET(embedding, tbl * {bits} + i) >= 0
+               THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings CROSS JOIN (VALUES {values}) AS t(tbl)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                   AND x.vec_id < y.vec_id
+),
+edges AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN embeddings x ON x.vec_id = c.a
+  JOIN embeddings y ON y.vec_id = c.b
+  WHERE {_cos_of('x', 'y')} >= {threshold}
+)"""
+
+
+def embed_canonical_closure_sql(
+    threshold: float = 0.35, n_tables: int = 16, bits: int = 4
+) -> str:
+    """Oracle: recursive min-label closure over the embedding edges."""
+    return f"""WITH RECURSIVE {embed_edge_ctes(threshold, n_tables, bits)},
+sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b AS s, a AS d FROM edges),
+walk(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT w.node, y.d FROM walk w JOIN sym y ON y.s = w.lab
+)
+SELECT CAST(node AS BIGINT) AS vec_id,
+       CAST(min(lab) AS BIGINT) AS cluster_id,
+       (CAST(node AS BIGINT) = CAST(min(lab) AS BIGINT)) AS keep
+FROM walk GROUP BY node"""

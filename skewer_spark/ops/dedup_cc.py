@@ -189,3 +189,28 @@ def dedup_simhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, exact-signature star subgroups in oversized ones (the
     round-1 617k-pair blowup becomes ~one assignment row per doc)."""
     return _canonicalize(spark, sf_dir, C.simhash_edge_ctes())
+
+
+def embed_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup verdicts: LSH-candidate edges verified by
+    exact cosine, connected components, (vec_id, cluster_id, keep) —
+    the third dedup family (exact / text-LSH / embedding) ending in
+    per-item keep/drop instead of pair lists."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    edges = spark.sql(
+        to_spark(
+            f"WITH {C.embed_edge_ctes()} SELECT CAST(a AS BIGINT) AS a, "
+            f"CAST(b AS BIGINT) AS b FROM edges"
+        )
+    )
+    nodes = spark.sql(
+        to_spark("SELECT CAST(vec_id AS BIGINT) AS doc_id FROM embeddings")
+    )
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )

@@ -525,6 +525,12 @@ def _dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(spark, sf_dir)
 
 
+def _embed_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops.dedup_cc import embed_canonical
+
+    return embed_canonical(spark, sf_dir)
+
+
 def _canonical_oracles() -> dict[str, str]:
     """Oracle = DuckDB recursive transitive closure over the SAME capped
     edge CTEs the Spark side uses (corpus_ops), an independent CC
@@ -540,6 +546,7 @@ def _canonical_oracles() -> dict[str, str]:
         ),
         "dedup_apply": to_duck(dedup_apply_oracle_sql()),
         "dedup_keep_best": to_duck(C.keep_best_closure_sql()),
+        "embed_canonical": to_duck(C.embed_canonical_closure_sql()),
     }
 
 
@@ -1415,6 +1422,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_canonical": _dedup_simhash_canonical_q,
         "dedup_apply": _dedup_apply_q,
         "dedup_keep_best": _dedup_keep_best_q,
+        "embed_canonical": _embed_canonical_q,
         "multimodal_features": q_multimodal_features,
         "decode_journald": q_decode_journald,
         "source_textfile": q_source_textfile,
