@@ -148,7 +148,9 @@ bands AS (
 
 
 def dedup_simhash_pairs_sql(max_hamming: int = 3) -> str:
-    """4-banded simhash blocking with a recall GUARANTEE: the 32-bit
+    """SimHash near-dup PAIRS — a similarity op; production dedup goes
+    through dedup_simhash_canonical (pair output is quadratic inside a
+    band bucket). 4-banded simhash blocking with a recall GUARANTEE: the 32-bit
     signature split into 4 bands of 8 bits — two signatures within
     hamming distance 3 differ in at most 3 bands, so by pigeonhole they
     share at least one exact band and meet in that band's equi-join.

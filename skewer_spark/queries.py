@@ -132,6 +132,22 @@ routed AS ({R.routing_union_sql('passing', _MUTATE_RULES)})
 SELECT sink, topic, conv_id, turn_idx, appname, msgid, message FROM routed"""
 
 
+def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup (turn totals, monotonic max turn_idx,
+    tool-turn counts) — the batch twin of the streaming stateful
+    operator (streaming.conversation_state_stream): a pytest drives the
+    stream to completion and asserts its final state equals THIS
+    aggregation, so the custom applyInPandasWithState operator has both
+    an oracle-checked batch semantics and a streaming equivalence
+    proof."""
+    df = load_transcripts(spark, sf_dir)
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("max_turn_idx"),
+        F.sum((F.col("role") == "tool").cast("long")).alias("n_tool_turns"),
+    )
+
+
 def q_tool_token_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star invariant, stated directly: tool-invocation turns
     carry their tool as an RFC5424 SD param on the wire
@@ -1142,6 +1158,12 @@ SELECT sink, topic, partition_key, partition_number, conv_id, turn_idx,
        facility, severity, appname, text
 FROM routed""",
         "route_mutate": _route_mutate_oracle(sf),
+        "conv_rollup": f"""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       max(turn_idx) AS max_turn_idx,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns
+FROM read_parquet('{_tp(sf)}') GROUP BY conv_id""",
         "tool_token_parity": f"""{parsed_relation(sf)}
 SELECT tool, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(CASE WHEN regexp_extract(props_flat,
@@ -1391,6 +1413,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_mutate": q_route_mutate,
         "decode_json": q_decode_json,
         "tool_token_parity": q_tool_token_parity,
+        "conv_rollup": q_conv_rollup,
         "route_status": q_route_status,
         "agg_facility": q_agg_facility,
         "agg_severity": q_agg_severity,
