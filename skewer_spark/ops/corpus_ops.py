@@ -907,3 +907,28 @@ SELECT CAST(node AS BIGINT) AS vec_id,
        CAST(min(lab) AS BIGINT) AS cluster_id,
        (CAST(node AS BIGINT) = CAST(min(lab) AS BIGINT)) AS keep
 FROM walk GROUP BY node"""
+
+
+def dedup_normalized_sql() -> str:
+    """Normalization-collapsed dedup: case-fold, strip punctuation,
+    collapse whitespace, then hash — catches the case/punctuation
+    variants exact hashing misses and costs the same single
+    hash-groupBy (the cheap pass a pipeline runs BEFORE MinHash).
+    Fixture: every 5th doc re-appears uppercased with trailing
+    punctuation under doc_id+300000; normalization must pair each with
+    its source while plain md5 would not."""
+    norm = (
+        "md5(trim(RREPLACE(RREPLACE(lower(text), "
+        "'[^a-z0-9 ]', ' '), ' +', ' ')))"
+    )
+    return f"""
+WITH nc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, upper(text) || ' !!!' AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+norm AS (SELECT doc_id, {norm} AS norm_fp FROM nc)
+SELECT norm_fp, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM norm GROUP BY norm_fp HAVING count(*) > 1"""

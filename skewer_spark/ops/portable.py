@@ -116,6 +116,12 @@ def to_spark(sql: str) -> str:
     sql = _expand_call(
         sql, "PCTL", lambda a: "percentile({}, {})".format(*_split_top(a))
     )
+    # replace-ALL regex substitution (Spark's default; DuckDB needs 'g')
+    sql = _expand_call(
+        sql,
+        "RREPLACE",
+        lambda a: "regexp_replace({}, {}, {})".format(*_split_top(a)),
+    )
     return _apply_common(sql, {**_SPARK, **_SPARK_EXTRA})
 
 
@@ -154,6 +160,11 @@ def to_duck(sql: str) -> str:
     sql = _expand_call(
         sql, "PCTL", lambda a: "quantile_cont({}, {})".format(*_split_top(a))
     )
+    sql = _expand_call(
+        sql,
+        "RREPLACE",
+        lambda a: "regexp_replace({}, {}, {}, 'g')".format(*_split_top(a)),
+    )
     return _apply_common(sql, {**_DUCK, **_DUCK_EXTRA})
 
 
@@ -175,25 +186,31 @@ def _split_top(args: str) -> list[str]:
 
 
 def _expand_call(sql: str, name: str, render) -> str:
-    """Expand name(<balanced args>) -> render(args), handling nesting."""
-    out = []
-    i = 0
+    """Expand name(<balanced args>) -> render(args), handling nesting —
+    including the SAME macro nested inside its own arguments (the outer
+    pass leaves inner occurrences in the rendered args; loop to a
+    fixpoint — render outputs never contain the macro token)."""
     token = name + "("
-    while True:
-        j = sql.find(token, i)
-        if j < 0:
-            out.append(sql[i:])
-            return "".join(out)
-        out.append(sql[i:j])
-        depth = 0
-        k = j + len(token) - 1  # at '('
-        for k in range(j + len(token) - 1, len(sql)):
-            if sql[k] == "(":
-                depth += 1
-            elif sql[k] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        args = sql[j + len(token) : k]
-        out.append(render(args))
-        i = k + 1
+    while token in sql:
+        out = []
+        i = 0
+        while True:
+            j = sql.find(token, i)
+            if j < 0:
+                out.append(sql[i:])
+                break
+            out.append(sql[i:j])
+            depth = 0
+            k = j + len(token) - 1  # at '('
+            for k in range(j + len(token) - 1, len(sql)):
+                if sql[k] == "(":
+                    depth += 1
+                elif sql[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            args = sql[j + len(token) : k]
+            out.append(render(args))
+            i = k + 1
+        sql = "".join(out)
+    return sql

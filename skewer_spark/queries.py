@@ -491,6 +491,7 @@ def _ops_registry() -> dict[str, str]:
             "value_percentiles": C.value_percentiles_sql(),
             "frame_sample": C.frame_sample_sql(),
             "token_rarity": C.token_rarity_sql(),
+            "dedup_normalized": C.dedup_normalized_sql(),
             "lang_id": C.lang_id_sql(),
             "quality_score": C.quality_score_sql(),
             "token_count": C.token_count_sql(),
