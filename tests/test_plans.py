@@ -161,3 +161,25 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert joined.count() == df.count()
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_dedup_edge_generation_is_equijoin_only(spark):
+    # candidate generation must stay equality joins (band/bucket keys):
+    # a CartesianProduct here is the all-pairs blowup the LSH designs
+    # exist to avoid. (Tiny broadcast NLJs against literal VALUES lists
+    # of band indices are fine — they are K-row broadcasts.)
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    for ctes in (
+        C.minhash_edge_ctes(),
+        C.simhash_edge_ctes(),
+        C.embed_edge_ctes(),
+    ):
+        df = spark.sql(to_spark(C.edges_select_sql(ctes)))
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan[:2000]
