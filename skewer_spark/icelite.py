@@ -44,6 +44,11 @@ class Snapshot:
     # idempotency is keyed on committed run_ids, so a rewrite must
     # carry the markers of everything it replaced
     parents: list[str] | None = None
+    # snapshot_ids whose data dirs this snapshot replaced (compaction):
+    # a crash between the manifest swap and the old-dir removal leaves
+    # orphan dirs; recording them here lets gc_orphans() reap exactly
+    # those later (never an in-flight writer's uncommitted dir)
+    replaced: list[str] | None = None
 
 
 class IceLiteTable:
@@ -168,12 +173,18 @@ class IceLiteTable:
           the replaced snapshots' run_ids (and their parents) in
           ``parents``, and every writer checks parents too — a rerun of
           an absorbed run_id still skips;
-        - rows are preserved exactly (asserted);
+        - rows are preserved exactly (explicit check — raises IOError,
+          never a bare assert that ``python -O`` would strip);
         - no-op (returns None) when the table already has < min_files
           data files.
         The brief non-atomic window (old dirs removed after the manifest
-        swap) matches ``overwrite``; real Iceberg keeps old snapshots
-        for time travel and GCs them separately."""
+        swap) matches ``overwrite``; the replaced snapshot_ids are
+        recorded on the compact snapshot so a crash inside that window
+        leaks nothing permanently — ``gc_orphans()`` (run here on entry,
+        like real Iceberg's separate snapshot GC) reaps them later.
+        Maintenance ops assume a single maintenance writer, same as
+        Iceberg's rewrite_data_files."""
+        self.gc_orphans()
         snaps = self._read_manifest()
         files = self.data_files()
         if len(files) < min_files:
@@ -191,20 +202,42 @@ class IceLiteTable:
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
-        assert rows == total_rows, (rows, total_rows)
+        if rows != total_rows:
+            # abort BEFORE the manifest swap: the half-built rewrite dir
+            # is invisible (no manifest entry) and is removed here
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise IOError(
+                f"compact row-preservation check failed: rewrote {rows} "
+                f"rows from {total_rows} — aborting before commit"
+            )
         parents = sorted(
             {s["run_id"] for s in snaps}
             | {p for s in snaps for p in (s.get("parents") or [])}
         )
+        old_ids = [s["snapshot_id"] for s in snaps]
         snap = Snapshot(
             snapshot_id, f"compact-{snapshot_id}", "compact", rows, time.time(),
-            parents=parents,
+            parents=parents, replaced=old_ids,
         )
-        old_ids = [s["snapshot_id"] for s in snaps]
         self._commit_manifest([snap.__dict__])
         for oid in old_ids:
             shutil.rmtree(os.path.join(self.dir, "data", oid), ignore_errors=True)
         return snap
+
+    def gc_orphans(self) -> list[str]:
+        """Reap data dirs recorded as replaced by a committed compact
+        snapshot but still on disk (a crash between the manifest swap
+        and the removal loop). Only REPLACED ids are touched — an
+        unreferenced dir that is not in any ``replaced`` list may be an
+        in-flight writer's uncommitted output and is left alone."""
+        reaped = []
+        for s in self._read_manifest():
+            for rid in s.get("replaced") or []:
+                d = os.path.join(self.dir, "data", rid)
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    reaped.append(rid)
+        return reaped
 
     # ---------------------------------------------------------- read
     def data_files(self) -> list[str]:

@@ -307,7 +307,19 @@ FROM documents"""
 # edges into (doc_id, cluster_id=min id in component, keep).
 
 
-def minhash_edge_ctes(threshold: float = 0.8, cap: int = 3) -> str:
+# Oversized-bucket cap for the MinHash edge builder. PRODUCTION default
+# is 64: buckets up to 64 docs get the full Jaccard-verified pairwise
+# path (<= ~2k verify pairs per bucket); only genuinely pathological
+# boilerplate crowds collapse to an unverified star. The correctness
+# GATE pins cap=3 explicitly on BOTH the Spark and oracle sides so both
+# code paths execute on the sf0.01 corpus (max bucket there is 4) —
+# cap=3 is a gate setting, never a production one (ADVICE r2: defaulting
+# the entry points to 3 silently star-merged unverified 4+-doc buckets).
+GATE_MINHASH_CAP = 3
+PROD_MINHASH_CAP = 64
+
+
+def minhash_edge_ctes(threshold: float = 0.8, cap: int = PROD_MINHASH_CAP) -> str:
     """CTE chain -> edges(a, b) for MinHash-LSH dedup with oversized-
     bucket capping.
 
@@ -317,9 +329,10 @@ def minhash_edge_ctes(threshold: float = 0.8, cap: int = 3) -> str:
     minhash values colliding, so a crowd sharing one is boilerplate
     mass-duplication; the bucket collapses to star edges on its min
     doc_id WITHOUT pairwise output — O(n) edges, no Jaccard pass. The
-    correctness-gate instance uses cap=3 so BOTH paths execute on the
-    sf0.01 corpus (max observed bucket there is 4); a production corpus
-    would run cap ~64."""
+    default cap is the production value (PROD_MINHASH_CAP=64); the
+    correctness gate passes GATE_MINHASH_CAP=3 explicitly on both the
+    Spark and oracle sides so BOTH paths execute on the sf0.01 corpus
+    (max observed bucket there is 4)."""
     return f"""{CORPUS}, {SHINGLES}, {_SIG_BANDS},
 bsz AS (
   SELECT band, count(*) AS n, min(doc_id) AS root
@@ -781,7 +794,9 @@ def corpus_quality_expr() -> str:
     )
 
 
-def keep_best_closure_sql(threshold: float = 0.8, cap: int = 3) -> str:
+def keep_best_closure_sql(
+    threshold: float = 0.8, cap: int = PROD_MINHASH_CAP
+) -> str:
     """Oracle for quality-based representative selection: recursive
     transitive closure for cluster ids (same mechanism as
     canonical_closure_sql) + one argmax window over (cluster, quality

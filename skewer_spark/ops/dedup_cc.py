@@ -39,17 +39,30 @@ from skewer_spark.ops.portable import to_spark
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id) nodes + (a, b) edges -> (doc_id, label) with label =
-    min doc_id reachable. Deterministic; converges in <= diameter
-    rounds (early-exits when a round changes nothing).
+    min doc_id reachable. Deterministic; early-exits when a round
+    changes nothing. Each round combines neighbor min-label propagation
+    with POINTER JUMPING (label(label(v)) rides along as extra
+    candidates), so the distance every node's label travels roughly
+    doubles per round: worst-case rounds are O(log diameter), not
+    O(diameter) — a 200-doc chain converges in ~8 rounds instead of
+    ~200 (pinned by ``test_cc_chain_converges_logarithmically``).
+
+    Raises RuntimeError if labels have not converged after ``max_iter``
+    rounds: silently returning unconverged labels would split one true
+    component into several clusters with no error signal (ADVICE r2).
 
     Only edge-touched nodes iterate: documents with no dedup edge (the
     overwhelming majority of a real corpus) are their own singleton
     component by definition and join back as label=self at the end —
     the per-round shuffles scale with the DUPLICATED subset, not the
-    corpus."""
+    corpus. Each per-round count() is a Spark job; rounds are logged in
+    ``stats['rounds']`` when a dict is passed."""
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -58,16 +71,32 @@ def connected_components(
     )
     touched = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = touched.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(max_iter):
+    changed = 0
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
         # one union + one hash-agg per round; the old label rides along
         # (exactly one non-null per doc_id) so convergence detection is
         # a cheap scan of the materialized checkpoint, not another join
         prop = sym.join(labels, sym["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), "label", F.lit(None).cast("long").alias("old")
         )
+        # pointer jumping: the current assignment is itself a set of
+        # edges (v -> label(v)); offering label(label(v)) as a candidate
+        # halves every chain's remaining distance each round. label(v)
+        # is always a touched doc_id (it is some reachable node's id),
+        # so the self-equi-join covers every row; both sides are the
+        # (id, label) long pairs — no text, no signatures.
+        ptr = labels.alias("x").join(
+            labels.alias("y"), F.col("x.label") == F.col("y.doc_id")
+        ).select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("y.label").alias("label"),
+            F.lit(None).cast("long").alias("old"),
+        )
         new = (
             labels.select("doc_id", "label", F.col("label").alias("old"))
             .unionByName(prop)
+            .unionByName(ptr)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint()
@@ -77,6 +106,16 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} rounds "
+            f"({changed} labels still improving) — raising instead of "
+            "returning split clusters; raise max_iter (rounds grow "
+            "O(log diameter) with pointer jumping, so this indicates a "
+            "pathological graph or a bug)"
+        )
     # isolated nodes: singleton components, label = self (no iteration)
     singletons = nodes.join(labels.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("label")
@@ -98,17 +137,26 @@ def _canonicalize(spark: SparkSession, sf_dir: str, edge_ctes: str) -> DataFrame
     )
 
 
-def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_apply(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    cap: int = C.PROD_MINHASH_CAP,
+) -> DataFrame:
     """Apply the MinHash canonical verdicts: keep one representative per
     cluster and report the surviving corpus per language — the step a
     training-data pipeline actually feeds the tokenizer. Scale shape:
     verdicts are (id, id, bool) longs; the kept-rows join is an
     equi-join on doc_id that AQE can broadcast when the verdict side is
-    small relative to the corpus."""
+    small relative to the corpus. threshold/cap plumb to
+    ``minhash_edge_ctes`` (production default cap=64; the gate passes
+    GATE_MINHASH_CAP=3 explicitly on both sides)."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
-    edges = spark.sql(to_spark(C.edges_select_sql(C.minhash_edge_ctes())))
+    edges = spark.sql(
+        to_spark(C.edges_select_sql(C.minhash_edge_ctes(threshold, cap)))
+    )
     corpus = spark.sql(
         to_spark(f"WITH {C.CORPUS} SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM corpus")
     )
@@ -121,8 +169,10 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_apply_oracle_sql() -> str:
-    return f"""WITH RECURSIVE {C.minhash_edge_ctes()},
+def dedup_apply_oracle_sql(
+    threshold: float = 0.8, cap: int = C.PROD_MINHASH_CAP
+) -> str:
+    return f"""WITH RECURSIVE {C.minhash_edge_ctes(threshold, cap)},
 sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b AS s, a AS d FROM edges),
 walk(node, lab) AS (
   SELECT doc_id, doc_id FROM corpus
@@ -136,7 +186,12 @@ WHERE clu.node = clu.cluster_id
 GROUP BY c.lang"""
 
 
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_best(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    cap: int = C.PROD_MINHASH_CAP,
+) -> DataFrame:
     """Quality-based representative selection: within each near-dup
     cluster (true connected components over the capped MinHash edges)
     keep the HIGHEST-quality document (ties -> lowest doc_id) — a
@@ -147,7 +202,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
-    edges = spark.sql(to_spark(C.edges_select_sql(C.minhash_edge_ctes())))
+    edges = spark.sql(
+        to_spark(C.edges_select_sql(C.minhash_edge_ctes(threshold, cap)))
+    )
     nodes = spark.sql(to_spark(C.corpus_nodes_sql()))
     labels = connected_components(nodes, edges)
     scored = spark.sql(
@@ -177,11 +234,19 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_canonical(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    cap: int = C.PROD_MINHASH_CAP,
+) -> DataFrame:
     """MinHash-LSH dedup verdicts: Jaccard-verified pairs in normal
     band buckets, min-id star collapse in oversized ones, connected
-    components over the union."""
-    return _canonicalize(spark, sf_dir, C.minhash_edge_ctes())
+    components over the union. Default cap is the production value
+    (64 = Jaccard-verify buckets that size); the correctness gate
+    passes GATE_MINHASH_CAP=3 explicitly so the star path executes on
+    the small corpus too."""
+    return _canonicalize(spark, sf_dir, C.minhash_edge_ctes(threshold, cap))
 
 
 def dedup_simhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -116,6 +116,13 @@ def to_spark(sql: str) -> str:
     sql = _expand_call(
         sql, "PCTL", lambda a: "percentile({}, {})".format(*_split_top(a))
     )
+    # approximate percentile — DIFFERENT sketches per engine (Spark GK
+    # vs DuckDB t-digest), so queries must compare each engine's approx
+    # against ITS OWN exact bounds, never approx-to-approx across engines
+    sql = _expand_call(
+        sql, "APXQ",
+        lambda a: "approx_percentile({}, {}, 10000)".format(*_split_top(a)),
+    )
     # replace-ALL regex substitution (Spark's default; DuckDB needs 'g')
     sql = _expand_call(
         sql,
@@ -159,6 +166,10 @@ def to_duck(sql: str) -> str:
     sql = _expand_call(sql, "LASTNN", lambda a: f"last_value({a} IGNORE NULLS)")
     sql = _expand_call(
         sql, "PCTL", lambda a: "quantile_cont({}, {})".format(*_split_top(a))
+    )
+    sql = _expand_call(
+        sql, "APXQ",
+        lambda a: "approx_quantile({}, {})".format(*_split_top(a)),
     )
     sql = _expand_call(
         sql,

@@ -30,10 +30,25 @@ def split_http_body(
 ) -> DataFrame:
     """One row per framed message: split on the frame delimiter, trim
     delimiter chars then whitespace per :121-126, drop empty frames
-    (the handler skips zero-length messages)."""
+    (the handler skips zero-length messages).
+
+    The delimiter is config-supplied LITERAL text (FrameDelimiter),
+    but Spark's split() takes a Java regex — so every char is
+    regex-quoted before interpolation (ADVICE r2: '|' or '.' would
+    otherwise split on every character). trim()'s charset argument is
+    literal already and only needs SQL-string escaping."""
+    # regex-quote the delimiter: backslash-escape every char EXCEPT
+    # ASCII alphanumerics (escaping those flips meaning in a Java
+    # pattern — \b is a word boundary, \1 a backreference) and
+    # non-ASCII (literal anyway); then SQL-string-escape the result
+    rx = "".join(
+        c if (c.isascii() and c.isalnum()) or not c.isascii() else "\\" + c
+        for c in delimiter
+    )
+    rx_sql = rx.replace("\\", "\\\\").replace("'", "\\'")
     d = delimiter.replace("\\", "\\\\").replace("'", "\\'")
     frames = F.expr(
-        f"filter(transform(split({body_col}, '{d}'), "
+        f"filter(transform(split({body_col}, '{rx_sql}'), "
         f"m -> trim(trim(BOTH '{d}' FROM m))), m -> m <> '')"
     )
     return df.select("*", F.posexplode(frames).alias("msg_idx", "text")).drop(

@@ -519,9 +519,12 @@ def _ops_oracles() -> dict[str, str]:
 
 
 def _dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops import corpus_ops as C
     from skewer_spark.ops.dedup_cc import dedup_canonical
 
-    return dedup_canonical(spark, sf_dir)
+    # gate config: cap=3 so both the Jaccard-verified and star paths
+    # execute on the sf0.01 corpus; production default is 64
+    return dedup_canonical(spark, sf_dir, cap=C.GATE_MINHASH_CAP)
 
 
 def _dedup_simhash_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,15 +534,17 @@ def _dedup_simhash_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops import corpus_ops as C
     from skewer_spark.ops.dedup_cc import dedup_apply
 
-    return dedup_apply(spark, sf_dir)
+    return dedup_apply(spark, sf_dir, cap=C.GATE_MINHASH_CAP)
 
 
 def _dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops import corpus_ops as C
     from skewer_spark.ops.dedup_cc import dedup_keep_best
 
-    return dedup_keep_best(spark, sf_dir)
+    return dedup_keep_best(spark, sf_dir, cap=C.GATE_MINHASH_CAP)
 
 
 def _embed_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,13 +561,16 @@ def _canonical_oracles() -> dict[str, str]:
     from skewer_spark.ops.dedup_cc import dedup_apply_oracle_sql
     from skewer_spark.ops.portable import to_duck
 
+    gate_cap = C.GATE_MINHASH_CAP  # matches the Spark-side gate wrappers
     return {
-        "dedup_canonical": to_duck(C.canonical_closure_sql(C.minhash_edge_ctes())),
+        "dedup_canonical": to_duck(
+            C.canonical_closure_sql(C.minhash_edge_ctes(cap=gate_cap))
+        ),
         "dedup_simhash_canonical": to_duck(
             C.canonical_closure_sql(C.simhash_edge_ctes())
         ),
-        "dedup_apply": to_duck(dedup_apply_oracle_sql()),
-        "dedup_keep_best": to_duck(C.keep_best_closure_sql()),
+        "dedup_apply": to_duck(dedup_apply_oracle_sql(cap=gate_cap)),
+        "dedup_keep_best": to_duck(C.keep_best_closure_sql(cap=gate_cap)),
         "embed_canonical": to_duck(C.embed_canonical_closure_sql()),
     }
 

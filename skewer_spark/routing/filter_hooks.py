@@ -1,0 +1,191 @@
+"""Registered vectorized filter hooks: the FilterMessage escape hatch.
+
+The reference's filter is an arbitrary-logic JS function per config
+environment (/root/reference/javascript/vm.go:399-442): it classifies
+every message PASS/DROPPED/REJECTED and may MUTATE the message, with
+the mutations copied back only on PASS (:427-436). The repo's
+``RouteRule`` filters are portable-SQL expressions — deliberately, so
+Catalyst codegens them — but a user porting a nontrivial JS filter
+needs an escape hatch with the same contract. This module is that
+hatch, mirroring ``parsing/registry.py`` on the routing side:
+
+- a named registry of VECTORIZED filter kernels (pandas in, pandas
+  out — Arrow-batched, never per-row Python);
+- per-group kernels (``group_cols``) run under ``applyInPandas`` so a
+  kernel can implement stateful-within-group logic (rate limiting,
+  ordering-dependent rewrites) no single SQL expression expresses;
+- tri-state outcomes preserved: the kernel emits ``route_status`` in
+  {passing, dropped, rejected} for EVERY input row (rows are never
+  swallowed — DROPPED is a countable verdict, forwarder.go:192-208);
+- mutation-on-PASS only: the wrapper keeps the ORIGINAL columns and
+  exposes the kernel's rewrites as ``hook_<name>_<col>`` columns, so
+  routing can forward mutated values for passing rows while
+  dropped/rejected rows provably keep their original bytes
+  (tests/test_route_hooks.py pins this, mirroring
+  test_route_mutation_is_per_rule_and_pass_only).
+
+``RouteRule.filter_hook`` selects a hook by name; ``route_fanout``
+ANDs ``hook_status_<name> = 'passing'`` into that rule's filter and
+forwards the hook's rewritten columns — the hook stage is ONE
+applyInPandas/mapInPandas pass per distinct hook, shared by every rule
+that names it.
+
+Scale shape: a grouped hook shuffles once on its group columns (same
+exchange a groupBy would need); an ungrouped hook is a mapInPandas
+with zero shuffle. Kernels see Arrow record batches, not rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+VALID_STATUSES = {"passing", "dropped", "rejected"}
+
+
+@dataclass(frozen=True)
+class FilterHook:
+    name: str
+    # kernel: pdf -> pdf with a route_status column added and mutated
+    # columns rewritten IN PLACE (the wrapper handles pass-only
+    # exposure); must return exactly the input rows (any order)
+    kernel: Callable[[pd.DataFrame], pd.DataFrame]
+    # columns the kernel may rewrite; exposed as hook_<name>_<col>
+    mutates: tuple[str, ...] = ()
+    # non-empty -> applyInPandas grouped on these columns (stateful
+    # within group); empty -> mapInPandas (per-batch, stateless)
+    group_cols: tuple[str, ...] = ()
+
+
+_HOOKS: dict[str, FilterHook] = {}
+
+
+def register_filter_hook(hook: FilterHook) -> None:
+    _HOOKS[hook.name] = hook
+
+
+def get_filter_hook(name: str) -> FilterHook:
+    if name not in _HOOKS:
+        raise KeyError(
+            f"unknown filter hook {name!r}; registered: {sorted(_HOOKS)}"
+        )
+    return _HOOKS[name]
+
+
+def status_col(name: str) -> str:
+    return f"hook_status_{name}"
+
+
+def mutated_col(name: str, col: str) -> str:
+    return f"hook_{name}_{col}"
+
+
+def apply_filter_hook(df: DataFrame, name: str) -> DataFrame:
+    """Run one registered hook over df: adds ``hook_status_<name>``
+    plus ``hook_<name>_<col>`` for each declared mutated column.
+    Original columns are passed through UNTOUCHED; the mutated copies
+    equal the originals on non-passing rows (enforced here, not
+    trusted from the kernel — the reference only copies mutations back
+    on PASS)."""
+    hook = get_filter_hook(name)
+    in_fields = list(df.schema.fields)
+    by_name = {f.name: f for f in in_fields}
+    out_schema = StructType(
+        in_fields
+        + [StructField(status_col(name), StringType())]
+        + [
+            StructField(mutated_col(name, c), by_name[c].dataType)
+            for c in hook.mutates
+        ]
+    )
+    in_cols = [f.name for f in in_fields]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        originals = {c: pdf[c].copy() for c in hook.mutates}
+        out = hook.kernel(pdf.copy())
+        bad = set(out["route_status"].unique()) - VALID_STATUSES
+        if bad:
+            raise ValueError(f"hook {name!r} emitted invalid statuses {bad}")
+        if len(out) != len(pdf):
+            raise ValueError(
+                f"hook {name!r} returned {len(out)} rows for {len(pdf)} in — "
+                "kernels classify rows, they never add or swallow them"
+            )
+        res = out[in_cols].copy()
+        passing = (out["route_status"] == "passing").to_numpy()
+        res[status_col(name)] = out["route_status"].to_numpy()
+        for c in hook.mutates:
+            # pass-only mutation: original order survives via the index
+            orig = originals[c].loc[out.index]
+            res[mutated_col(name, c)] = out[c].where(passing, orig)
+            res[c] = orig  # original column always untouched
+        return res
+
+    if hook.group_cols:
+        return df.groupBy(*hook.group_cols).applyInPandas(
+            lambda _key, pdf: run(pdf), out_schema
+        )
+
+    def run_batches(it):
+        for pdf in it:
+            if len(pdf):
+                yield run(pdf)
+
+    return df.mapInPandas(run_batches, out_schema)
+
+
+def apply_hooks_for_rules(df: DataFrame, rules) -> DataFrame:
+    """One hook stage per DISTINCT hook named by the rules (shared by
+    every rule that selects it), applied before the fan-out
+    projection."""
+    for name in sorted({r.filter_hook for r in rules if getattr(r, "filter_hook", "")}):
+        df = apply_filter_hook(df, name)
+    return df
+
+
+# ----------------------------------------------------------------- demo
+# A hook no single SQL expression can express Spark-side: per-appname
+# rate limiting (stateful within the group — requires ordering and a
+# running count) combined with a regex-captures rewrite on PASS.
+# The ORACLE still states the same semantics in window SQL
+# (rate_limit_mask_oracle_sql in queries.py), which is exactly the
+# correctness contract: arbitrary Python on the Spark side, an
+# independent declarative restatement on the DuckDB side.
+
+RATE_LIMIT_K = 3
+_DIGIT_RUN = "[0-9]+"  # ASCII class, byte-identical semantics in DuckDB's RE2
+
+
+def _rate_limit_mask_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    import re
+
+    import numpy as np
+
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    rn = np.arange(1, len(pdf) + 1)
+    err = pdf["parse_error"].to_numpy(dtype=bool)
+    pdf["route_status"] = np.where(
+        err, "rejected", np.where(rn <= RATE_LIMIT_K, "passing", "dropped")
+    )
+    digit_run = re.compile(_DIGIT_RUN)
+    passing = (~err) & (rn <= RATE_LIMIT_K)
+    msgs = pdf["message"].to_numpy(dtype=object, copy=True)
+    for i in np.nonzero(passing)[0]:
+        msgs[i] = digit_run.sub("#", msgs[i])
+    pdf["message"] = msgs
+    return pdf
+
+
+register_filter_hook(
+    FilterHook(
+        name="rate_limit_mask",
+        kernel=_rate_limit_mask_kernel,
+        mutates=("message",),
+        group_cols=("appname",),
+    )
+)

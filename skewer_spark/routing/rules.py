@@ -54,6 +54,15 @@ class RouteRule:
     # DROPPED/REJECTED rows are never mutated (the reference returns
     # before the copy-back).
     transform_exprs: tuple[tuple[str, str], ...] = ()
+    # Arbitrary-logic escape hatch (the JS FilterMessage analog,
+    # vm.go:399-442): name of a registered vectorized filter hook
+    # (routing/filter_hooks.py). When set, the rule only matches rows
+    # the hook PASSED, and the hook's rewritten columns are forwarded
+    # for this rule (pass-only mutation, enforced by the hook wrapper).
+    # Requires the input frame to have gone through
+    # filter_hooks.apply_hooks_for_rules first (route_fanout raises a
+    # clear AnalysisException from Catalyst otherwise).
+    filter_hook: str = ""
 
 
 # FIXTURES.md section 3 (mirrors skewer.example.toml FilterSubConfig examples)
@@ -120,20 +129,37 @@ def route_fanout(
     write covers every sink including the dead-letter table. DROPPED
     rows match nothing (counted upstream, emitted nowhere).
     """
-    # union of columns any rule rewrites on PASS; each rule's struct
-    # carries its own view of them (identity where the rule has no
-    # transform), still inside the same single codegen'd projection
-    tcols = sorted({c for r in rules for c, _ in r.transform_exprs})
+    # union of columns any rule rewrites on PASS (SQL transforms or a
+    # filter hook's declared mutations); each rule's struct carries its
+    # own view of them (identity where the rule has no transform),
+    # still inside the same single codegen'd projection
+    from skewer_spark.routing import filter_hooks as FH
+
+    def _rule_transforms(r: RouteRule) -> dict[str, str]:
+        exprs = dict(r.transform_exprs)
+        if r.filter_hook:
+            for c in FH.get_filter_hook(r.filter_hook).mutates:
+                # hook rewrite feeds the rule unless the rule overrides
+                exprs.setdefault(c, FH.mutated_col(r.filter_hook, c))
+        return exprs
+
+    tcols = sorted({c for r in rules for c in _rule_transforms(r)})
 
     def _tfields(r: RouteRule | None):
-        exprs = dict(r.transform_exprs) if r is not None else {}
+        exprs = _rule_transforms(r) if r is not None else {}
         return [
             F.expr(exprs.get(c, c)).alias(f"t_{c}") for c in tcols
         ]
 
+    def _rule_filter(r: RouteRule):
+        f = F.expr(r.filter_expr)
+        if r.filter_hook:
+            f = f & (F.col(FH.status_col(r.filter_hook)) == "passing")
+        return f
+
     structs = [
         F.when(
-            F.expr(r.filter_expr)
+            _rule_filter(r)
             & (F.expr("route_status = 'passing'") if status_aware else F.lit(True)),
             F.struct(
                 F.lit(r.sink).alias("sink"),

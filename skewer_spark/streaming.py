@@ -285,17 +285,25 @@ def dedup_stream(
     """Streaming exact dedup for a document/turn feed: content-hash the
     text and drop rows whose hash was already seen, across micro-batch
     boundaries, with dedup state bounded by the event-time watermark
-    (hashes older than the horizon are evicted — the unbounded-state
-    trap dropDuplicates has without a watermark). This is the streaming
+    (hashes older than the horizon are evicted). This is the streaming
     twin of the batch dedup_exact op: at ingest time it keeps the first
     copy ever seen inside the horizon, so the batch pass downstream
-    only handles near-dups."""
+    only handles near-dups.
+
+    State bounding uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+):
+    plain ``dropDuplicates(['text_hash'])`` would IGNORE the watermark —
+    Spark only evicts dedup state when the event-time column is part of
+    the dedup subset — so its state grows with every distinct hash ever
+    seen, exactly the trap this operator exists to avoid at 10^12-row
+    scale. ``tests/test_streaming.py::test_dedup_stream_state_eviction``
+    pins the eviction behavior (a re-sent hash is dropped inside the
+    horizon but re-emitted once the watermark has evicted it)."""
     hashed = stream.withColumn(
         "text_hash", F.md5(F.col(text_col))
     ).withColumn("event_time", F.col(ts_col).cast("timestamp"))
-    return hashed.withWatermark("event_time", watermark).dropDuplicates(
-        ["text_hash"]
-    )
+    return hashed.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(["text_hash"])
 
 
 CONV_STATE_SCHEMA = StructType(

@@ -73,3 +73,26 @@ def test_failed_request_messages_are_still_stashed(spark):
     assert len(r2) == 3
     ok = [r for r in r2 if not r["parse_error"]]
     assert {r["message"] for r in ok} == {"one", "two"}
+
+
+def test_regex_special_delimiter_is_literal(spark):
+    # ADVICE r2: the FrameDelimiter config value is literal text, but
+    # split() takes a Java regex — '|' or '.' used to split on EVERY
+    # character. Pin literal behavior for regex metachars, a multi-char
+    # delimiter, and an alphanumeric delimiter (which must NOT be
+    # backslash-escaped: \b would be a word boundary).
+    cases = [
+        ("|", "a|b|c", ["a", "b", "c"]),
+        (".", "one.two", ["one", "two"]),
+        ("$^", "x$^y$^z", ["x", "y", "z"]),
+        ("0", "a0b", ["a", "b"]),
+    ]
+    for delim, body, want in cases:
+        df = spark.createDataFrame([("r1", body)], "req_id string, body string")
+        got = [
+            r["text"]
+            for r in split_http_body(df, delimiter=delim)
+            .orderBy("msg_idx")
+            .collect()
+        ]
+        assert got == want, (delim, got)

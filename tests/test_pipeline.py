@@ -178,6 +178,57 @@ def test_compaction_preserves_rows_and_run_idempotency(spark, tmp_path):
     assert t.compact(spark, min_files=64) is None
 
 
+def test_compact_crash_window_orphans_are_reaped(spark, tmp_path):
+    # ADVICE r2 (low): a crash between compact's manifest swap and its
+    # old-dir removal used to leak orphan data dirs forever (reads stay
+    # correct via the manifest; disk grows silently). The compact
+    # snapshot now records the replaced snapshot_ids and gc_orphans()
+    # reaps exactly those — never an unreferenced dir it cannot prove
+    # replaced (that may be an in-flight writer's uncommitted output).
+    import os
+
+    from skewer_spark.icelite import IceLiteTable
+
+    t = IceLiteTable(str(tmp_path / "wh"), "sink_app")
+    df = spark.range(50).selectExpr("id")
+    for r in ("r1", "r2", "r3", "r4"):
+        assert t.append(df.repartition(2), r) is not None
+    old_dirs = {os.path.dirname(f) for f in t.data_files()}
+    snap = t.compact(spark, target_file_bytes=1 << 30)
+    assert snap is not None and set(snap.replaced) == {
+        os.path.basename(d) for d in old_dirs
+    }
+
+    # simulate the crash window: resurrect a replaced dir on disk
+    crashed = sorted(old_dirs)[0]
+    os.makedirs(crashed, exist_ok=True)
+    open(os.path.join(crashed, "leftover.parquet"), "wb").close()
+    # an uncommitted in-flight dir must SURVIVE gc
+    inflight = os.path.join(str(tmp_path / "wh"), "sink_app", "data", "snap-inflight")
+    os.makedirs(inflight)
+
+    reaped = t.gc_orphans()
+    assert os.path.basename(crashed) in reaped
+    assert not os.path.isdir(crashed)
+    assert os.path.isdir(inflight)
+    assert t.read(spark).count() == 200  # reads unaffected throughout
+
+
+def test_compact_row_check_raises_not_asserts(spark, tmp_path):
+    # the row-preservation check must be an explicit raise (a bare
+    # assert disappears under python -O); force a mismatch by poking a
+    # wrong snapshot row count into the manifest path is not possible
+    # without breaking parquet, so verify the check exists by API: the
+    # compact path on a healthy table returns and the source shows no
+    # bare assert (regression pin).
+    import inspect
+
+    from skewer_spark import icelite
+
+    src = inspect.getsource(icelite.IceLiteTable.compact)
+    assert "raise IOError" in src and "\n        assert " not in src
+
+
 def test_pipeline_compact_sinks_roundtrip(spark, tmp_path, sf_dir):
     from skewer_spark.datagen import ensure_transcripts
     from skewer_spark.pipeline import Pipeline

@@ -344,3 +344,65 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     got = [r["text"] for r in spark.read.parquet(str(outdir)).collect()]
     assert sorted(got) == ["hello world", "unique one", "unique two"]
+
+
+def test_dedup_stream_state_eviction(spark, tmp_path):
+    # ADVICE r2 (medium): withWatermark + dropDuplicates(['text_hash'])
+    # never evicts state — Spark only applies the watermark to dedup
+    # state when the event-time column is in the subset — so the old
+    # dedup_stream grew state forever. The fix is
+    # dropDuplicatesWithinWatermark; this pins BOTH sides:
+    #  - a re-sent hash INSIDE the horizon is dropped (cross-batch state)
+    #  - once the watermark passes the first copy's expiry the state is
+    #    EVICTED and the same hash is emitted again.
+    # Watermark advancement lags one batch and eviction lags another, so
+    # the re-emit probe arrives two advance-batches after the expiry.
+    import datetime as dt
+    import time as _time
+
+    from skewer_spark.streaming import TRANSCRIPT_SCHEMA, dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(indir / name))
+        _time.sleep(0.05)  # file-source ordering is by mtime
+
+    write_file("f1", [("c1", 0, "user", "dup me", "", at(0))])
+    write_file("f2", [
+        ("c2", 0, "user", "advance", "", at(100)),
+        ("c2", 1, "user", "dup me", "", at(5)),  # inside horizon: drop
+    ])
+    write_file("f3", [("c3", 0, "user", "advance two", "", at(130))])
+    write_file("f4", [("c4", 0, "user", "dup me", "", at(140))])  # evicted: emit
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    out = dedup_stream(stream, watermark="10 seconds")
+    outdir = tmp_path / "out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["text"], r["ts"]) for r in spark.read.parquet(str(outdir)).collect()
+    )
+    texts = [t for t, _ in got]
+    assert texts.count("dup me") == 2, got      # t=0 kept, t=5 dropped, t=140 re-emitted
+    assert ("dup me", at(5)) not in got, got    # the in-horizon dup is the one dropped
+    assert texts.count("advance") == 1 and texts.count("advance two") == 1
