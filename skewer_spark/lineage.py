@@ -45,8 +45,18 @@ LINEAGE_COLS = [
 
 
 class LineageLog:
-    """Append-only lineage journal with atomic commits (JSON lines file
-    swapped via os.replace; an Iceberg lineage table on a real cluster)."""
+    """Append-only JSON-lines lineage journal with torn-tail repair.
+
+    Durability model (mirrors the reference's resetStuckInSent
+    robustness, store/store.go:887-941): commits APPEND one line per
+    record and fsync; a crash mid-append leaves at most one partial
+    FINAL line, which readers tolerate (they stop at the last complete
+    line — the journal is exactly the prefix that was durably written)
+    and the next commit truncates before appending. Appending beats the
+    old rewrite-whole-file-and-replace scheme at scale too: commit cost
+    is O(new records), not O(history). A torn line anywhere but the
+    tail is real corruption and raises. Legacy whole-array files (the
+    pre-r3 format) are still readable."""
 
     def __init__(self, root: str):
         self.path = os.path.join(root, "_lineage.json")
@@ -54,8 +64,37 @@ class LineageLog:
     def _read(self) -> list[dict]:
         if not os.path.exists(self.path):
             return []
-        with open(self.path) as f:
-            return json.load(f)
+        with open(self.path, "rb") as f:
+            raw = f.read()
+        if raw[:1] == b"[":  # legacy single-JSON-array format
+            return json.loads(raw)
+        lines = raw.split(b"\n")
+        recs: list[dict] = []
+        for i, line in enumerate(lines):
+            if not line.strip():
+                continue
+            try:
+                recs.append(json.loads(line))
+            except ValueError:
+                if i == len(lines) - 1:
+                    break  # torn final line: crash mid-append, tolerated
+                raise ValueError(
+                    f"lineage journal corrupt at line {i + 1} (not the "
+                    "tail) — refusing to silently drop committed records"
+                )
+        return recs
+
+    def _repair_tail(self) -> None:
+        """Truncate a partial final line left by a crashed append, so
+        the next append starts on a clean line boundary."""
+        if not os.path.exists(self.path):
+            return
+        with open(self.path, "rb+") as f:
+            raw = f.read()
+            if not raw or raw.endswith(b"\n"):
+                return
+            cut = raw.rfind(b"\n") + 1  # 0 when no newline at all
+            f.truncate(cut)
 
     def records(self) -> pd.DataFrame:
         recs = self._read()
@@ -66,7 +105,6 @@ class LineageLog:
 
     def commit(self, records: list[dict]) -> None:
         now = time.time()
-        all_recs = self._read()
         for r in records:
             r.setdefault("committed_at", now)
             r.setdefault("min_key", "")  # stages without a key column
@@ -74,12 +112,21 @@ class LineageLog:
             missing = set(LINEAGE_COLS) - set(r)
             if missing:
                 raise ValueError(f"lineage record missing {missing}")
-        all_recs.extend(records)
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(all_recs, f, indent=0)
-        os.replace(tmp, self.path)
+        if os.path.exists(self.path):
+            with open(self.path, "rb") as f:
+                head = f.read(1)
+            if head == b"[":  # migrate legacy array file to JSONL once
+                legacy = self._read()
+                tmp = self.path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.writelines(json.dumps(r) + "\n" for r in legacy)
+                os.replace(tmp, self.path)
+        self._repair_tail()
+        with open(self.path, "a") as f:
+            f.writelines(json.dumps(r) + "\n" for r in records)
+            f.flush()
+            os.fsync(f.fileno())
 
 
 def snapshot_lineage(

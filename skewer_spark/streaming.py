@@ -109,6 +109,27 @@ def kafka_records_to_transcripts(records: DataFrame) -> DataFrame:
     )
 
 
+def configure_kafka_reader(
+    reader,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+):
+    """Apply the consumer options to a DataStreamReader (or any
+    object with ``.option(k, v)``). Factored out of read_kafka_stream
+    so the OPTION FLOW itself is testable in-sandbox: the connector
+    jar is absent here, so load() can never build a plan, but a
+    recorder stub through this function pins exactly which option
+    keys/values the production path sends — an option-name regression
+    cannot hide behind the connector skip
+    (tests/test_streaming.py::test_kafka_option_flow_without_broker)."""
+    for k, v in kafka_source_options(
+        bootstrap_servers, topics, starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return reader
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -120,11 +141,12 @@ def read_kafka_stream(
     spark-sql-kafka connector on the classpath; without it Spark
     raises 'Failed to find data source: kafka' at load() time (the
     sandbox state — pinned by tests/test_streaming.py)."""
-    reader = spark.readStream.format("kafka")
-    for k, v in kafka_source_options(
-        bootstrap_servers, topics, starting_offsets
-    ).items():
-        reader = reader.option(k, v)
+    reader = configure_kafka_reader(
+        spark.readStream.format("kafka"),
+        bootstrap_servers,
+        topics,
+        starting_offsets,
+    )
     return kafka_records_to_transcripts(reader.load())
 
 

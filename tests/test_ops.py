@@ -81,13 +81,35 @@ def test_multimodal_metadata_matches_text(spark):
     assert (m.feature_csv.str.count(",") == 7).all()
 
 
-def test_multimodal_decode_stubs_raise():
+def test_multimodal_decode_boundaries():
+    # image decode remains the env-limited stub; audio decode is now
+    # REAL for WAV (stdlib wave) with the NotImplementedError boundary
+    # moved to codec level (non-WAV containers)
     from skewer_spark.ops.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+        decode_audio(b"OggS....")  # not a RIFF/WAVE container
+
+
+def test_wav_decode_roundtrip():
+    # synth -> real WAV bytes -> decode_audio recovers rate + samples
+    import numpy as np
+
+    from skewer_spark.ops.multimodal import (
+        WAV_RATE,
+        decode_audio,
+        synth_wav_bytes,
+        synth_wav_samples,
+    )
+
+    for doc_id in (0, 7, 101, 100063):
+        payload = synth_wav_bytes(doc_id)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        rate, samples = decode_audio(payload)
+        assert rate == WAV_RATE
+        assert np.array_equal(samples, synth_wav_samples(doc_id))
 
 
 def test_ann_numpy_equals_sql_strategy(spark, sf_dir):

