@@ -885,6 +885,39 @@ SELECT doc_id,
 FROM w GROUP BY doc_id"""
 
 
+def q_image_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode path: each document gets a genuine
+    uncompressed 24-bit BMP (struct-packed headers, bottom-up padded
+    BGR rows); width/height come from the parsed header and channel
+    sums from the decoded pixel array. The oracle recomputes the sums
+    from the pixel-generator arithmetic alone, so a padding/BGR/row-
+    order decode bug breaks the hash match. Together with
+    audio_wav_features this moves the multimodal env-limit boundary to
+    codec level (PNG/JPEG still raise) for BOTH image and audio."""
+    from skewer_spark.ops.multimodal import bmp_features, image_bmp_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bmp_features(image_bmp_corpus(docs))
+
+
+def _image_bmp_oracle(sf: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+  FROM read_parquet('{sf}/documents.parquet')
+),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+SELECT doc_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(sum((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 11 + x * 13 + y * 17) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 19 + x * 23 + y * 29) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id"""
+
+
 def _multimodal_oracle() -> str:
     # mirror _fake_feature: stride d::8 over utf-8 bytes (ascii corpus)
     dims = []
@@ -1347,6 +1380,7 @@ GROUP BY sink""",
         **_canonical_oracles(),
         "multimodal_features": _multimodal_oracle(),
         "audio_wav_features": _audio_wav_oracle(sf),
+        "image_bmp_features": _image_bmp_oracle(sf),
         "decode_journald": """
 SELECT event_id,
   cast(event_id % 8 AS INT) AS severity,
@@ -1536,6 +1570,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_custom_filter": q_route_custom_filter,
         "value_percentiles_approx": ops.pop("value_percentiles_approx"),
         "audio_wav_features": q_audio_wav_features,
+        "image_bmp_features": q_image_bmp_features,
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),

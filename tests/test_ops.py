@@ -82,15 +82,30 @@ def test_multimodal_metadata_matches_text(spark):
 
 
 def test_multimodal_decode_boundaries():
-    # image decode remains the env-limited stub; audio decode is now
-    # REAL for WAV (stdlib wave) with the NotImplementedError boundary
-    # moved to codec level (non-WAV containers)
+    # audio and image decode are REAL for WAV/BMP (stdlib wave/struct);
+    # the NotImplementedError boundary is codec-level now: compressed
+    # containers that genuinely need an external library still raise
     from skewer_spark.ops.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\x89PNG....")  # compressed container
     with pytest.raises(NotImplementedError):
         decode_audio(b"OggS....")  # not a RIFF/WAVE container
+
+
+def test_bmp_decode_roundtrip():
+    import numpy as np
+
+    from skewer_spark.ops.multimodal import (
+        decode_image,
+        synth_bmp_bytes,
+        synth_bmp_pixels,
+    )
+
+    for doc_id in (0, 5, 13, 100042):
+        payload = synth_bmp_bytes(doc_id)
+        assert payload[:2] == b"BM"
+        assert np.array_equal(decode_image(payload), synth_bmp_pixels(doc_id))
 
 
 def test_wav_decode_roundtrip():
