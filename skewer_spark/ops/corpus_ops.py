@@ -810,6 +810,24 @@ FROM (
 ) AS b"""
 
 
+def approx_distinct_users_sql() -> str:
+    """HLL cardinality per event type — the second sketch aggregate a
+    10^12-row rollup actually ships (exact count(DISTINCT) needs a full
+    shuffle of every key; the HLL sketch is mergeable map-side). Same
+    verification pattern as value_percentiles_approx: each engine's
+    sketch (Spark HLL++ rsd=0.02, DuckDB HLL) is checked against ITS
+    OWN exact distinct count at ±5%, so the oracle-checked output is
+    the tolerance verdict, not two incompatible sketch values."""
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       (abs(CAST(APXCD(user_id) AS DOUBLE)
+              - CAST(count(DISTINCT user_id) AS DOUBLE))
+          <= 0.05 * CAST(count(DISTINCT user_id) AS DOUBLE))
+         AS hll_in_tol
+FROM events GROUP BY event_type"""
+
+
 def corpus_quality_expr() -> str:
     """The quality_score heuristic as a reusable expression over a
     relation aliased ``t`` (same formula as quality_score_sql)."""

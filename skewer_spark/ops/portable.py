@@ -123,6 +123,11 @@ def to_spark(sql: str) -> str:
         sql, "APXQ",
         lambda a: "approx_percentile({}, {}, 10000)".format(*_split_top(a)),
     )
+    # approximate distinct count (HLL++ at rsd=0.02 on Spark, HLL on
+    # DuckDB) — same own-exact-tolerance pattern as APXQ
+    sql = _expand_call(
+        sql, "APXCD", lambda a: f"approx_count_distinct({a}, 0.02)"
+    )
     # replace-ALL regex substitution (Spark's default; DuckDB needs 'g')
     sql = _expand_call(
         sql,
@@ -170,6 +175,9 @@ def to_duck(sql: str) -> str:
     sql = _expand_call(
         sql, "APXQ",
         lambda a: "approx_quantile({}, {})".format(*_split_top(a)),
+    )
+    sql = _expand_call(
+        sql, "APXCD", lambda a: f"approx_count_distinct({a})"
     )
     sql = _expand_call(
         sql,

@@ -537,6 +537,7 @@ def _ops_registry() -> dict[str, str]:
             "asof_join": C.asof_join_sql(),
             "value_percentiles": C.value_percentiles_sql(),
             "value_percentiles_approx": C.value_percentiles_approx_sql(),
+            "approx_distinct_users": C.approx_distinct_users_sql(),
             "frame_sample": C.frame_sample_sql(),
             "token_rarity": C.token_rarity_sql(),
             "dedup_normalized": C.dedup_normalized_sql(),
@@ -1571,6 +1572,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_approx": ops.pop("value_percentiles_approx"),
         "audio_wav_features": q_audio_wav_features,
         "image_bmp_features": q_image_bmp_features,
+        "approx_distinct_users": ops.pop("approx_distinct_users"),
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),

@@ -375,3 +375,91 @@ def conversation_state_stream(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------- sessionize
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_idx", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("duration_us", LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("sess_idx", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming twin of the batch sessionize op (corpus_ops.
+    sessionize_sql): gap-based sessions per user over an event-time
+    stream, emitted as each session CLOSES — either because a later
+    event of the same user arrives past the gap, or because the
+    event-time timeout fires when the watermark passes last_event +
+    gap (the open session is flushed and state removed, so state is
+    bounded by ACTIVE users, never by history). Output rows match the
+    batch op's schema exactly; the equivalence is pinned by
+    tests/test_streaming.py::test_sessionize_stream_matches_batch,
+    the same oracle-anchoring pattern as conversation_state_stream
+    vs conv_rollup.
+
+    Requires ``withWatermark`` on event_time upstream (the test uses
+    the standard data / advance / reap micro-batch sequence: timeouts
+    fire in the batch AFTER the watermark passes, and the watermark
+    itself lags one batch). Late events beyond the watermark are
+    dropped by Spark before reaching the kernel — the documented
+    streaming-vs-batch semantic difference of every watermarked
+    operator."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+
+        def row(si: int, st: int, la: int, n: int) -> tuple:
+            return (int(user_id), si, n, st, la - st)
+
+        if state.hasTimedOut:
+            if state.exists:
+                si, st, la, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [row(si, st, la, n)], columns=SESSION_OUT_SCHEMA.names
+                )
+            return
+        si, st, la, n = state.get if state.exists else (0, -1, -1, 0)
+        closed: list[tuple] = []
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(
+                int(pd.Timestamp(t).value) // 1000 for t in pdf["event_time"]
+            )
+        for tus in sorted(times):
+            if st < 0:
+                si, st, la, n = si + 1, tus, tus, 1
+            elif tus - la > gap_us:
+                closed.append(row(si, st, la, n))
+                si, st, la, n = si + 1, tus, tus, 1
+            else:
+                la, n = tus, n + 1
+        state.update((si, st, la, n))
+        state.setTimeoutTimestamp(la // 1000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=SESSION_OUT_SCHEMA.names)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -448,3 +448,61 @@ def test_kafka_option_flow_without_broker(spark):
         assert df.isStreaming
     except AnalysisException as e:
         assert "Failed to find data source: kafka" in str(e)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path, sf_dir):
+    # the stateful streaming sessionizer must converge to EXACTLY the
+    # batch sessionize op's output once every session has closed — the
+    # same oracle-anchoring pattern as conversation_state_stream vs
+    # conv_rollup. Micro-batch sequence: all real events, a
+    # watermark-advancing sentinel, a reap batch (timeouts fire the
+    # batch AFTER the watermark passes; the watermark lags one batch).
+    import datetime as dt
+    import time as _time
+
+    from skewer_spark.queries import _make_ops_query
+    from skewer_spark.streaming import sessionize_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    indir = tmp_path / "ev"
+    indir.mkdir()
+
+    def write_file(name, df):
+        df.coalesce(1).write.mode("overwrite").parquet(str(indir / name))
+        _time.sleep(0.05)
+
+    sent_schema = "user_id long, ts timestamp_ntz"
+    write_file("f1", events.select("user_id", "ts"))
+    write_file("f2", spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(minutes=90))], sent_schema))
+    write_file("f3", spark.createDataFrame(
+        [(-2, max_ts + dt.timedelta(minutes=180))], sent_schema))
+
+    stream = (
+        spark.readStream.schema(sent_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", "1 second")
+    )
+    out = sessionize_stream(stream)
+    outdir = tmp_path / "out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(str(outdir)).collect()
+        if r["user_id"] >= 0
+    )
+    want = sorted(
+        tuple(r)
+        for r in _make_ops_query("sessionize")(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 20
