@@ -828,6 +828,48 @@ SELECT event_type,
 FROM events GROUP BY event_type"""
 
 
+def contamination_flags_sql(
+    bench_mod: int = 31, bench_rem: int = 7, max_shingle_freq: int = 50
+) -> str:
+    """Benchmark decontamination — the training-data op that keeps eval
+    sets out of the corpus: a document is CONTAMINATED when it shares
+    any (non-boilerplate) 3-gram shingle with a benchmark document.
+    The benchmark set here is a deterministic hash slice of the corpus
+    (doc_id % {mod} = {rem}), standing in for an external eval suite.
+
+    Scale shape: everything is equality joins on the shingle string —
+    no pairwise document comparison. Super-common shingles (> freq
+    docs) are pruned FIRST, which is both standard decontamination
+    practice (boilerplate n-grams carry no contamination signal) and
+    the skew guard: the join's hottest keys are removed before the
+    shuffle, bounding per-key fan-out at max_shingle_freq x bench
+    density. Per-doc output (n_bench_hits, contaminated) joins back to
+    the corpus with a LEFT JOIN so clean docs report 0/false."""
+    return f"""WITH {CORPUS}, {SHINGLES},
+shx AS (SELECT doc_id, EXPLODE(shingles) AS s FROM sh),
+shd AS (SELECT DISTINCT doc_id, s FROM shx),
+common AS (
+  SELECT s FROM shd GROUP BY s HAVING count(*) > {max_shingle_freq}
+),
+pruned AS (
+  SELECT doc_id, s FROM shd WHERE s NOT IN (SELECT s FROM common)
+),
+bench AS (
+  SELECT doc_id, s FROM pruned WHERE doc_id % {bench_mod} = {bench_rem}
+),
+hits AS (
+  SELECT DISTINCT c.doc_id, b.doc_id AS bench_doc
+  FROM pruned c JOIN bench b ON b.s = c.s AND c.doc_id <> b.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_hits,
+       (t.doc_id % {bench_mod} = {bench_rem}) AS is_benchmark,
+       (COALESCE(h.n, 0) > 0) AS contaminated
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM corpus) t
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM hits GROUP BY doc_id) h
+  ON h.doc_id = t.doc_id"""
+
+
 def corpus_quality_expr() -> str:
     """The quality_score heuristic as a reusable expression over a
     relation aliased ``t`` (same formula as quality_score_sql)."""

@@ -538,6 +538,7 @@ def _ops_registry() -> dict[str, str]:
             "value_percentiles": C.value_percentiles_sql(),
             "value_percentiles_approx": C.value_percentiles_approx_sql(),
             "approx_distinct_users": C.approx_distinct_users_sql(),
+            "contamination_flags": C.contamination_flags_sql(),
             "frame_sample": C.frame_sample_sql(),
             "token_rarity": C.token_rarity_sql(),
             "dedup_normalized": C.dedup_normalized_sql(),
@@ -1573,6 +1574,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_features": q_audio_wav_features,
         "image_bmp_features": q_image_bmp_features,
         "approx_distinct_users": ops.pop("approx_distinct_users"),
+        "contamination_flags": ops.pop("contamination_flags"),
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),

@@ -400,3 +400,22 @@ def test_frame_sampling_executes_plan_over_payloads(spark, sf_dir):
     assert p == sorted(p) and p[0] == 0
     assert all(len(x["frame_feature"]) == 8 for x in r)
     assert all(isinstance(x["frame_bytes"], (bytes, bytearray)) for x in r)
+
+
+def test_contamination_flags_catch_benchmark_dups(spark, sf_dir):
+    # an exact duplicate (doc_id+100000) of a benchmark doc shares all
+    # its shingles and MUST flag contaminated; benchmark membership is
+    # the deterministic hash slice doc_id % 31 == 7
+    rows = _make_ops_query("contamination_flags")(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    bench_dups = [
+        r for r in rows
+        if 100000 <= r["doc_id"] < 200000
+        and (r["doc_id"] - 100000) % 31 == 7
+    ]
+    assert bench_dups, "fixture must contain duplicates of benchmark docs"
+    for r in bench_dups:
+        assert r["contaminated"] and r["n_bench_hits"] >= 1, r
+        # and the duplicated benchmark doc sees its clone right back
+        assert by_id[r["doc_id"] - 100000]["is_benchmark"]
+    assert any(not r["contaminated"] for r in rows)  # clean docs exist
