@@ -183,3 +183,44 @@ def test_dedup_edge_generation_is_equijoin_only(spark):
         df = spark.sql(to_spark(C.edges_select_sql(ctes)))
         plan = plan_of(df)
         assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_contamination_plan_is_broadcast_equijoin_only(spark):
+    # decontamination must stay equality joins: the common-shingle
+    # prune plans as a broadcast LEFT ANTI, the bench-hits join as a
+    # broadcast hash join (an eval suite is tiny next to the corpus) —
+    # never a CartesianProduct / nested-loop fallback from the NOT IN
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    plan = plan_of(spark.sql(to_spark(C.contamination_flags_sql())))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_hook_fanout_plan_shape(spark, sf_dir):
+    # a hooked rule adds exactly ONE FlatMapGroupsInPandas stage (the
+    # hook's groupBy shuffle) on top of the spine; the fan-out stays a
+    # single projection (no per-rule recompute, no extra exchanges
+    # beyond the hook's own)
+    from skewer_spark.routing import filter_hooks as FH
+
+    parsed = load_parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "appname", "message", "parse_error"
+    )
+    rules = (
+        R.RouteRule("sink_limited", "'limited'", "TRUE",
+                    partition_key_expr="'pk'",
+                    partition_number_expr="turn_idx % 32",
+                    filter_hook="rate_limit_mask"),
+        R.RouteRule("sink_all", "'everything'", "TRUE",
+                    partition_key_expr="'pk'",
+                    partition_number_expr="turn_idx % 32"),
+    )
+    routed = R.route_fanout(FH.apply_hooks_for_rules(parsed, rules), rules)
+    plan = plan_of(routed)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1  # the parse UDF, once
+    assert "CartesianProduct" not in plan
