@@ -240,19 +240,38 @@ class IceLiteTable:
         return reaped
 
     # ---------------------------------------------------------- read
-    def data_files(self) -> list[str]:
+    def data_files(self, as_of: str | None = None) -> list[str]:
+        """Committed data files, optionally pinned to the table state
+        AS OF a snapshot id: the manifest is an ordered commit log, so
+        time travel = every snapshot up to and including ``as_of`` —
+        the Iceberg ``VERSION AS OF`` read. Travel reaches back only as
+        far as history survives: ``overwrite`` and ``compact`` replace
+        the manifest (IceLite keeps one timeline file, real Iceberg
+        retains old snapshots until its own GC expires them), so a
+        pre-compaction id raises KeyError rather than silently reading
+        the wrong state."""
+        snaps = self.snapshots()
+        if as_of is not None:
+            ids = [s.snapshot_id for s in snaps]
+            if as_of not in ids:
+                raise KeyError(
+                    f"snapshot {as_of!r} not in {self.name}'s manifest "
+                    f"(history before an overwrite/compaction is expired); "
+                    f"available: {ids}"
+                )
+            snaps = snaps[: ids.index(as_of) + 1]
         files: list[str] = []
-        for s in self.snapshots():
+        for s in snaps:
             d = os.path.join(self.dir, "data", s.snapshot_id)
             files.extend(
                 os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
             )
         return files
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame:
         if not self.snapshots():
             raise FileNotFoundError(f"IceLite table {self.name} has no committed snapshots")
-        files = self.data_files()
+        files = self.data_files(as_of)
         if not files:  # committed but empty (e.g. no rejected rows this run)
             from pyspark.sql.types import StructType
 

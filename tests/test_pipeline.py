@@ -310,3 +310,27 @@ def test_lineage_legacy_array_migration(tmp_path):
     log.commit([rec])
     assert list(log.records().run_id) == ["r0", "r1"]
     assert open(log.path, "rb").read()[:1] == b"{"      # migrated to JSONL
+
+
+def test_time_travel_reads(spark, tmp_path):
+    # Iceberg VERSION AS OF analog: as_of pins the read to the commit
+    # log prefix ending at that snapshot; compaction expires history
+    # (single-timeline manifest) and a stale id raises instead of
+    # silently reading the wrong state
+    import pytest as _pytest
+
+    from skewer_spark.icelite import IceLiteTable
+
+    t = IceLiteTable(str(tmp_path / "wh"), "sink_app")
+    s1 = t.append(spark.range(10).selectExpr("id"), "r1")
+    s2 = t.append(spark.range(5).selectExpr("id + 100 AS id"), "r2")
+    assert t.read(spark).count() == 15
+    assert t.read(spark, as_of=s1.snapshot_id).count() == 10
+    assert t.read(spark, as_of=s2.snapshot_id).count() == 15
+    with _pytest.raises(KeyError, match="not in"):
+        t.read(spark, as_of="snap-nonexistent")
+
+    snap = t.compact(spark, target_file_bytes=1 << 30, min_files=2)
+    assert t.read(spark, as_of=snap.snapshot_id).count() == 15
+    with _pytest.raises(KeyError, match="expired"):
+        t.read(spark, as_of=s1.snapshot_id)
