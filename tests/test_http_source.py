@@ -96,3 +96,27 @@ def test_regex_special_delimiter_is_literal(spark):
             .collect()
         ]
         assert got == want, (delim, got)
+
+
+def test_delimiter_escaping_sweep(spark):
+    # seeded sweep over hostile delimiters: every ASCII punctuation
+    # char, plus multi-char regex fragments; one DataFrame per sweep
+    # (not per case) keeps this fast. Reference semantics computed in
+    # pure Python: split on the LITERAL delimiter, trim delimiter chars
+    # then whitespace, drop empties.
+    import string
+
+    delims = [c for c in string.punctuation] + ["()", "[]", "\\d", "a|b", "$^", ".*"]
+    rows, want = [], {}
+    for i, d in enumerate(delims):
+        parts = [f"x{i}", f"y{i} mid", f"z{i}"]
+        body = d + d.join(parts) + d
+        rid = f"r{i}"
+        rows.append((rid, body))
+        trimmed = [p.strip("".join(set(d))).strip() for p in body.split(d)]
+        want[rid] = [p for p in trimmed if p]
+    df = spark.createDataFrame(rows, "req_id string, body string")
+    for i, d in enumerate(delims):
+        one = split_http_body(df.where(F.col("req_id") == f"r{i}"), delimiter=d)
+        got = [r["text"] for r in one.orderBy("msg_idx").collect()]
+        assert got == want[f"r{i}"], (d, got, want[f"r{i}"])

@@ -334,3 +334,42 @@ def test_time_travel_reads(spark, tmp_path):
     assert t.read(spark, as_of=snap.snapshot_id).count() == 15
     with _pytest.raises(KeyError, match="expired"):
         t.read(spark, as_of=s1.snapshot_id)
+
+
+def test_lineage_torn_at_every_offset(tmp_path):
+    # exhaustive crash-point sweep: truncate the journal at EVERY byte
+    # offset inside the final record; the reader must always return the
+    # durable prefix (2 records) and never raise — then a fresh commit
+    # must repair and extend from any of those states
+    from skewer_spark.lineage import LineageLog
+
+    def mk(tag):
+        return dict(run_id=tag, stage="route", sink="sink_app",
+                    partition_id=0, rows_in=1, rows_out=1, wall_ms=1)
+
+    base = LineageLog(str(tmp_path / "base"))
+    base.commit([mk("r1")])
+    base.commit([mk("r2")])
+    base.commit([mk("r3")])
+    full = open(base.path, "rb").read()
+    lines = full.splitlines(keepends=True)
+    assert len(lines) == 3
+    prefix = b"".join(lines[:2])
+    last = lines[2]
+
+    for cut in range(1, len(last)):
+        d = tmp_path / f"c{cut}"
+        d.mkdir()
+        log = LineageLog(str(d))
+        with open(log.path, "wb") as f:
+            f.write(prefix + last[:cut])
+        recs = log.records()
+        # a partial cut of the final record is not valid JSON, so the
+        # reader sees exactly the durable 2-record prefix — except the
+        # newline-only cut, where the record IS fully durable and counts
+        want = ["r1", "r2", "r3"] if cut == len(last) - 1 else ["r1", "r2"]
+        assert list(recs.run_id) == want, (cut, list(recs.run_id))
+        log.commit([mk("r9")])
+        assert list(log.records().run_id)[-1] == "r9"
+        raw = open(log.path, "rb").read()
+        assert raw.endswith(b"\n")
