@@ -506,3 +506,48 @@ def test_sessionize_stream_matches_batch(spark, tmp_path, sf_dir):
         for r in _make_ops_query("sessionize")(spark, sf_dir).collect()
     )
     assert got == want and len(got) > 20
+
+
+def test_exactly_once_stream_replay(spark, tmp_path, sf_dir):
+    # foreachBatch is at-least-once per epoch; the pipeline's
+    # run_id-keyed snapshot ledger must turn that into exactly-once:
+    # (a) the streamed total equals the batch pipeline on the same
+    # input, (b) manually REPLAYING an epoch (the post-crash case)
+    # changes nothing
+    from skewer_spark.pipeline import Pipeline
+    from skewer_spark.queries import load_transcripts
+    from skewer_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        start_exactly_once_pipeline_stream,
+    )
+
+    tr = load_transcripts(spark, sf_dir)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    tr.repartition(3).write.mode("overwrite").parquet(str(indir / "t"))
+
+    wh = str(tmp_path / "wh")
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "t"))
+    )
+    q = start_exactly_once_pipeline_stream(
+        stream, spark, wh, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    pipe = Pipeline(spark, wh)
+    streamed = {
+        s: pipe.table(s).read(spark).count()
+        for s in ("sink_app", "sink_security", "sink_tools", "sink_default")
+    }
+    ref = Pipeline(spark, str(tmp_path / "wh_batch")).run(tr, run_id="all")
+    assert streamed == {k: v for k, v in ref.sink_rows.items() if k in streamed}
+
+    # replay epoch 0 (same data, same run_id): every unit skips
+    first_file = sorted((indir / "t").glob("part-*.parquet"))[0]
+    epoch0 = spark.read.parquet(str(first_file))
+    res = pipe.run(epoch0, run_id="epoch-00000000")
+    assert len(res.skipped_units) >= 5
+    assert pipe.table("sink_app").read(spark).count() == streamed["sink_app"]
