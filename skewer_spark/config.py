@@ -132,7 +132,7 @@ def load_config(
     maps a source name (``sink_<port>`` / ``sink_<socket basename>`` /
     ``sink_<idx>``) to a registered filter-hook name, replacing that
     source's JS ``filter_func``."""
-    from skewer_spark.parsing.registry import _REGISTRY as _PARSERS
+    from skewer_spark.parsing.registry import has_parser
     from skewer_spark.routing.filter_hooks import get_filter_hook
 
     hook_overrides = hook_overrides or {}
@@ -147,7 +147,7 @@ def load_config(
     for p in conf.get("parser", []):
         name = p.get("name", "")
         out.custom_parsers.append(name)
-        if name not in _PARSERS:
+        if not has_parser(name):
             warn(
                 f"[[parser]] {name!r} is a JS parser; register a "
                 "vectorized kernel under this name with "
@@ -165,7 +165,7 @@ def load_config(
         )
         fmt_raw = str(s.get("format", "auto"))
         fmt = _FORMAT_ALIASES.get(fmt_raw.lower(), fmt_raw)
-        if fmt not in _PARSERS:
+        if not has_parser(fmt):
             warn(
                 f"{name}: format {fmt_raw!r} has no registered parser — "
                 "rows will degrade loudly as parse_format='unknown:...'"

@@ -40,6 +40,10 @@ def register_parser(name: str, kernel: ParseKernel) -> None:
     _REGISTRY[name] = kernel
 
 
+def has_parser(name: str) -> bool:
+    return name in _REGISTRY
+
+
 def get_parser(name: str) -> ParseKernel:
     try:
         return _REGISTRY[name]
