@@ -97,6 +97,111 @@ def parse_kv_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
 register_parser("kv", parse_kv_batch)
 
 
+def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
+    """Vectorized pJSON kernel: the dispatchable twin of the
+    Column-based ``encoders.decode_json`` (RegularSyslog.Internal(),
+    decoders/json_format.go:13-20), so a config with ``format="json"``
+    (config.py) routes through the same per-source dispatch as every
+    other format. Semantics pinned EQUAL to the Column path by
+    ``tests/test_parse_units.py::test_json_kernel_matches_column_decoder``:
+    facility/severity names -> codes with the reference defaults
+    (user=1 / info=6), Version forced 1, priority recomputed,
+    structured cleared, two-level properties -> sorted 'sid|k=v'
+    lines. Invalid JSON degrades loudly (parse_error=True, raw line in
+    message) like the rest of the dispatch surface."""
+    import json
+
+    from skewer_spark.dims import FACILITIES, SEVERITIES
+
+    fmap = {name: code for code, name in FACILITIES}
+    smap = {name: code for code, name in SEVERITIES}
+    t = text.fillna("").reset_index(drop=True)
+    ing = pd.to_numeric(ingest_us, errors="coerce").fillna(0).astype("int64")
+    ing = ing.reset_index(drop=True)
+    n = len(t)
+    cols: dict[str, list] = {k: [] for k in (
+        "priority", "facility", "severity", "time_reported",
+        "time_generated", "hostname", "appname", "procid", "msgid",
+        "message", "props_flat", "parse_error",
+    )}
+
+    def ts_us(v: object, fallback: int) -> int:
+        if not v:
+            return fallback
+        try:
+            return int(pd.Timestamp(str(v)).value // 1000)
+        except ValueError:
+            return fallback
+
+    for i in range(n):
+        raw = t.iloc[i]
+        fb = int(ing.iloc[i])
+        try:
+            obj = json.loads(raw)
+            if not isinstance(obj, dict):
+                raise ValueError("not an object")
+        except ValueError:
+            obj = None
+        if obj is None:
+            cols["priority"].append(0)
+            cols["facility"].append(0)
+            cols["severity"].append(0)
+            cols["time_reported"].append(fb)
+            cols["time_generated"].append(fb)
+            for k in ("hostname", "appname", "procid", "msgid"):
+                cols[k].append("")
+            cols["message"].append(raw.strip())
+            cols["props_flat"].append("")
+            cols["parse_error"].append(True)
+            continue
+        fac = fmap.get(obj.get("facility"), 1)
+        sev = smap.get(obj.get("severity"), 6)
+        cols["priority"].append(fac * 8 + sev)
+        cols["facility"].append(fac)
+        cols["severity"].append(sev)
+        cols["time_reported"].append(ts_us(obj.get("timereported"), fb))
+        cols["time_generated"].append(ts_us(obj.get("timegenerated"), fb))
+        for k in ("hostname", "appname", "procid", "msgid", "message"):
+            cols[k if k != "message" else "message"].append(
+                str(obj.get(k) or "")
+            )
+        props = obj.get("properties") or {}
+        lines = sorted(
+            f"{sid}|{k}={v}"
+            for sid, kv in props.items()
+            if isinstance(kv, dict)
+            for k, v in kv.items()
+        )
+        cols["props_flat"].append("\n".join(lines))
+        cols["parse_error"].append(False)
+
+    err = pd.Series(cols["parse_error"], dtype="bool")
+    return pd.DataFrame(
+        {
+            "priority": pd.Series(cols["priority"], dtype="int32"),
+            "facility": pd.Series(cols["facility"], dtype="int32"),
+            "severity": pd.Series(cols["severity"], dtype="int32"),
+            # error rows carry a fully-zeroed header (the forced-5424
+            # convention from the r1 ADVICE fix)
+            "version": np.where(err.to_numpy(), 0, 1).astype("int32"),
+            "time_reported": pd.Series(cols["time_reported"], dtype="int64"),
+            "time_generated": pd.Series(cols["time_generated"], dtype="int64"),
+            "hostname": cols["hostname"],
+            "appname": cols["appname"],
+            "procid": cols["procid"],
+            "msgid": cols["msgid"],
+            "structured": [""] * n,
+            "message": cols["message"],
+            "props_flat": cols["props_flat"],
+            "parse_format": ["json"] * n,
+            "parse_error": err,
+        }
+    )
+
+
+register_parser("json", parse_json_batch)
+
+
 def _unknown_format_frame(
     text: pd.Series, ingest_us: pd.Series, name: str
 ) -> pd.DataFrame:

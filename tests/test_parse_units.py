@@ -521,3 +521,50 @@ def test_w3c_decode_through_charset_transcode(spark):
     flats = {r["w3c_flat"] for r in rows}
     assert any("c-ip=café-host" in f for f in flats)
     assert any("c-ip=10.0.0.1" in f for f in flats)
+
+
+def test_json_kernel_matches_column_decoder(spark, sf_dir):
+    # the dispatchable pJSON kernel (registry 'json') and the
+    # Column-based encoders.decode_json must produce IDENTICAL internal
+    # fields on the whole encoded corpus — same dual-implementation
+    # parity contract as the four syslog kernels
+    from skewer_spark import enrich as enr
+    from skewer_spark.encoders import decode_json, encode_json
+    from skewer_spark.parsing.registry import parse_json_batch
+    from skewer_spark.queries import load_parsed
+
+    p = enr.enrich(load_parsed(spark, sf_dir), spark).where("NOT parse_error")
+    lines_df = p.select("conv_id", "turn_idx", encode_json().alias("line"))
+    want = (
+        decode_json(lines_df)
+        .select(
+            "conv_id", "turn_idx", "priority", "facility", "severity",
+            "version", "time_reported", "time_generated", "hostname",
+            "appname", "procid", "msgid", "structured", "message",
+            "props_flat",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src = lines_df.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got = parse_json_batch(src["line"], pd.Series([0] * len(src), dtype="int64"))
+    for col in ("priority", "facility", "severity", "version",
+                "time_reported", "time_generated", "hostname", "appname",
+                "procid", "msgid", "structured", "message", "props_flat"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    assert not got["parse_error"].any()
+
+
+def test_json_kernel_degrades_on_invalid():
+    from skewer_spark.parsing.registry import parse_json_batch
+
+    got = parse_json_batch(
+        pd.Series(['{"facility": "kern"', "[1,2]", '{"severity": "crit"}']),
+        pd.Series([5, 5, 5], dtype="int64"),
+    )
+    assert list(got["parse_error"]) == [True, True, False]
+    assert got["version"].tolist() == [0, 0, 1]
+    assert got["time_reported"].tolist()[:2] == [5, 5]  # ingest fallback
+    assert got["facility"].tolist() == [0, 0, 1]   # default user=1 on valid
+    assert got["severity"].tolist() == [0, 0, 2]   # crit=2
