@@ -249,24 +249,43 @@ def dedup_canonical(
     return _canonicalize(spark, sf_dir, C.minhash_edge_ctes(threshold, cap))
 
 
-def dedup_simhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_canonical(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    cap: int = 48,
+) -> DataFrame:
     """SimHash dedup verdicts: popcount-verified pairs in normal band
     buckets, exact-signature star subgroups in oversized ones (the
-    round-1 617k-pair blowup becomes ~one assignment row per doc)."""
-    return _canonicalize(spark, sf_dir, C.simhash_edge_ctes())
+    round-1 617k-pair blowup becomes ~one assignment row per doc).
+    Defaults are the production configuration (simhash band buckets
+    collide easily, so cap=48 is both the gate and production value —
+    the sf corpora have 416/4017-doc buckets, exercising both paths)."""
+    return _canonicalize(
+        spark, sf_dir, C.simhash_edge_ctes(max_hamming, cap)
+    )
 
 
-def embed_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_canonical(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_tables: int = 16,
+    bits: int = 4,
+) -> DataFrame:
     """Embedding near-dup verdicts: LSH-candidate edges verified by
     exact cosine, connected components, (vec_id, cluster_id, keep) —
     the third dedup family (exact / text-LSH / embedding) ending in
-    per-item keep/drop instead of pair lists."""
+    per-item keep/drop instead of pair lists. threshold/n_tables/bits
+    plumb to ``embed_edge_ctes`` (defaults = the measured-recall-0.96
+    configuration, which is also the gate configuration)."""
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
         "embeddings"
     )
     edges = spark.sql(
         to_spark(
-            f"WITH {C.embed_edge_ctes()} SELECT CAST(a AS BIGINT) AS a, "
+            f"WITH {C.embed_edge_ctes(threshold, n_tables, bits)} "
+            f"SELECT CAST(a AS BIGINT) AS a, "
             f"CAST(b AS BIGINT) AS b FROM edges"
         )
     )
