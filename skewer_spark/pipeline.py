@@ -174,11 +174,19 @@ class Pipeline:
         df = transcripts
         if self.salt_partitions:
             df = salted_repartition(df, self.salt_partitions)
+        from skewer_spark.routing.filter_hooks import apply_hooks_for_rules
+
         parsed = self._status(parse_transcripts(df))
         if status_aware:
-            return R.route_fanout(enr.enrich(parsed, self.spark), self.rules, status_aware=True)
+            enriched = apply_hooks_for_rules(
+                enr.enrich(parsed, self.spark), self.rules
+            )
+            return R.route_fanout(enriched, self.rules, status_aware=True)
         passing = parsed.where(F.col("route_status") == "passing")
-        return R.route_fanout(enr.enrich(passing, self.spark), self.rules)
+        enriched = apply_hooks_for_rules(
+            enr.enrich(passing, self.spark), self.rules
+        )
+        return R.route_fanout(enriched, self.rules)
 
     # ------------------------------------------------------------ replay
     def replay_dead_letter(
@@ -263,8 +271,16 @@ class Pipeline:
                     F.when(F.col("route_status") == "rejected", 1).otherwise(0)
                 ).alias("rejected"),
             )
+            from skewer_spark.routing.filter_hooks import (
+                apply_hooks_for_rules,
+            )
+
             routed = R.route_fanout(
-                enr.enrich(parsed, self.spark), self.rules, status_aware=True
+                apply_hooks_for_rules(
+                    enr.enrich(parsed, self.spark), self.rules
+                ),
+                self.rules,
+                status_aware=True,
             )
             t0 = time.time()
             routed.write.mode("overwrite").partitionBy("sink").parquet(staging)

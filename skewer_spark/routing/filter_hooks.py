@@ -106,7 +106,6 @@ def apply_filter_hook(df: DataFrame, name: str) -> DataFrame:
     in_cols = [f.name for f in in_fields]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        originals = {c: pdf[c].copy() for c in hook.mutates}
         out = hook.kernel(pdf.copy())
         bad = set(out["route_status"].unique()) - VALID_STATUSES
         if bad:
@@ -116,14 +115,17 @@ def apply_filter_hook(df: DataFrame, name: str) -> DataFrame:
                 f"hook {name!r} returned {len(out)} rows for {len(pdf)} in — "
                 "kernels classify rows, they never add or swallow them"
             )
-        res = out[in_cols].copy()
+        # EVERY pass-through column comes from the ORIGINAL batch
+        # (aligned to the kernel's row order via the index) — a kernel
+        # edit to an undeclared column, or to a column that happens to
+        # collide with an upstream name (e.g. the pipeline's own
+        # route_status tri-state), can never leak downstream
+        res = pdf.loc[out.index, in_cols].copy()
         passing = (out["route_status"] == "passing").to_numpy()
         res[status_col(name)] = out["route_status"].to_numpy()
         for c in hook.mutates:
-            # pass-only mutation: original order survives via the index
-            orig = originals[c].loc[out.index]
-            res[mutated_col(name, c)] = out[c].where(passing, orig)
-            res[c] = orig  # original column always untouched
+            # pass-only mutation: dropped/rejected rows keep originals
+            res[mutated_col(name, c)] = out[c].where(passing, res[c])
         return res
 
     if hook.group_cols:

@@ -107,3 +107,28 @@ def test_approx_percentiles_within_rank_tolerance(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["p50_in_rank_tol"] and r["p95_in_rank_tol"] and r["p99_in_rank_tol"], r
+
+
+def test_pipeline_runs_hooked_rules_end_to_end(spark, sf_dir, tmp_path):
+    # Pipeline.run applies the hook stage automatically when a rule
+    # names one: the hooked sink gets only hook-passing rows with the
+    # rewritten message; a plain sink on the same run sees all passing
+    # rows with original bytes
+    from skewer_spark.pipeline import Pipeline
+    from skewer_spark.queries import load_transcripts
+
+    rules = (
+        RouteRule("sink_limited", "'limited'", "TRUE",
+                  filter_hook="rate_limit_mask"),
+        RouteRule("sink_default", "'default-topic'", "TRUE"),
+    )
+    tr = load_transcripts(spark, sf_dir)
+    pipe = Pipeline(spark, str(tmp_path / "wh"), rules=rules)
+    res = pipe.run(tr, run_id="hooked")
+    assert res.sink_rows["sink_default"] > res.sink_rows["sink_limited"] > 0
+    lim = pipe.table("sink_limited").read(spark)
+    n_appnames = lim.select("appname").distinct().count()
+    # rate limit: at most K=3 rows per appname reach the hooked sink
+    assert res.sink_rows["sink_limited"] <= 3 * n_appnames
+    masked = lim.where(F.col("message").rlike("[0-9]")).count()
+    assert masked == 0  # digit runs rewritten on every routed row

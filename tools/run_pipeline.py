@@ -3,7 +3,9 @@
     spark-submit --py-files skewer_spark.zip tools/run_pipeline.py \
         --input <transcripts dir/table path> \
         --warehouse <sink warehouse root> \
-        [--run-id <id>] [--salt-partitions N]
+        [--run-id <id>] [--salt-partitions N] \
+        [--config skewer.toml [--hook-override sink_1414=rate_limit_mask]
+         [--strict-config]]
 
 Runs the full parse -> enrich -> route -> aggregate pipeline once and
 prints a one-line JSON result (rows in, per-sink rows, skipped units on
@@ -26,16 +28,47 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="skewer-style TOML config; its [[syslog]] sections become "
+        "the routing rules (config.load_config). Warnings print to "
+        "stderr; combine with --strict-config to make lossy mappings "
+        "fatal.",
+    )
+    ap.add_argument(
+        "--hook-override",
+        action="append",
+        default=[],
+        metavar="SINK=HOOK",
+        help="map a config source's JS filter_func to a registered "
+        "vectorized filter hook (repeatable)",
+    )
+    ap.add_argument("--strict-config", action="store_true")
     args = ap.parse_args()
 
     from skewer_spark.pipeline import Pipeline
     from skewer_spark.session import get_spark
 
+    rules = None
+    if args.config:
+        from skewer_spark.config import load_config
+
+        overrides = dict(kv.split("=", 1) for kv in args.hook_override)
+        with open(args.config) as f:
+            cfg = load_config(
+                f.read(), hook_overrides=overrides, strict=args.strict_config
+            )
+        for w in cfg.warnings:
+            print(f"config: {w}", file=sys.stderr)
+        rules = cfg.rules()
+
     spark = get_spark(app_name="skewer-pipeline")
     df = spark.read.parquet(args.input)
-    pipe = Pipeline(
-        spark, args.warehouse, salt_partitions=args.salt_partitions
-    )
+    kw = {"salt_partitions": args.salt_partitions}
+    if rules:
+        kw["rules"] = rules
+    pipe = Pipeline(spark, args.warehouse, **kw)
     res = pipe.run(df, run_id=args.run_id)
     print(
         json.dumps(
