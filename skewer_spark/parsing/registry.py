@@ -202,6 +202,110 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
 register_parser("json", parse_json_batch)
 
 
+_RS_TS_RE = None  # compiled lazily; module import stays light
+
+
+def parse_rsyslog_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
+    """Vectorized pRsyslogJSON kernel — the dispatchable twin of the
+    Column-based ``wire_formats.decode_rsyslog_json``
+    (decoders/json_format.go:22-98), parity-pinned by
+    ``tests/test_parse_units.py::test_rsyslog_kernel_matches_column_decoder``:
+    pri string -> int (junk or >int32 -> decode ERROR with zeroed
+    header), '-'/missing fields -> '' with trimming, RFC3339 times
+    (seconds or exactly-6-digit fraction) with ingest fallback for
+    '-'/empty and ERROR for junk, '$!' bag -> sorted
+    'rsyslog|k=v' lines with trimmed keys/values."""
+    import json
+    import re
+    from datetime import datetime, timezone
+
+    global _RS_TS_RE
+    if _RS_TS_RE is None:
+        _RS_TS_RE = re.compile(
+            r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(?:\.(\d{6}))?Z"
+        )
+
+    def ts_us(v: object, fallback: int) -> int | None:
+        """None = decode error; mirrors _rs_ts exactly."""
+        if v is None or v == "-" or v == "":
+            return fallback
+        m = _RS_TS_RE.fullmatch(str(v))
+        if not m:
+            return None
+        y, mo, d, h, mi, sec, frac = m.groups()
+        try:
+            dt = datetime(int(y), int(mo), int(d), int(h), int(mi),
+                          int(sec), tzinfo=timezone.utc)
+        except ValueError:
+            return None
+        return int(dt.timestamp()) * 1_000_000 + (int(frac) if frac else 0)
+
+    def nil(v: object) -> str:
+        if v is None:
+            return ""
+        s = str(v).strip()
+        return "" if s == "-" else s
+
+    t = text.fillna("").reset_index(drop=True)
+    ing = pd.to_numeric(ingest_us, errors="coerce").fillna(0).astype("int64")
+    ing = ing.reset_index(drop=True)
+    rows = []
+    for i in range(len(t)):
+        raw = t.iloc[i]
+        fb = int(ing.iloc[i])
+        try:
+            obj = json.loads(raw)
+            if not isinstance(obj, dict):
+                raise ValueError
+        except ValueError:
+            obj = {}
+        pri_s = str(obj.get("pri", ""))
+        pri = int(pri_s) if re.fullmatch(r"[0-9]{1,10}", pri_s) else None
+        if pri is not None and pri > 2**31 - 1:
+            pri = None
+        tr = ts_us(obj.get("timereported"), fb)
+        tg = ts_us(obj.get("timegenerated"), fb)
+        err = pri is None or tr is None or tg is None
+        bag = obj.get("$!") or {}
+        props = "\n".join(sorted(
+            f"rsyslog|{str(k).strip()}={str(v).strip()}"
+            for k, v in bag.items()
+        )) if isinstance(bag, dict) else ""
+        if err:
+            rows.append((0, 0, 0, 0, fb, fb, "", "", "", "", "", "", "", True))
+        else:
+            rows.append((
+                pri, pri // 8, pri % 8, 1, tr, tg,
+                nil(obj.get("hostname")), nil(obj.get("app-name")),
+                nil(obj.get("procid")), nil(obj.get("msgid")),
+                nil(obj.get("structured-data")),
+                str(obj.get("msg") or "").strip(), props, False,
+            ))
+    cols = list(zip(*rows)) if rows else [[] for _ in range(14)]
+    return pd.DataFrame(
+        {
+            "priority": pd.Series(cols[0], dtype="int32"),
+            "facility": pd.Series(cols[1], dtype="int32"),
+            "severity": pd.Series(cols[2], dtype="int32"),
+            "version": pd.Series(cols[3], dtype="int32"),
+            "time_reported": pd.Series(cols[4], dtype="int64"),
+            "time_generated": pd.Series(cols[5], dtype="int64"),
+            "hostname": list(cols[6]),
+            "appname": list(cols[7]),
+            "procid": list(cols[8]),
+            "msgid": list(cols[9]),
+            "structured": list(cols[10]),
+            "message": list(cols[11]),
+            "props_flat": list(cols[12]),
+            "parse_format": ["rsyslog_json"] * len(rows),
+            "parse_error": pd.Series(cols[13], dtype="bool"),
+        }
+    )
+
+
+register_parser("rsyslog_json", parse_rsyslog_json_batch)
+
+
 def _unknown_format_frame(
     text: pd.Series, ingest_us: pd.Series, name: str
 ) -> pd.DataFrame:

@@ -568,3 +568,49 @@ def test_json_kernel_degrades_on_invalid():
     assert got["time_reported"].tolist()[:2] == [5, 5]  # ingest fallback
     assert got["facility"].tolist() == [0, 0, 1]   # default user=1 on valid
     assert got["severity"].tolist() == [0, 0, 2]   # crit=2
+
+
+def test_rsyslog_kernel_matches_column_decoder(spark):
+    # dispatchable pRsyslogJSON kernel vs the Column-based decoder:
+    # identical output on every branch — valid, '-' nils, junk pri,
+    # int32-overflow pri, junk timestamp, fractional timestamp,
+    # ingest-fallback times, '$!' bag trimming
+    import json as _json
+
+    from skewer_spark.parsing.registry import parse_rsyslog_json_batch
+    from skewer_spark.parsing.wire_formats import decode_rsyslog_json
+
+    ING = 1_700_000_000_000_000
+    lines = [
+        _json.dumps({"pri": "165", "msg": "  hello  ",
+                     "timereported": "2024-01-01T12:00:00Z",
+                     "timegenerated": "2024-01-01T12:00:00.123456Z",
+                     "hostname": " h1 ", "app-name": "-", "procid": "77",
+                     "msgid": "-", "structured-data": "-",
+                     "$!": {" k1 ": " v1 ", "k2": "v2"}}),
+        _json.dumps({"pri": "bogus", "msg": "x",
+                     "timereported": "2024-01-01T12:00:00Z",
+                     "timegenerated": "2024-01-01T12:00:00Z"}),
+        _json.dumps({"pri": "99999999999", "msg": "overflow",
+                     "timereported": "-", "timegenerated": "-"}),
+        _json.dumps({"pri": "13", "msg": "fallback times",
+                     "timereported": "-", "timegenerated": ""}),
+        _json.dumps({"pri": "13", "msg": "bad ts",
+                     "timereported": "2024-13-01T12:00:00Z",
+                     "timegenerated": "2024-01-01T12:00:00Z"}),
+        _json.dumps({"pri": "0", "msg": ""}),
+    ]
+    df = spark.createDataFrame(
+        [(l, ING) for l in lines], "line string, ing_us long"
+    )
+    cols = ["priority", "facility", "severity", "version", "time_reported",
+            "time_generated", "hostname", "appname", "procid", "msgid",
+            "structured", "message", "props_flat", "parse_error"]
+    want = decode_rsyslog_json(df).select(*cols).toPandas()
+    got = parse_rsyslog_json_batch(
+        pd.Series(lines), pd.Series([ING] * len(lines), dtype="int64")
+    )
+    for c in cols:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), (
+            c, got[c].tolist(), want[c].tolist()
+        )
