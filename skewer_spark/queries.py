@@ -222,6 +222,43 @@ def q_route_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.agg_route_status(parsed, routed)
 
 
+def q_agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three per-sink rollup dimensions in ONE aggregation pass via
+    GROUPING SETS — at 10^12 rows this is one shuffle over the routed
+    stream instead of the three separate shuffles agg_facility/
+    agg_severity/agg_tool would cost as independent jobs (map-side
+    partial aggregation applies to every set simultaneously). Ungrouped
+    dimensions surface as sentinel values (-1 / '') so the output is
+    hash-stable; the oracle runs the identical GROUPING SETS SQL in
+    DuckDB."""
+    load_routed(spark, sf_dir).createOrReplaceTempView("_routed_gs")
+    return spark.sql(
+        """
+SELECT sink,
+       CAST(grouping(facility)*4 + grouping(severity)*2 + grouping(tool)
+            AS INT) AS gset,
+       CAST(COALESCE(facility, -1) AS INT) AS facility,
+       CAST(COALESCE(severity, -1) AS INT) AS severity,
+       COALESCE(tool, '') AS tool,
+       CAST(count(*) AS BIGINT) AS n
+FROM _routed_gs
+GROUP BY GROUPING SETS ((sink, facility), (sink, severity), (sink, tool), (sink))"""
+    )
+
+
+def _agg_rollup_sets_oracle(sf: str) -> str:
+    return f"""{_routed_ctes(sf)}
+SELECT sink,
+       CAST(grouping(facility)*4 + grouping(severity)*2 + grouping(tool)
+            AS INT) AS gset,
+       CAST(COALESCE(facility, -1) AS INT) AS facility,
+       CAST(COALESCE(severity, -1) AS INT) AS severity,
+       COALESCE(tool, '') AS tool,
+       CAST(count(*) AS BIGINT) AS n
+FROM routed
+GROUP BY GROUPING SETS ((sink, facility), (sink, severity), (sink, tool), (sink))"""
+
+
 def q_agg_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.agg_by(load_routed(spark, sf_dir), "facility")
 
@@ -1321,6 +1358,7 @@ SELECT sink, status, n FROM (
   SELECT '-' AS sink, route_status AS status, count(*) AS n
   FROM statusd WHERE route_status <> 'passing' GROUP BY route_status
 )""",
+        "agg_rollup_sets": _agg_rollup_sets_oracle(sf),
         "agg_facility": f"{_routed_ctes(sf)} "
         "SELECT sink, facility, count(*) AS n FROM routed GROUP BY sink, facility",
         "agg_severity": f"{_routed_ctes(sf)} "
@@ -1574,6 +1612,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_features": q_audio_wav_features,
         "image_bmp_features": q_image_bmp_features,
         "approx_distinct_users": ops.pop("approx_distinct_users"),
+        "agg_rollup_sets": q_agg_rollup_sets,
         "contamination_flags": ops.pop("contamination_flags"),
     }
     tier3_r1_only = {
