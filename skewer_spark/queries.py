@@ -222,6 +222,51 @@ def q_route_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.agg_route_status(parsed, routed)
 
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+_PII_HOST = "host-[0-9]+"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the raw turn text — the compliance pass every
+    training-data pipeline runs before tokenization: emails -> <EMAIL>,
+    IPv4 -> <IP>, host identifiers -> <HOST>, with per-row match counts
+    for the redaction audit log. Single narrow projection (JVM regex,
+    whole-stage codegen — no shuffle, no Python); patterns avoid
+    backslashes so the identical literals parse in both engines'
+    string syntax (Java regex and RE2 agree on this subset). The
+    oracle re-runs the same scrub in DuckDB and compares the md5 of
+    the scrubbed text, so replacement ORDER (email, then IP, then
+    host) is pinned too."""
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{_PII_EMAIL}', '<EMAIL>'), "
+        f"'{_PII_IP}', '<IP>'), "
+        f"'{_PII_HOST}', '<HOST>')"
+    )
+    return load_transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.expr(f"regexp_count(text, '{_PII_EMAIL}')").cast("int").alias("n_emails"),
+        F.expr(f"regexp_count(text, '{_PII_IP}')").cast("int").alias("n_ips"),
+        F.expr(f"regexp_count(text, '{_PII_HOST}')").cast("int").alias("n_hosts"),
+        F.md5(F.expr(scrub)).alias("scrubbed_md5"),
+    )
+
+
+def _pii_scrub_oracle(sf: str) -> str:
+    return f"""
+SELECT conv_id, turn_idx,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_PII_HOST}')) AS INT) AS n_hosts,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_HOST}', '<HOST>', 'g')) AS scrubbed_md5
+FROM read_parquet('{_tp(sf)}')"""
+
+
 def q_agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three per-sink rollup dimensions in ONE aggregation pass via
     GROUPING SETS — at 10^12 rows this is one shuffle over the routed
@@ -1359,6 +1404,7 @@ SELECT sink, status, n FROM (
   FROM statusd WHERE route_status <> 'passing' GROUP BY route_status
 )""",
         "agg_rollup_sets": _agg_rollup_sets_oracle(sf),
+        "pii_scrub": _pii_scrub_oracle(sf),
         "agg_facility": f"{_routed_ctes(sf)} "
         "SELECT sink, facility, count(*) AS n FROM routed GROUP BY sink, facility",
         "agg_severity": f"{_routed_ctes(sf)} "
@@ -1613,6 +1659,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_bmp_features": q_image_bmp_features,
         "approx_distinct_users": ops.pop("approx_distinct_users"),
         "agg_rollup_sets": q_agg_rollup_sets,
+        "pii_scrub": q_pii_scrub,
         "contamination_flags": ops.pop("contamination_flags"),
     }
     tier3_r1_only = {
