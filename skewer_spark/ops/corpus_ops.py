@@ -1012,6 +1012,79 @@ SELECT CAST(node AS BIGINT) AS vec_id,
 FROM walk GROUP BY node"""
 
 
+def chunk_documents_sql(size: int = 180, overlap: int = 60) -> str:
+    """Fixed-size overlapping chunking — the RAG/pretraining text
+    splitter (LangChain's CharacterTextSplitter semantics: window
+    ``size`` chars, stride ``size - overlap``). One narrow projection
+    + one generate (explode) per doc: at 100 TB this is map-only —
+    no shuffle, no Python, whole-stage codegen; the chunk count is
+    column math so the explode materializes offsets, not copies, and
+    only the final substr touches the body once per chunk. Mirrors the
+    reference's message-splitting framing stages (skewer frames byte
+    streams; a corpus pipeline frames documents). Output pins chunk
+    boundaries AND content (md5 of each chunk) so a drifting stride
+    breaks the hash in either engine."""
+    stride = size - overlap
+    assert stride > 0
+    return f"""
+WITH plan AS (
+  SELECT doc_id, text, n_chars,
+         1 + IDIV(GREATEST(n_chars - {size}, 0) + {stride} - 1, {stride})
+           AS n_chunks
+  FROM documents
+),
+x AS (
+  SELECT doc_id, text, n_chars,
+         EXPLODE(XFORM(SEQ1(n_chunks), k -> (k - 1) * {stride})) AS off
+  FROM plan
+)
+SELECT doc_id,
+       CAST(IDIV(off, {stride}) AS INT) AS chunk_idx,
+       CAST(off AS BIGINT) AS start_off,
+       CAST(LEAST(n_chars - off, {size}) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(off + 1 AS INT), {size})) AS chunk_md5
+FROM x"""
+
+
+def dedup_incremental_sql() -> str:
+    """Incremental dedup against a FROZEN corpus snapshot — the
+    steady-state production shape: yesterday's deduped corpus is fixed,
+    only today's batch is checked against it (and within itself). Never
+    re-shuffles the historical corpus bodies: the snapshot side is a
+    DISTINCT hash set (at 10^12 docs: bucketed by hash prefix and
+    co-located with the batch side's identical bucketing, or broadcast
+    when the daily batch's hash set is small). Two verdict bits per new
+    doc: dup_of_corpus (hash seen in the snapshot) and dup_in_batch
+    (not the first occurrence within the batch itself, first = min
+    doc_id). Fixture split: source partitions the documents table into
+    a frozen snapshot (source <> 'src1') and the incoming batch
+    (source = 'src1'); base texts are fully distinct, so the batch
+    additionally re-fetches every 9th snapshot doc verbatim (corpus
+    dupes, +400000) and re-sends every 7th of its own docs (in-batch
+    dupes, +500000)."""
+    return """
+WITH snap AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE source <> 'src1'
+),
+batch AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src1'
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, md5(text) AS h
+  FROM documents WHERE source <> 'src1' AND doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, md5(text) AS h
+  FROM documents WHERE source = 'src1' AND doc_id % 7 = 0
+),
+firsts AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)
+SELECT b.doc_id,
+       CAST(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END AS INT) AS dup_of_corpus,
+       CAST(CASE WHEN b.doc_id > f.first_id THEN 1 ELSE 0 END AS INT)
+         AS dup_in_batch
+FROM batch b
+JOIN firsts f ON f.h = b.h
+LEFT JOIN snap s ON s.h = b.h"""
+
+
 def dedup_normalized_sql() -> str:
     """Normalization-collapsed dedup: case-fold, strip punctuation,
     collapse whitespace, then hash — catches the case/punctuation

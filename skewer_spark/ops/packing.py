@@ -1,0 +1,128 @@
+"""Token-budget sequence packing for LM pretraining batches.
+
+The packing step every training-data pipeline runs after dedup/filter:
+concatenate documents in a stable global order and cut the stream into
+fixed token-budget packs (GPT-style concat-then-chunk packing — each
+doc lands at a deterministic (pack_id, offset), spanning packs when it
+crosses a boundary). The core primitive is a GLOBAL running token sum
+in document order — the naive spelling,
+``sum(n_tokens) OVER (ORDER BY doc_id)``, is a single-partition window
+(one task holds the whole corpus), which is exactly what cannot run at
+10^12 docs.
+
+`blocked_prefix_sum` is the distributed two-phase form (same trick as
+skew.blocked_row_number, for SUM instead of ROW_NUMBER):
+
+  phase a: block by IDIV(order_col, block_size); running sum WITHIN a
+           block — bounded-size windows, parallel across blocks.
+  phase b: one total per block (rows/block_size rows — at 10^12 docs
+           and block_size 2^20, ~1e6 tiny (block, total) rows), a
+           cumulative window over THOSE, broadcast-joined back.
+
+Correctness: exclusive_prefix(v) = (sum of earlier blocks' totals) +
+(sum of earlier rows in own block); blocks partition the order domain,
+so the two terms compose to the global exclusive prefix sum.
+
+The residual single-task window in phase b holds block TOTALS, not
+rows; if even that outgrows one task, the same blocking applies
+recursively to the totals.
+
+Reference anchor: skewer orders delivery per connection and assigns
+Kafka offsets as a per-partition running position (store/store.go
+retrieve/ACK ordering); packing is the same running-position idea
+over token counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+PACK_BUDGET = 2048
+BLOCK = 64  # small for test visibility; production ~2^20
+
+
+def blocked_prefix_sum(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    value_col: str = "n_tokens",
+    block_size: int = BLOCK,
+    out_col: str = "start_tok",
+) -> DataFrame:
+    """EXCLUSIVE running sum of value_col over global order_col order,
+    without a global single-partition window. order_col values must be
+    unique (doc_id). Adds out_col; preserves other columns."""
+    blocked = df.withColumn(
+        "_blk", (F.col(order_col) / F.lit(block_size)).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = blocked.withColumn(
+        "_loff", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    totals = blocked.groupBy("_blk").agg(F.sum(value_col).alias("_bt"))
+    w_cum = (
+        Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_goff", F.coalesce(F.sum("_bt").over(w_cum), F.lit(0))
+    ).select("_blk", "_goff")
+    out = local.join(F.broadcast(offsets), "_blk")
+    return out.withColumn(
+        out_col, (F.col("_goff") + F.col("_loff")).cast("long")
+    ).drop("_blk", "_loff", "_goff")
+
+
+def pack_sequences(
+    spark: SparkSession, docs: DataFrame, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Assign every document its place in the packed token stream:
+    (start_tok, pack_first, pack_last, offset_in_pack, packs_spanned)
+    under concat-in-doc_id-order packing at `budget` tokens per pack.
+    Token count = whitespace tokens (same tokenizer expression as
+    token_count_sql, ws_tokens — always >= 1, split('') == [''])."""
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    c = blocked_prefix_sum(t)
+    end = F.col("start_tok") + F.col("n_tokens") - 1
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / budget).cast("long").alias("pack_first"),
+        F.floor(end / budget).cast("long").alias("pack_last"),
+        F.pmod(F.col("start_tok"), budget).cast("int").alias("offset_in_pack"),
+        (F.floor(end / budget) - F.floor(F.col("start_tok") / budget) + 1)
+        .cast("int")
+        .alias("packs_spanned"),
+    )
+
+
+def pack_sequences_oracle_sql(budget: int = PACK_BUDGET) -> str:
+    """Independent DuckDB restatement over the pre-registered
+    `documents` view: the PLAIN global window the Spark side
+    deliberately avoids — the oracle states the semantics, the engine
+    implements the scale shape."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // {budget} AS BIGINT) AS pack_first,
+       CAST((start_tok + n_tokens - 1) // {budget} AS BIGINT) AS pack_last,
+       CAST(start_tok % {budget} AS INT) AS offset_in_pack,
+       CAST((start_tok + n_tokens - 1) // {budget}
+            - start_tok // {budget} + 1 AS INT) AS packs_spanned
+FROM c"""

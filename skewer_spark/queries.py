@@ -267,6 +267,18 @@ SELECT conv_id, turn_idx,
 FROM read_parquet('{_tp(sf)}')"""
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-in-doc_id-order, cut at
+    2048-token pack boundaries) — see ops/packing.py. The Spark side is
+    the DISTRIBUTED two-phase prefix sum (blocked windows + broadcast
+    block offsets, no single-partition global window); the oracle is
+    the plain global window restating the same semantics."""
+    from skewer_spark.ops.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(spark, docs)
+
+
 def q_agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three per-sink rollup dimensions in ONE aggregation pass via
     GROUPING SETS — at 10^12 rows this is one shuffle over the routed
@@ -624,6 +636,8 @@ def _ops_registry() -> dict[str, str]:
             "frame_sample": C.frame_sample_sql(),
             "token_rarity": C.token_rarity_sql(),
             "dedup_normalized": C.dedup_normalized_sql(),
+            "dedup_incremental": C.dedup_incremental_sql(),
+            "chunk_documents": C.chunk_documents_sql(),
             "lang_id": C.lang_id_sql(),
             "quality_score": C.quality_score_sql(),
             "token_count": C.token_count_sql(),
@@ -1364,6 +1378,8 @@ routed AS ({R.routing_union_sql('enriched')})"""
 
 
 def build_oracles(sf: str = ORACLE_SF_DIR) -> dict[str, str]:
+    from skewer_spark.ops.packing import pack_sequences_oracle_sql
+
     parsed_cols = ", ".join(PARSED_COLS)
     return {
         "parse_syslog": f"{parsed_relation(sf)} SELECT {parsed_cols} FROM parsed",
@@ -1405,6 +1421,7 @@ SELECT sink, status, n FROM (
 )""",
         "agg_rollup_sets": _agg_rollup_sets_oracle(sf),
         "pii_scrub": _pii_scrub_oracle(sf),
+        "pack_sequences": pack_sequences_oracle_sql(),
         "agg_facility": f"{_routed_ctes(sf)} "
         "SELECT sink, facility, count(*) AS n FROM routed GROUP BY sink, facility",
         "agg_severity": f"{_routed_ctes(sf)} "
@@ -1661,6 +1678,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup_sets": q_agg_rollup_sets,
         "pii_scrub": q_pii_scrub,
         "contamination_flags": ops.pop("contamination_flags"),
+        "pack_sequences": q_pack_sequences,
+        "chunk_documents": ops.pop("chunk_documents"),
+        "dedup_incremental": ops.pop("dedup_incremental"),
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),
