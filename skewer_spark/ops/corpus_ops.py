@@ -1085,6 +1085,159 @@ JOIN firsts f ON f.h = b.h
 LEFT JOIN snap s ON s.h = b.h"""
 
 
+def gopher_repetition_sql(top_bigram_max: float = 0.18) -> str:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    Table A1: documents whose most frequent word n-gram covers too much
+    of the text are boilerplate/spam): top-bigram character fraction
+    (occurrences x bigram chars / doc chars), duplicate-word fraction
+    (1 - distinct/total words), and the keep/drop verdict at the
+    published top-2-gram threshold (0.18).
+
+    Scale shape at 100 TB: two linear shuffles — (doc_id, bigram)
+    count then a doc_id-partitioned top-1 window (rows per group =
+    distinct bigrams of ONE doc, bounded by doc length; never global).
+    The argmax is total-ordered (count desc, bigram asc) so both
+    engines pick the same winner on ties. Reference anchor: the same
+    per-key top-1 pattern as skewer's per-conversation ordering
+    (store/store.go retrieve ordering), applied to quality filtering."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, n_chars, SPLIT(text, ' ') AS words FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         EXPLODE(XFORM(SEQ1(ASIZE(words) - 1),
+                 i -> ARR_GET(words, i) || ' ' || ARR_GET(words, i + 1)))
+           AS bigram
+  FROM w
+),
+cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+),
+top AS (
+  SELECT doc_id, bigram, c FROM (
+    SELECT doc_id, bigram, c,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY c DESC, bigram ASC) AS rn
+    FROM cnt) t WHERE rn = 1
+),
+dw AS (
+  SELECT doc_id, n_chars,
+         ASIZE(words) AS n_words,
+         ASIZE(ADISTINCT(words)) AS n_distinct
+  FROM w
+)
+SELECT d.doc_id,
+       t.bigram AS top_bigram,
+       CAST(t.c AS BIGINT) AS top_bigram_n,
+       FMT4(CAST(t.c * length(t.bigram) AS DOUBLE) / d.n_chars)
+         AS top_bigram_char_frac,
+       FMT4(1.0 - CAST(d.n_distinct AS DOUBLE) / d.n_words)
+         AS dup_word_frac,
+       CAST(CASE WHEN CAST(t.c * length(t.bigram) AS DOUBLE) / d.n_chars
+                      > {top_bigram_max}
+                 THEN 0 ELSE 1 END AS INT) AS keep
+FROM dw d JOIN top t ON t.doc_id = d.doc_id"""
+
+
+def mix_weights_sql() -> str:
+    """Domain-mixture sampling weights per source (the DoReMi / Pile
+    recipe input: re-weight each domain so one training epoch draws a
+    UNIFORM token share from every source): per-source doc and token
+    totals, corpus token share, the uniform-target sampling weight
+    (target_share / actual_share), and the integer epoch count a
+    weight>1 source must repeat.
+
+    Scale shape: ONE aggregation with map-side partial sums — per-source
+    totals are a handful of rows regardless of corpus size; the
+    cross join against the 1-row grand total is a broadcast. At 10^12
+    docs this is the cheapest possible full-corpus pass (count/sum only,
+    no bodies shuffled)."""
+    return """
+WITH tok AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(ASIZE(SPLIT(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(toks) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS ns
+  FROM tok
+)
+SELECT source, docs, toks,
+       FMT6(toks / t) AS token_share,
+       FMT6((t / ns) / toks) AS uniform_weight,
+       CAST(CEIL((t / ns) / toks) AS INT) AS epochs
+FROM tok CROSS JOIN tot"""
+
+
+def ngram_counts_sql(k: int = 50) -> str:
+    """Corpus-level top-k word-bigram counts — the n-gram LM / corpus
+    statistics primitive (the classic map-reduce count at LM scale).
+    Deterministic cutoff: total order (count desc, bigram asc) so both
+    engines return the identical top-k set under ties.
+
+    Scale shape: one shuffle on the bigram key with map-side partial
+    aggregation (combiner absorbs the Zipf head before the exchange);
+    the final top-k is TakeOrderedAndProject on Spark — k rows per
+    partition to the driver, never a global sort. Skew note: the
+    hottest bigram's partial counts are one row per map task, so the
+    Zipf head cannot hot-spot a reducer."""
+    return f"""
+WITH w AS (SELECT SPLIT(text, ' ') AS words FROM documents),
+bg AS (
+  SELECT EXPLODE(XFORM(SEQ1(ASIZE(words) - 1),
+                 i -> ARR_GET(words, i) || ' ' || ARR_GET(words, i + 1)))
+           AS bigram
+  FROM w
+),
+c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
+SELECT bigram, n FROM c ORDER BY n DESC, bigram ASC LIMIT {k}"""
+
+
+def tfidf_terms_sql(k: int = 3) -> str:
+    """Per-document TF-IDF top-k terms — the keyword-extraction /
+    topic-labeling primitive. The RANKING key is integer-exact
+    (tf desc, df asc, term asc) so both engines pick identical winners
+    — never rank on the float score, whose ln() can differ in the last
+    ulp across libm implementations; the reported tfidf value itself is
+    FMT4-rounded, where a last-ulp divergence is far below the
+    rounding grain.
+
+    Scale shape: tf = one (doc_id, term) count (linear, map-side
+    combined); df = one term-key count over the tf rows (distinct
+    (doc_id, term) pairs). Spark inlines CTEs, so as written the
+    scan+explode evaluates twice — at production scale materialize tf
+    (cache / checkpoint / staging table) so df becomes a reuse; the
+    semantics are identical. Score join is an equi-join on term; top-k
+    per doc is a doc_id-partitioned window over that doc's distinct
+    terms (bounded by doc length). The df side is vocabulary-sized —
+    broadcastable wherever the vocabulary fits an executor, else a
+    plain equi-join."""
+    return f"""
+WITH x AS (
+  SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM x GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn
+  FROM tf t JOIN df d ON d.term = t.term
+)
+SELECT r.doc_id, CAST(r.rn AS INT) AS rank, r.term,
+       CAST(r.tf AS BIGINT) AS tf, CAST(r.df AS BIGINT) AS df,
+       FMT4(r.tf * ln(n.n_docs / r.df)) AS tfidf
+FROM ranked r CROSS JOIN n WHERE r.rn <= {k}"""
+
+
 def dedup_normalized_sql() -> str:
     """Normalization-collapsed dedup: case-fold, strip punctuation,
     collapse whitespace, then hash — catches the case/punctuation

@@ -638,6 +638,10 @@ def _ops_registry() -> dict[str, str]:
             "dedup_normalized": C.dedup_normalized_sql(),
             "dedup_incremental": C.dedup_incremental_sql(),
             "chunk_documents": C.chunk_documents_sql(),
+            "gopher_repetition": C.gopher_repetition_sql(),
+            "tfidf_terms": C.tfidf_terms_sql(),
+            "mix_weights": C.mix_weights_sql(),
+            "ngram_counts": C.ngram_counts_sql(),
             "lang_id": C.lang_id_sql(),
             "quality_score": C.quality_score_sql(),
             "token_count": C.token_count_sql(),
@@ -1681,6 +1685,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "chunk_documents": ops.pop("chunk_documents"),
         "dedup_incremental": ops.pop("dedup_incremental"),
+        "gopher_repetition": ops.pop("gopher_repetition"),
+        "mix_weights": ops.pop("mix_weights"),
+        "ngram_counts": ops.pop("ngram_counts"),
+        "tfidf_terms": ops.pop("tfidf_terms"),
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),

@@ -419,3 +419,101 @@ def test_contamination_flags_catch_benchmark_dups(spark, sf_dir):
         # and the duplicated benchmark doc sees its clone right back
         assert by_id[r["doc_id"] - 100000]["is_benchmark"]
     assert any(not r["contaminated"] for r in rows)  # clean docs exist
+
+
+def _ops_sql_on_view(spark, sql: str):
+    """Run a macro-SQL op against whatever `documents` temp view is
+    currently registered (for crafted-fixture semantics tests)."""
+    from skewer_spark.ops.portable import to_spark
+
+    return spark.sql(to_spark(sql))
+
+
+def test_gopher_repetition_flags_repetitive_doc(spark):
+    from skewer_spark.ops import corpus_ops as C
+
+    clean = "the quick brown fox jumps over a lazy dog near the river bank today"
+    spam = " ".join(["buy now"] * 20)  # top bigram 'buy now' dominates
+    df = spark.createDataFrame(
+        [(1, clean, len(clean)), (2, spam, len(spam))],
+        "doc_id long, text string, n_chars long",
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        out = {r.doc_id: r for r in _ops_sql_on_view(
+            spark, C.gopher_repetition_sql()).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert out[1].keep == 1
+    assert out[2].keep == 0
+    assert out[2].top_bigram == "buy now"
+    # 'buy now' occurs 20 times among the 39 bigrams of the 40-word
+    # stream (odd positions; 'now buy' gets the 19 even ones);
+    # char frac = 20*7 / len(spam)
+    assert out[2].top_bigram_n == 20
+    assert abs(float(out[2].top_bigram_char_frac) - 20 * 7 / len(spam)) < 1e-3
+    # duplicate-word fraction: 40 words, 2 distinct
+    assert abs(float(out[2].dup_word_frac) - (1 - 2 / 40)) < 1e-4
+    # the clean doc's dup_word_frac reflects its one repeated word 'the'
+    assert abs(float(out[1].dup_word_frac) - (1 - 13 / 14)) < 1e-4
+
+
+def test_mix_weights_uniform_target_invariants(spark):
+    import math
+
+    rows = run(spark, "mix_weights").to_dict("records")
+    assert len(rows) > 1
+    # shares sum to 1 (within formatting rounding)
+    assert abs(sum(float(r["token_share"]) for r in rows) - 1.0) < 1e-3
+    # weight x toks is the same (uniform per-source token target)
+    targets = [float(r["uniform_weight"]) * r["toks"] for r in rows]
+    assert max(targets) / min(targets) < 1.001
+    for r in rows:
+        assert r["epochs"] == math.ceil(float(r["uniform_weight"]) - 1e-9)
+
+
+def test_ngram_counts_topk_deterministic_and_correct(spark):
+    import collections
+
+    from skewer_spark.ops import corpus_ops as C
+
+    out = run(spark, "ngram_counts").to_dict("records")
+    assert len(out) == 50
+    # recompute the full bigram census in python on the same corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    census = collections.Counter()
+    for d in docs:
+        w = d.text.split(" ")
+        for i in range(len(w) - 1):
+            census[f"{w[i]} {w[i+1]}"] += 1
+    want = sorted(census.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [(r["bigram"], r["n"]) for r in out]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_tfidf_terms_ranks_distinctive_words(spark):
+    from skewer_spark.ops import corpus_ops as C
+
+    # 'shared' appears in every doc (idf = ln(1) = 0); each doc has one
+    # distinctive word that must outrank it despite lower tf
+    rows = [
+        (1, "shared shared shared zebra", 26),
+        (2, "shared shared shared quark", 26),
+        (3, "shared shared shared fjord", 26),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    df.createOrReplaceTempView("documents")
+    try:
+        out = _ops_sql_on_view(spark, C.tfidf_terms_sql()).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    top = {r.doc_id: r for r in out if r.rank == 1}
+    # rank 1 is 'shared' by the integer key (tf 3 beats tf 1) — the
+    # FLOAT score of rank 2 must exceed it (idf 0 vs ln 3)
+    by_doc_rank = {(r.doc_id, r.rank): r for r in out}
+    for doc_id, word in ((1, "zebra"), (2, "quark"), (3, "fjord")):
+        r1, r2 = by_doc_rank[(doc_id, 1)], by_doc_rank[(doc_id, 2)]
+        assert r1.term == "shared" and float(r1.tfidf) == 0.0
+        assert r2.term == word
+        assert abs(float(r2.tfidf) - 1.0986) < 1e-3  # 1 * ln(3)
+        assert r2.df == 1
