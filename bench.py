@@ -15,6 +15,11 @@ Env knobs:
                        sf0.1 — pinned since round 2 so BENCH_r*.json
                        wall-times compare steady-state runs across
                        rounds instead of session-startup noise)
+  SKEWER_BENCH_TRIALS  runs per timed leg, min reported (default 2 —
+                       the shared host shows 2x wall swings for
+                       identical plans; best-of-N is the standard
+                       de-noise and all trial walls are published in
+                       the "trials" key so the spread is visible)
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeat = int(os.environ.get("SKEWER_BENCH_REPEAT", "100"))
+    trials = max(1, int(os.environ.get("SKEWER_BENCH_TRIALS", "2")))
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
     from skewer_spark import aggregate as agg
@@ -57,6 +63,16 @@ def main() -> None:
         },
     )
     timings: dict[str, float] = {}
+    all_trials: dict[str, list[float]] = {}
+
+    def timed(name: str, fn) -> None:
+        walls = []
+        for _ in range(trials):
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 3))
+        all_trials[name] = walls
+        timings[name] = min(walls)
 
     df = spark.read.parquet(path)
     n_rows = df.count()
@@ -69,20 +85,26 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     # 1. parse only (the pandas-UDF hot path)
-    t0 = time.time()
-    parse_transcripts(df).select(
-        "conv_id", "priority", "facility", "severity", "appname", "message"
-    ).write.format("noop").mode("overwrite").save()
-    timings["parse"] = round(time.time() - t0, 3)
+    timed(
+        "parse",
+        lambda: parse_transcripts(df)
+        .select(
+            "conv_id", "priority", "facility", "severity", "appname", "message"
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
 
     # 2. full spine to routed rows (no sink write)
-    t0 = time.time()
-    parsed = R.with_route_status(parse_transcripts(df))
-    routed = R.route_fanout(
-        enr.enrich(parsed.where("route_status = 'passing'"), spark)
-    )
-    routed.write.format("noop").mode("overwrite").save()
-    timings["route_fanout"] = round(time.time() - t0, 3)
+    def _route() -> None:
+        parsed = R.with_route_status(parse_transcripts(df))
+        routed = R.route_fanout(
+            enr.enrich(parsed.where("route_status = 'passing'"), spark)
+        )
+        routed.write.format("noop").mode("overwrite").save()
+
+    timed("route_fanout", _route)
 
     # 3. end-to-end: the real Pipeline (single-pass status-aware fan-out
     # write to IceLite sink tables + lineage + rollups). Writes to
@@ -95,11 +117,19 @@ def main() -> None:
     )
     out = tempfile.mkdtemp(prefix="skewer_bench_", dir=base)
     try:
-        t0 = time.time()
-        pipe = Pipeline(spark, os.path.join(out, "warehouse"))
-        pres = pipe.run(df, run_id="bench")
-        timings["e2e_write"] = round(time.time() - t0, 3)
-        assert pres.rows_in == n_rows, (pres.rows_in, n_rows)
+        # fresh warehouse per trial: a second run against the same
+        # warehouse + run_id would be an idempotent resume no-op
+        trial_no = [0]
+
+        def _e2e() -> None:
+            trial_no[0] += 1
+            pipe = Pipeline(
+                spark, os.path.join(out, f"warehouse{trial_no[0]}")
+            )
+            pres = pipe.run(df, run_id="bench")
+            assert pres.rows_in == n_rows, (pres.rows_in, n_rows)
+
+        timed("e2e_write", _e2e)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -115,6 +145,7 @@ def main() -> None:
                 "rows": n_rows,
                 "throughput_rows_per_sec": round(n_rows / total, 1) if total else None,
                 "cpus": cpus,
+                "trials": all_trials,
             }
         )
     )
