@@ -65,12 +65,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_trials: dict[str, list[float]] = {}
 
-    def timed(name: str, fn) -> None:
+    def timed(name: str, fn, cleanup=None) -> None:
         walls = []
         for _ in range(trials):
             t0 = time.time()
             fn()
             walls.append(round(time.time() - t0, 3))
+            if cleanup is not None:
+                cleanup()  # outside the timed window
         all_trials[name] = walls
         timings[name] = min(walls)
 
@@ -129,7 +131,15 @@ def main() -> None:
             pres = pipe.run(df, run_id="bench")
             assert pres.rows_in == n_rows, (pres.rows_in, n_rows)
 
-        timed("e2e_write", _e2e)
+        def _drop_warehouse() -> None:
+            # free tmpfs between trials so peak /dev/shm use stays at
+            # ONE warehouse regardless of SKEWER_BENCH_TRIALS
+            shutil.rmtree(
+                os.path.join(out, f"warehouse{trial_no[0]}"),
+                ignore_errors=True,
+            )
+
+        timed("e2e_write", _e2e, cleanup=_drop_warehouse)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -1060,20 +1060,25 @@ def dedup_incremental_sql() -> str:
     a frozen snapshot (source <> 'src1') and the incoming batch
     (source = 'src1'); base texts are fully distinct, so the batch
     additionally re-fetches every 9th snapshot doc verbatim (corpus
-    dupes, +400000) and re-sends every 7th of its own docs (in-batch
-    dupes, +500000)."""
+    dupes, +B) and re-sends every 7th of its own docs (in-batch
+    dupes, +2B), where B = max(doc_id)+1 is derived FROM THE DATA so
+    synthetic ids can never collide with real ones at any corpus
+    size (a 1-row broadcast, free)."""
     return """
-WITH snap AS (
+WITH base AS (SELECT max(doc_id) + 1 AS b FROM documents),
+snap AS (
   SELECT DISTINCT md5(text) AS h FROM documents WHERE source <> 'src1'
 ),
 batch AS (
   SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src1'
   UNION ALL
-  SELECT doc_id + 400000 AS doc_id, md5(text) AS h
-  FROM documents WHERE source <> 'src1' AND doc_id % 9 = 0
+  SELECT d.doc_id + base.b AS doc_id, md5(d.text) AS h
+  FROM documents d CROSS JOIN base
+  WHERE d.source <> 'src1' AND d.doc_id % 9 = 0
   UNION ALL
-  SELECT doc_id + 500000 AS doc_id, md5(text) AS h
-  FROM documents WHERE source = 'src1' AND doc_id % 7 = 0
+  SELECT d.doc_id + 2 * base.b AS doc_id, md5(d.text) AS h
+  FROM documents d CROSS JOIN base
+  WHERE d.source = 'src1' AND d.doc_id % 7 = 0
 ),
 firsts AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)
 SELECT b.doc_id,
@@ -1083,6 +1088,24 @@ SELECT b.doc_id,
 FROM batch b
 JOIN firsts f ON f.h = b.h
 LEFT JOIN snap s ON s.h = b.h"""
+
+
+# word-bigram stream per doc, shared by gopher_repetition / ngram_counts
+# so the tokenization cannot drift between them. SEQ1 is total (empty
+# for <2 words — portable.py), so single-word docs yield no bigrams and
+# drop out identically in both engines instead of crashing Spark's
+# ANSI-mode element_at.
+_WORD_BIGRAMS = """
+w AS (
+  SELECT doc_id, n_chars, SPLIT(text, ' ') AS words FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         EXPLODE(XFORM(SEQ1(ASIZE(words) - 1),
+                 i -> ARR_GET(words, i) || ' ' || ARR_GET(words, i + 1)))
+           AS bigram
+  FROM w
+)"""
 
 
 def gopher_repetition_sql(top_bigram_max: float = 0.18) -> str:
@@ -1097,20 +1120,13 @@ def gopher_repetition_sql(top_bigram_max: float = 0.18) -> str:
     count then a doc_id-partitioned top-1 window (rows per group =
     distinct bigrams of ONE doc, bounded by doc length; never global).
     The argmax is total-ordered (count desc, bigram asc) so both
-    engines pick the same winner on ties. Reference anchor: the same
-    per-key top-1 pattern as skewer's per-conversation ordering
+    engines pick the same winner on ties. Single-word docs have no
+    bigram and thus no verdict row (dropped identically by both
+    engines via the inner join). Reference anchor: the same per-key
+    top-1 pattern as skewer's per-conversation ordering
     (store/store.go retrieve ordering), applied to quality filtering."""
     return f"""
-WITH w AS (
-  SELECT doc_id, n_chars, SPLIT(text, ' ') AS words FROM documents
-),
-bg AS (
-  SELECT doc_id,
-         EXPLODE(XFORM(SEQ1(ASIZE(words) - 1),
-                 i -> ARR_GET(words, i) || ' ' || ARR_GET(words, i + 1)))
-           AS bigram
-  FROM w
-),
+WITH {_WORD_BIGRAMS},
 cnt AS (
   SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
 ),
@@ -1184,13 +1200,7 @@ def ngram_counts_sql(k: int = 50) -> str:
     hottest bigram's partial counts are one row per map task, so the
     Zipf head cannot hot-spot a reducer."""
     return f"""
-WITH w AS (SELECT SPLIT(text, ' ') AS words FROM documents),
-bg AS (
-  SELECT EXPLODE(XFORM(SEQ1(ASIZE(words) - 1),
-                 i -> ARR_GET(words, i) || ' ' || ARR_GET(words, i + 1)))
-           AS bigram
-  FROM w
-),
+WITH {_WORD_BIGRAMS},
 c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
 SELECT bigram, n FROM c ORDER BY n DESC, bigram ASC LIMIT {k}"""
 

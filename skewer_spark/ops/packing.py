@@ -35,7 +35,7 @@ over token counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PACK_BUDGET = 2048
@@ -76,9 +76,7 @@ def blocked_prefix_sum(
     ).drop("_blk", "_loff", "_goff")
 
 
-def pack_sequences(
-    spark: SparkSession, docs: DataFrame, budget: int = PACK_BUDGET
-) -> DataFrame:
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Assign every document its place in the packed token stream:
     (start_tok, pack_first, pack_last, offset_in_pack, packs_spanned)
     under concat-in-doc_id-order packing at `budget` tokens per pack.

@@ -70,7 +70,19 @@ def _apply_common(sql: str, table: dict[str, str]) -> str:
 
 
 def to_spark(sql: str) -> str:
-    sql = _expand_call(sql, "SEQ1", lambda a: f"sequence(1, {a})")
+    # TOTAL for n <= 0: Spark's sequence(1, 0) auto-steps BACKWARDS to
+    # [1, 0] (it never returns empty), so a doc with too few words for
+    # an n-gram lambda would index past the array and throw under ANSI
+    # mode while DuckDB's range() just returns [] and drops the row.
+    # sequence(0, max(n,0)) sliced from position 2 is [1..n] for n >= 1
+    # and [] for n <= 0 — matching range(1, n+1) exactly.
+    sql = _expand_call(
+        sql,
+        "SEQ1",
+        lambda a: (
+            f"slice(sequence(0, greatest(({a}), 0)), 2, greatest(({a}), 0))"
+        ),
+    )
     # arithmetic pre-round: Java %.nf is HALF_UP, C is HALF_EVEN — pin
     # to floor(x*10^n + 0.5)/10^n so both engines format the same double
     sql = _expand_call(

@@ -276,7 +276,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skewer_spark.ops.packing import pack_sequences
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return pack_sequences(spark, docs)
+    return pack_sequences(docs)
 
 
 def q_agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -517,3 +517,36 @@ def test_tfidf_terms_ranks_distinctive_words(spark):
         assert r2.term == word
         assert abs(float(r2.tfidf) - 1.0986) < 1e-3  # 1 * ln(3)
         assert r2.df == 1
+
+
+def test_ngram_ops_tolerate_single_word_docs(spark):
+    # Spark's sequence(1, 0) yields [1, 0] (never empty) — before the
+    # total SEQ1 expansion, a 1-word doc made the bigram lambda index
+    # past the array and abort the whole job under ANSI mode, while
+    # DuckDB silently dropped the row. Both engines must now drop it.
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_duck
+
+    import duckdb
+
+    rows = [(1, "solo", 4), (2, "", 0), (3, "two words here", 14)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    df.createOrReplaceTempView("documents")
+    try:
+        gopher = _ops_sql_on_view(spark, C.gopher_repetition_sql()).collect()
+        grams = _ops_sql_on_view(spark, C.ngram_counts_sql()).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert sorted(r.doc_id for r in gopher) == [3]
+    assert {r.bigram for r in grams} == {"two words", "words here"}
+    # and the DuckDB side agrees on the same crafted frame
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'solo', 4), (2, '', 0), (3, 'two words here', 14)"
+        ") t(doc_id, text, n_chars)"
+    )
+    duck_gopher = con.execute(to_duck(C.gopher_repetition_sql())).fetchall()
+    duck_grams = con.execute(to_duck(C.ngram_counts_sql())).fetchall()
+    assert sorted(r[0] for r in duck_gopher) == [3]
+    assert {r[0] for r in duck_grams} == {"two words", "words here"}

@@ -56,9 +56,15 @@ def test_blocked_prefix_sum_matches_global_window(spark, docs):
 def test_blocked_prefix_sum_invariant_to_block_size(spark, docs, block_size):
     # block_size=1 (every row its own block), 7 (doc_ids straddle blocks
     # unevenly), 10**6 (everything in one block) must all agree
-    t = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
-    ).limit(200)
+    # orderBy before limit: a bare LIMIT is not stable across the two
+    # evaluations of this plan (base and alt join branches)
+    t = (
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
     base = blocked_prefix_sum(t, block_size=64).select("doc_id", "start_tok")
     alt = blocked_prefix_sum(t, block_size=block_size).select(
         "doc_id", F.col("start_tok").alias("alt")
@@ -69,7 +75,7 @@ def test_blocked_prefix_sum_invariant_to_block_size(spark, docs, block_size):
 
 
 def test_pack_sequences_tiles_the_stream_contiguously(spark, docs):
-    out = pack_sequences(spark, docs).orderBy("doc_id").collect()
+    out = pack_sequences(docs).orderBy("doc_id").collect()
     pos = 0
     for r in out:
         assert r.start_tok == pos  # next doc starts where the last ended
@@ -86,7 +92,7 @@ def test_pack_sequences_tiles_the_stream_contiguously(spark, docs):
 
 def test_pack_sequences_plan_has_no_full_row_global_window(spark, docs):
     plan = (
-        pack_sequences(spark, docs)
+        pack_sequences(docs)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -144,24 +150,28 @@ def test_chunk_documents_tiles_each_doc(spark, sf_dir):
 def test_dedup_incremental_verdicts(spark, sf_dir):
     from skewer_spark.queries import _make_ops_query
 
+    # the query derives its synthetic-id base B = max(doc_id)+1 from
+    # the data (collision-free at any corpus size); mirror that here
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     out = _make_ops_query("dedup_incremental")(spark, sf_dir).collect()
     by_id = {r.doc_id: r for r in out}
-    # injected corpus re-fetches (doc_id+400000, every 9th snapshot doc)
+    # injected corpus re-fetches (doc_id+B, every 9th snapshot doc)
     # must be flagged dup_of_corpus; they are also NOT batch-firsts of a
     # fresh hash, so dup_in_batch is 0 only if they are the min doc_id
     # for their hash within the batch (they are: the snapshot docs'
     # texts don't otherwise occur in the batch)
-    corpus_dupes = [r for r in out if r.doc_id >= 400000 and r.doc_id < 500000]
+    corpus_dupes = [r for r in out if b <= r.doc_id < 2 * b]
     assert corpus_dupes, "fixture must inject corpus re-fetches"
     assert all(r.dup_of_corpus == 1 for r in corpus_dupes)
     assert all(r.dup_in_batch == 0 for r in corpus_dupes)
-    # injected in-batch re-sends (doc_id+500000, every 7th batch doc):
+    # injected in-batch re-sends (doc_id+2B, every 7th batch doc):
     # never in the snapshot, always a later occurrence of their hash
-    batch_dupes = [r for r in out if r.doc_id >= 500000]
+    batch_dupes = [r for r in out if r.doc_id >= 2 * b]
     assert batch_dupes, "fixture must inject in-batch re-sends"
     assert all(r.dup_of_corpus == 0 for r in batch_dupes)
     assert all(r.dup_in_batch == 1 for r in batch_dupes)
     # the originals those re-sends copied remain firsts
     for r in batch_dupes:
-        orig = by_id[r.doc_id - 500000]
+        orig = by_id[r.doc_id - 2 * b]
         assert orig.dup_in_batch == 0
