@@ -100,6 +100,64 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     )
 
 
+N_SHARDS = 16
+
+
+def hash_shuffle_rank(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: every doc
+    gets a dense rank in md5-hash order (a reproducible permutation —
+    no RNG, stable across runs and cluster sizes) and a shard id. The
+    naive spelling is row_number() OVER (ORDER BY h) — a global
+    single-partition sort. This is the blocked two-phase form:
+
+      block  = first md5 byte (256 uniform buckets; at 10^12 docs use
+               2-3 bytes for 64k-16M blocks — same plan)
+      phase a: row_number within block ordered by (h, doc_id) —
+               bounded windows, parallel across blocks
+      phase b: per-block counts (256 rows), cumulative offsets,
+               broadcast-joined back; rank = offset + local - 1
+
+    Hex md5 strings order identically in Spark and DuckDB (lowercase
+    ASCII), so the oracle can restate this as the plain global window.
+    shard = pmod(rank, n_shards) gives perfectly balanced shards; a
+    contiguous IDIV(rank, shard_size) split works off the same rank.
+    Reference anchor: skewer assigns Kafka partitions by hashed
+    PartitionKey (services/network/kafka.go producer path); this is
+    the same hash-placement idea as a total order."""
+    h = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("_blk", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    w_local = Window.partitionBy("_blk").orderBy("h", "doc_id")
+    local = h.withColumn("_lrank", F.row_number().over(w_local))
+    counts = h.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+    w_cum = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_goff", F.coalesce(F.sum("_bn").over(w_cum), F.lit(0))
+    ).select("_blk", "_goff")
+    out = local.join(F.broadcast(offsets), "_blk")
+    rank = (F.col("_goff") + F.col("_lrank") - 1).cast("long")
+    return out.select(
+        "doc_id",
+        rank.alias("shuffle_rank"),
+        F.pmod(rank, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+
+def hash_shuffle_rank_oracle_sql(n_shards: int = N_SHARDS) -> str:
+    """Independent DuckDB restatement: the plain global window over the
+    identical (h, doc_id) total order."""
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+         AS shuffle_rank,
+       CAST((row_number() OVER (ORDER BY h, doc_id) - 1) % {n_shards}
+            AS INT) AS shard
+FROM h"""
+
+
 def pack_sequences_oracle_sql(budget: int = PACK_BUDGET) -> str:
     """Independent DuckDB restatement over the pre-registered
     `documents` view: the PLAIN global window the Spark side

@@ -279,6 +279,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs)
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding (blocked two-phase rank,
+    no global sort) — see ops/packing.py hash_shuffle_rank."""
+    from skewer_spark.ops.packing import hash_shuffle_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_shuffle_rank(docs)
+
+
 def q_agg_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three per-sink rollup dimensions in ONE aggregation pass via
     GROUPING SETS — at 10^12 rows this is one shuffle over the routed
@@ -1382,7 +1391,10 @@ routed AS ({R.routing_union_sql('enriched')})"""
 
 
 def build_oracles(sf: str = ORACLE_SF_DIR) -> dict[str, str]:
-    from skewer_spark.ops.packing import pack_sequences_oracle_sql
+    from skewer_spark.ops.packing import (
+        hash_shuffle_rank_oracle_sql,
+        pack_sequences_oracle_sql,
+    )
 
     parsed_cols = ", ".join(PARSED_COLS)
     return {
@@ -1426,6 +1438,7 @@ SELECT sink, status, n FROM (
         "agg_rollup_sets": _agg_rollup_sets_oracle(sf),
         "pii_scrub": _pii_scrub_oracle(sf),
         "pack_sequences": pack_sequences_oracle_sql(),
+        "shuffle_shards": hash_shuffle_rank_oracle_sql(),
         "agg_facility": f"{_routed_ctes(sf)} "
         "SELECT sink, facility, count(*) AS n FROM routed GROUP BY sink, facility",
         "agg_severity": f"{_routed_ctes(sf)} "
@@ -1683,6 +1696,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination_flags": ops.pop("contamination_flags"),
         "pack_sequences": q_pack_sequences,
+        "shuffle_shards": q_shuffle_shards,
         "chunk_documents": ops.pop("chunk_documents"),
         "dedup_incremental": ops.pop("dedup_incremental"),
         "gopher_repetition": ops.pop("gopher_repetition"),

@@ -175,3 +175,43 @@ def test_dedup_incremental_verdicts(spark, sf_dir):
     for r in batch_dupes:
         orig = by_id[r.doc_id - 2 * b]
         assert orig.dup_in_batch == 0
+
+
+def test_hash_shuffle_rank_is_dense_balanced_and_stable(spark, docs):
+    from skewer_spark.ops.packing import N_SHARDS, hash_shuffle_rank
+
+    out = hash_shuffle_rank(docs).collect()
+    n = len(out)
+    # dense permutation: ranks are exactly 0..n-1
+    assert sorted(r.shuffle_rank for r in out) == list(range(n))
+    # shard = rank % N_SHARDS -> perfectly balanced (within 1)
+    import collections
+
+    per = collections.Counter(r.shard for r in out)
+    assert set(per) == set(range(N_SHARDS))
+    assert max(per.values()) - min(per.values()) <= 1
+    # deterministic: a second evaluation yields the identical mapping
+    again = {r.doc_id: r.shuffle_rank for r in hash_shuffle_rank(docs).collect()}
+    assert all(again[r.doc_id] == r.shuffle_rank for r in out)
+    # and the order is the md5 order (a real shuffle, not identity)
+    by_rank = sorted(out, key=lambda r: r.shuffle_rank)
+    assert [r.doc_id for r in by_rank[:5]] != [0, 1, 2, 3, 4]
+
+
+def test_hash_shuffle_rank_plan_has_no_full_row_global_sort(spark, docs):
+    from skewer_spark.ops.packing import hash_shuffle_rank
+
+    plan = (
+        hash_shuffle_rank(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # row-level window partitioned by block; the only SinglePartition
+    # exchange holds the 256 per-block counts
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "h#" in line:
+            assert "_blk" in line, f"unpartitioned row window: {line}"
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
