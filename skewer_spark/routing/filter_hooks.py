@@ -60,6 +60,23 @@ class FilterHook:
     # non-empty -> applyInPandas grouped on these columns (stateful
     # within group); empty -> mapInPandas (per-batch, stateless)
     group_cols: tuple[str, ...] = ()
+    # input columns the kernel READS beyond group_cols/mutates. Only
+    # meaningful with key_cols (the narrow path below).
+    reads: tuple[str, ...] = ()
+    # a UNIQUE row key (caller contract). Non-empty enables the NARROW
+    # path: only key+group+reads+mutates round-trip through Python and
+    # the verdict joins back on the key, so the wide columns stay
+    # JVM-side. TRADE-OFF: the join-back traverses the input lineage
+    # TWICE (Spark cannot reuse the exchange across the two differently
+    # projected sides), so the upstream — including any parse UDF — runs
+    # once per side; the narrow Arrow transfer still wins whenever the
+    # frame is wide relative to the kernel's declared columns. Measured
+    # end-to-end on the full hooked pipeline (10M rows, parse->enrich->
+    # hook->fanout, local[32]): 35.3 s narrow vs 88.8 s wide, identical
+    # outputs; isolated hook stage 16.9 s vs 75.8 s. Empty -> the whole
+    # frame passes through the kernel once (correct for any schema and
+    # any non-unique keying, pays full-width Arrow transfer).
+    key_cols: tuple[str, ...] = ()
 
 
 _HOOKS: dict[str, FilterHook] = {}
@@ -93,17 +110,28 @@ def apply_filter_hook(df: DataFrame, name: str) -> DataFrame:
     trusted from the kernel — the reference only copies mutations back
     on PASS)."""
     hook = get_filter_hook(name)
-    in_fields = list(df.schema.fields)
+    narrow = bool(hook.key_cols)
+    if narrow:
+        seen: dict[str, None] = {}
+        for c in (*hook.key_cols, *hook.group_cols, *hook.reads, *hook.mutates):
+            seen.setdefault(c)
+        work = df.select(*seen)
+    else:
+        work = df
+    in_fields = list(work.schema.fields)
     by_name = {f.name: f for f in in_fields}
+    pass_fields = (
+        [by_name[c] for c in hook.key_cols] if narrow else in_fields
+    )
     out_schema = StructType(
-        in_fields
+        pass_fields
         + [StructField(status_col(name), StringType())]
         + [
             StructField(mutated_col(name, c), by_name[c].dataType)
             for c in hook.mutates
         ]
     )
-    in_cols = [f.name for f in in_fields]
+    pass_cols = [f.name for f in pass_fields]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = hook.kernel(pdf.copy())
@@ -120,25 +148,36 @@ def apply_filter_hook(df: DataFrame, name: str) -> DataFrame:
         # edit to an undeclared column, or to a column that happens to
         # collide with an upstream name (e.g. the pipeline's own
         # route_status tri-state), can never leak downstream
-        res = pdf.loc[out.index, in_cols].copy()
+        res = pdf.loc[out.index, pass_cols].copy()
         passing = (out["route_status"] == "passing").to_numpy()
         res[status_col(name)] = out["route_status"].to_numpy()
         for c in hook.mutates:
             # pass-only mutation: dropped/rejected rows keep originals
-            res[mutated_col(name, c)] = out[c].where(passing, res[c])
+            res[mutated_col(name, c)] = out[c].where(
+                passing, pdf.loc[out.index, c]
+            )
         return res
 
     if hook.group_cols:
-        return df.groupBy(*hook.group_cols).applyInPandas(
+        verdicts = work.groupBy(*hook.group_cols).applyInPandas(
             lambda _key, pdf: run(pdf), out_schema
         )
+    else:
 
-    def run_batches(it):
-        for pdf in it:
-            if len(pdf):
-                yield run(pdf)
+        def run_batches(it):
+            for pdf in it:
+                if len(pdf):
+                    yield run(pdf)
 
-    return df.mapInPandas(run_batches, out_schema)
+        verdicts = work.mapInPandas(run_batches, out_schema)
+
+    if not narrow:
+        return verdicts
+    # join the narrow verdict frame back on the declared unique key;
+    # inner join preserves every row because the kernel is length- and
+    # key-preserving (checked above) and the key is unique (caller
+    # contract, pinned by test_narrow_hook_preserves_rows)
+    return df.join(verdicts, on=list(hook.key_cols))
 
 
 def apply_hooks_for_rules(df: DataFrame, rules) -> DataFrame:
@@ -189,5 +228,7 @@ register_filter_hook(
         kernel=_rate_limit_mask_kernel,
         mutates=("message",),
         group_cols=("appname",),
+        reads=("parse_error",),
+        key_cols=("conv_id", "turn_idx"),
     )
 )

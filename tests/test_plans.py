@@ -222,5 +222,12 @@ def test_hook_fanout_plan_shape(spark, sf_dir):
     routed = R.route_fanout(FH.apply_hooks_for_rules(parsed, rules), rules)
     plan = plan_of(routed)
     assert plan.count("FlatMapGroupsInPandas") == 1
-    assert plan.count("ArrowEvalPython") == 1  # the parse UDF, once
+    # the hook's NARROW path (key_cols) joins the slim verdict frame
+    # back to the wide original, so the parse UDF appears on BOTH join
+    # sides — the deliberate trade: lineage runs twice but only
+    # key+group+reads+mutates columns cross the Arrow boundary
+    # (measured 2.5x faster e2e than one full-width pass at 10M rows;
+    # see FilterHook.key_cols). The verdict side must be an equi-join,
+    # never a cartesian.
+    assert plan.count("ArrowEvalPython") == 2
     assert "CartesianProduct" not in plan

@@ -77,6 +77,45 @@ def test_route_rule_filter_hook_integration(spark):
     assert all(r["message"] in orig_msgs for r in everything)
 
 
+def test_narrow_hook_preserves_rows(spark):
+    # rate_limit_mask declares key_cols -> the NARROW path: only
+    # key+group+reads+mutates round-trip through Python and the verdict
+    # joins back on (conv_id, turn_idx). The join-back must preserve
+    # every input row exactly once and keep the full original width.
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = FH.apply_filter_hook(df, "rate_limit_mask")
+    assert set(SCHEMA.replace(",", " ").split()[::2]) <= set(out.columns)
+    rows = out.collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    assert sorted(keys) == sorted((c, t) for c, t, *_ in ROWS)
+    # full-width passthrough: every original column keeps its bytes
+    orig = {(c, t): (a, m, e) for c, t, a, m, e in ROWS}
+    for r in rows:
+        a, m, e = orig[(r["conv_id"], r["turn_idx"])]
+        assert (r["appname"], r["message"], r["parse_error"]) == (a, m, e)
+
+
+def test_wide_hook_without_key_cols(spark):
+    # a hook with NO key_cols takes the wide path (whole frame through
+    # the kernel, no join) — the original behavior must keep working
+    FH.register_filter_hook(FH.FilterHook(
+        name="_wide_evens",
+        kernel=lambda pdf: pdf.assign(
+            route_status=pd.Series(
+                ["passing" if t % 2 == 0 else "dropped" for t in pdf["turn_idx"]],
+                index=pdf.index,
+            )
+        ),
+    ))
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    rows = FH.apply_filter_hook(df, "_wide_evens").collect()
+    assert len(rows) == len(ROWS)
+    for r in rows:
+        want = "passing" if r["turn_idx"] % 2 == 0 else "dropped"
+        assert r["hook_status__wide_evens"] == want
+        assert r["message"]  # full width preserved
+
+
 def test_unknown_hook_raises(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(KeyError, match="unknown filter hook"):
