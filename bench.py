@@ -108,6 +108,33 @@ def main() -> None:
 
     timed("route_fanout", _route)
 
+    # 2b. hooked spine: one rule selects the registered vectorized
+    # filter hook (the arbitrary-logic FilterMessage escape hatch) —
+    # times the NARROW hook path (slim Arrow payload + verdict
+    # join-back, filter_hooks.FilterHook.key_cols) on top of the
+    # spine. Round-3 surface; tracked so a regression in the hook
+    # stage shows up in BENCH_r*.json.
+    from skewer_spark.routing.filter_hooks import apply_hooks_for_rules
+
+    hook_rules = (
+        R.RouteRule(
+            "sink_limited", "'limited'", "TRUE", filter_hook="rate_limit_mask"
+        ),
+        R.RouteRule("sink_all", "'everything'", "TRUE"),
+    )
+
+    def _hooked_route() -> None:
+        parsed = R.with_route_status(parse_transcripts(df))
+        hooked = apply_hooks_for_rules(
+            enr.enrich(parsed.where("route_status = 'passing'"), spark),
+            hook_rules,
+        )
+        R.route_fanout(hooked, hook_rules).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("hooked_route", _hooked_route)
+
     # 3. end-to-end: the real Pipeline (single-pass status-aware fan-out
     # write to IceLite sink tables + lineage + rollups). Writes to
     # /dev/shm when present so the scaling measurement reflects compute,

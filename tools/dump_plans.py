@@ -106,6 +106,33 @@ def main() -> None:
         formatted(pack_sequences(docs)),
     ))
 
+    from skewer_spark.routing.filter_hooks import apply_hooks_for_rules
+
+    hook_rules = (
+        R.RouteRule(
+            "sink_limited", "'limited'", "TRUE", filter_hook="rate_limit_mask"
+        ),
+        R.RouteRule("sink_all", "'everything'", "TRUE"),
+    )
+    hooked = R.route_fanout(
+        apply_hooks_for_rules(
+            enr.enrich(R.with_route_status(parse_transcripts(df)), spark),
+            hook_rules,
+        ),
+        hook_rules,
+    ).select("sink", "topic", "conv_id", "turn_idx", "message")
+    sections.append((
+        "Hooked fan-out, NARROW hook path (round 3)",
+        "The registered filter hook ships only key+group+reads+mutates "
+        "columns into ONE FlatMapGroupsInPandas (its groupBy exchange is "
+        "the hook's only shuffle) and the slim verdict frame equi-joins "
+        "back on the unique (conv_id, turn_idx) key — wide columns stay "
+        "JVM-side. The parse UDF appears on BOTH join sides (lineage "
+        "runs twice; the deliberate trade, 2.5x faster e2e than one "
+        "full-width pass at 10M rows — BENCH/BASELINE.md).",
+        formatted(hooked),
+    ))
+
     sections.append((
         "Corpus n-gram census top-k (round 3)",
         "One bigram-key exchange with HashAggregate(partial) map-side "
