@@ -318,6 +318,13 @@ FROM documents"""
 GATE_MINHASH_CAP = 3
 PROD_MINHASH_CAP = 64
 
+# line_dedup span width: the GATE runs w=3 so the sf0.01 fixture corpus
+# (small shared vocabulary) actually contains cross-doc duplicate spans
+# and both keep and drop branches execute; production default w=13
+# approximates C4's three-sentence span granularity.
+GATE_LINE_DEDUP_W = 3
+PROD_LINE_DEDUP_W = 13
+
 
 def minhash_edge_ctes(threshold: float = 0.8, cap: int = PROD_MINHASH_CAP) -> str:
     """CTE chain -> edges(a, b) for MinHash-LSH dedup with oversized-
@@ -1271,3 +1278,73 @@ norm AS (SELECT doc_id, {norm} AS norm_fp FROM nc)
 SELECT norm_fp, CAST(count(*) AS BIGINT) AS n_variants,
        CAST(min(doc_id) AS BIGINT) AS canonical_id
 FROM norm GROUP BY norm_fp HAVING count(*) > 1"""
+
+
+def line_dedup_sql(w: int = PROD_LINE_DEDUP_W) -> str:
+    """C4-style corpus-wide span dedup with document reassembly
+    (Raffel et al. 2020, §2.2: discard all but one occurrence of any
+    repeated three-sentence span, corpus-wide). The corpus here has no
+    sentence boundaries, so a "line" is a fixed non-overlapping ``w``-
+    word span — the first occurrence (lowest (doc_id, pos)) survives,
+    every later occurrence anywhere in the corpus is dropped, and each
+    document is reassembled from its surviving spans in order.
+
+    Scale shape (the reason this is NOT a window row_number over the
+    span key): spans are keyed by md5(span) so the corpus-wide shuffle
+    moves 32-byte digests, never span bodies; the first-occurrence
+    group is a HashAggregate with map-side partial combine (a
+    hyper-duplicated span collapses to one row per map task, not one
+    giant reduce task — the skew a row_number() OVER (PARTITION BY
+    span) would serialize); the verdict returns via hash equi-joins
+    (AQE splits any residual hot digest); reassembly is one groupBy on
+    doc_id. Three shuffles total, zero Python, no global sort —
+    span order inside a doc is restored by sorting the per-doc ARRAY
+    of zero-padded 'pos|span' strings (pos < 10^7 spans/doc ==
+    documents < ~50 MB at w=13; raise the pad for longer).
+
+    Parameters: ``w`` — span width in words; 13 approximates C4's
+    three-sentence granularity on this corpus. The registered gate
+    runs w=3 (GATE_LINE_DEDUP_W) so the sf0.01 fixture corpus actually
+    contains cross-doc duplicate spans and both keep and drop branches
+    execute; the semantics are identical at any w.
+
+    Output: one row per doc — span counts, the kept-span count, and
+    md5 of the reassembled text (content-pinning: a wrong verdict or a
+    drifted span boundary in either engine breaks the hash)."""
+    assert w >= 1
+    pad = 7  # pos zero-pad width; bounds spans/doc at 10^7
+    return f"""
+WITH words AS (
+  SELECT doc_id, SPLIT(text, ' ') AS ws FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(k - 1 AS BIGINT) AS pos,
+         AJOIN(ASLICE(ws, (k - 1) * {w} + 1, {w}), ' ') AS span
+  FROM (
+    SELECT doc_id, ws,
+           EXPLODE(SEQ1(IDIV(ASIZE(ws) + {w} - 1, {w}))) AS k
+    FROM words
+  )
+),
+hashed AS (SELECT doc_id, pos, span, md5(span) AS h FROM spans),
+firsts AS (SELECT h, min(doc_id) AS fdoc FROM hashed GROUP BY h),
+fpos AS (
+  SELECT s.h, f.fdoc, min(s.pos) AS fpos
+  FROM hashed s JOIN firsts f ON s.h = f.h AND s.doc_id = f.fdoc
+  GROUP BY s.h, f.fdoc
+),
+verdicts AS (
+  SELECT s.doc_id, s.pos, s.span,
+         (s.doc_id = p.fdoc AND s.pos = p.fpos) AS kept
+  FROM hashed s JOIN fpos p ON p.h = s.h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       md5(COALESCE(AJOIN(XFORM(
+         ASORT(COALESCE(
+           AGGLIST(lpad(CAST(pos AS SSTR), {pad}, '0') || '|' || span)
+             FILTER (WHERE kept),
+           ALIST())),
+         x -> substr(x, {pad + 2})), ' '), '')) AS clean_md5
+FROM verdicts GROUP BY doc_id"""

@@ -19,6 +19,16 @@ Macros (all list indices are 1-BASED):
   SEQ1(n)            list [1..n]
   FMT4(x) FMT6(x)    fixed 4/6-decimal formatting
   POS(sub, s)        1-based position of sub in s (0 if absent)
+  AGGLIST(x)         list-collecting AGGREGATE (collect_list / list).
+                     Both engines produce nondeterministic element
+                     order — always ASORT (or otherwise canonicalize)
+                     the result before it can reach output. On an
+                     all-filtered group Spark yields [] but DuckDB
+                     yields NULL: wrap in COALESCE(..., ALIST()) when
+                     a group can come up empty under FILTER (WHERE).
+                     Related trap: AJOIN of an EMPTY list is '' on
+                     Spark but NULL on DuckDB — COALESCE(AJOIN(..), '')
+                     whenever the list can be empty.
 """
 
 from __future__ import annotations
@@ -49,10 +59,12 @@ _DUCK = {
 
 _SPARK_EXTRA = {
     "AINTERSECT": "array_intersect",
+    "AGGLIST": "collect_list",
     "SSTR": "STRING",
 }
 _DUCK_EXTRA = {
     "AINTERSECT": "list_intersect",
+    "AGGLIST": "list",
     "SSTR": "VARCHAR",
 }
 

@@ -645,6 +645,9 @@ def _ops_registry() -> dict[str, str]:
             "frame_sample": C.frame_sample_sql(),
             "token_rarity": C.token_rarity_sql(),
             "dedup_normalized": C.dedup_normalized_sql(),
+            # gate span width (cross-doc dup spans exist at w=3 on the
+            # fixture corpus; production default is PROD_LINE_DEDUP_W)
+            "line_dedup": C.line_dedup_sql(w=C.GATE_LINE_DEDUP_W),
             "dedup_incremental": C.dedup_incremental_sql(),
             "chunk_documents": C.chunk_documents_sql(),
             "gopher_repetition": C.gopher_repetition_sql(),
@@ -1703,6 +1706,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": ops.pop("mix_weights"),
         "ngram_counts": ops.pop("ngram_counts"),
         "tfidf_terms": ops.pop("tfidf_terms"),
+        "line_dedup": ops.pop("line_dedup"),
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),

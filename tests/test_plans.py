@@ -231,3 +231,20 @@ def test_hook_fanout_plan_shape(spark, sf_dir):
     # never a cartesian.
     assert plan.count("ArrowEvalPython") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_plan_shape(spark):
+    # corpus-wide span dedup: first-occurrence resolution must be
+    # HashAggregates with map-side partial combine over the 32-byte
+    # span digest (a hyper-duplicated span collapses per map task —
+    # the skew a row_number() OVER (PARTITION BY span) would funnel
+    # into one reduce task), and every verdict join an equi-join
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    plan = plan_of(spark.sql(to_spark(C.line_dedup_sql(w=3))))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "partial_" in plan          # map-side combine before shuffle
+    assert "Window" not in plan        # no per-span-key serialization
