@@ -74,6 +74,18 @@ class ConfigError(ValueError):
     pass
 
 
+def _sql_str(lit: str) -> str:
+    """Quote a literal for the portable SQL dialect. Single quotes
+    double ('' — accepted by Spark and DuckDB alike). Backslashes can
+    NOT appear inside the quotes portably: Spark's parser treats \\ as
+    an escape character inside string literals (so 'dir\\' breaks the
+    parse and 'a\\tb' silently becomes a tab) while DuckDB reads it
+    literally — so each backslash is rendered as a chr(92) concat,
+    which both engines evaluate to the literal character."""
+    pieces = [p.replace("'", "''") for p in lit.split("\\")]
+    return " || chr(92) || ".join(f"'{p}'" for p in pieces)
+
+
 def go_template_to_sql(tmpl: str) -> str:
     """``"syslog-{{.Appname}}"`` -> ``'syslog-' || appname`` (portable
     SQL, same dialect subset as RouteRule exprs). Only plain field
@@ -88,8 +100,7 @@ def go_template_to_sql(tmpl: str) -> str:
     pos = 0
     for m in _TMPL_RE.finditer(tmpl):
         if m.start() > pos:
-            lit = tmpl[pos : m.start()].replace("'", "''")
-            parts.append(f"'{lit}'")
+            parts.append(_sql_str(tmpl[pos : m.start()]))
         fld = m.group(1)
         if fld not in _TMPL_FIELDS:
             raise ConfigError(
@@ -99,8 +110,7 @@ def go_template_to_sql(tmpl: str) -> str:
         parts.append(_TMPL_FIELDS[fld])
         pos = m.end()
     if pos < len(tmpl):
-        lit = tmpl[pos:].replace("'", "''")
-        parts.append(f"'{lit}'")
+        parts.append(_sql_str(tmpl[pos:]))
     return " || ".join(parts) if parts else "''"
 
 

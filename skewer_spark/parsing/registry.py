@@ -169,9 +169,7 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
         cols["time_reported"].append(ts_us(obj.get("timereported"), fb))
         cols["time_generated"].append(ts_us(obj.get("timegenerated"), fb))
         for k in ("hostname", "appname", "procid", "msgid", "message"):
-            cols[k if k != "message" else "message"].append(
-                str(obj.get(k) or "")
-            )
+            cols[k].append(str(obj.get(k) or ""))
         props = obj.get("properties") or {}
         lines = sorted(
             f"{sid}|{k}={v}"

@@ -174,10 +174,19 @@ def apply_filter_hook(df: DataFrame, name: str) -> DataFrame:
     if not narrow:
         return verdicts
     # join the narrow verdict frame back on the declared unique key;
-    # inner join preserves every row because the kernel is length- and
+    # the join preserves every row because the kernel is length- and
     # key-preserving (checked above) and the key is unique (caller
-    # contract, pinned by test_narrow_hook_preserves_rows)
-    return df.join(verdicts, on=list(hook.key_cols))
+    # contract, pinned by test_narrow_hook_preserves_rows). NULL-SAFE
+    # equality (<=>) so a row with a NULL key component keeps its
+    # verdict instead of being silently swallowed by NULL != NULL —
+    # still a hash equi-join, and "rows are never swallowed" is this
+    # module's contract (test_narrow_hook_keeps_null_key_rows).
+    v = verdicts.alias("_hook_v")
+    cond = None
+    for c in hook.key_cols:
+        eq = df[c].eqNullSafe(v[c])
+        cond = eq if cond is None else cond & eq
+    return df.join(v, on=cond).drop(*(v[c] for c in hook.key_cols))
 
 
 def apply_hooks_for_rules(df: DataFrame, rules) -> DataFrame:

@@ -393,6 +393,10 @@ _SESSION_STATE_SCHEMA = StructType(
         StructField("start_us", LongType()),
         StructField("last_us", LongType()),
         StructField("n_events", LongType()),
+        # high-water mark for session_idx allocation: diverges from
+        # sess_idx once a LATE (in-watermark, cross-batch) event opens
+        # an earlier session and takes a fresh index
+        StructField("idx_hwm", LongType()),
     ]
 )
 
@@ -416,7 +420,20 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     itself lags one batch). Late events beyond the watermark are
     dropped by Spark before reaching the kernel — the documented
     streaming-vs-batch semantic difference of every watermarked
-    operator."""
+    operator.
+
+    Late-but-IN-watermark events arriving in a later micro-batch are
+    handled by interval-merging them with the open session: an event
+    inside gap range extends the session BACKWARD (min start) or
+    forward (max end) — never regressing last-event time or producing
+    a negative duration — and an event more than ``gap`` before the
+    open session's start closes immediately as its own earlier
+    session. Session CONTENTS then still match the batch op; the one
+    unavoidable append-mode divergence is ``session_idx`` ordinality
+    for such late earlier sessions (they take the next free index in
+    ARRIVAL order, while the batch oracle numbers purely by time; a
+    session already emitted can never be renumbered). Pinned by
+    test_sessionize_stream_late_in_watermark_events."""
     gap_us = gap_minutes * 60 * 1_000_000
     gap_ms = gap_minutes * 60 * 1000
 
@@ -430,29 +447,48 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
         if state.hasTimedOut:
             if state.exists:
-                si, st, la, n = state.get
+                si, st, la, n, _ = state.get
                 state.remove()
                 yield pd.DataFrame(
                     [row(si, st, la, n)], columns=SESSION_OUT_SCHEMA.names
                 )
             return
-        si, st, la, n = state.get if state.exists else (0, -1, -1, 0)
-        closed: list[tuple] = []
+        si, st, la, n, hwm = (
+            state.get if state.exists else (0, -1, -1, 0, 0)
+        )
         times: list[int] = []
         for pdf in pdfs:
             times.extend(
                 int(pd.Timestamp(t).value) // 1000 for t in pdf["event_time"]
             )
-        for tus in sorted(times):
-            if st < 0:
-                si, st, la, n = si + 1, tus, tus, 1
-            elif tus - la > gap_us:
-                closed.append(row(si, st, la, n))
-                si, st, la, n = si + 1, tus, tus, 1
+        if not times:
+            return
+        # interval-merge the new events with the open session so that
+        # late-but-in-watermark arrivals extend it in EITHER direction
+        # (or close as their own earlier session) instead of regressing
+        # last_us / going negative-duration. idx None = needs a fresh
+        # index; the old open session keeps its own.
+        ivals = [[t, t, 1, None] for t in sorted(times)]
+        if st >= 0:
+            ivals.append([st, la, n, si])
+            ivals.sort(key=lambda v: (v[0], v[1]))
+        merged: list[list] = []
+        for s, e, c, idx in ivals:
+            if merged and s - merged[-1][1] <= gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], e)
+                m[2] += c
+                m[3] = m[3] if m[3] is not None else idx
             else:
-                la, n = tus, n + 1
-        state.update((si, st, la, n))
-        state.setTimeoutTimestamp(la // 1000 + gap_ms)
+                merged.append([s, e, c, idx])
+        for m in merged:  # time order; fresh state numbers 1..k by time
+            if m[3] is None:
+                hwm += 1
+                m[3] = hwm
+        closed = [row(m[3], m[0], m[1], m[2]) for m in merged[:-1]]
+        os_, oe, oc, oi = merged[-1]
+        state.update((oi, os_, oe, oc, hwm))
+        state.setTimeoutTimestamp(oe // 1000 + gap_ms)
         if closed:
             yield pd.DataFrame(closed, columns=SESSION_OUT_SCHEMA.names)
 
@@ -465,12 +501,37 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def _stream_instance_id(checkpoint_dir: str) -> str:
+    """A stable id for one LIFETIME of a checkpoint directory, stored
+    inside it. Structured Streaming's batch_id restarts at 0 whenever
+    the checkpoint is recreated, so idempotency must key on
+    (checkpoint lifetime, batch_id) — batch_id alone would collide
+    with a previous incarnation's run_ids in the committed-unit
+    ledger and silently SKIP brand-new data (worse than the duplicate
+    delivery the ledger exists to prevent). First caller writes a
+    fresh id (exclusive create — a concurrent loser just re-reads);
+    restarts from the same checkpoint read it back."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "skewer_stream_id")
+    try:
+        with open(path, "x") as f:
+            f.write(uuid.uuid4().hex[:12])
+    except FileExistsError:
+        pass
+    with open(path) as f:
+        return f.read().strip()
+
+
 def start_exactly_once_pipeline_stream(
     stream: DataFrame,
     spark: SparkSession,
     warehouse: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    stream_id: str | None = None,
 ):
     """EXACTLY-ONCE streaming sinks: every micro-batch runs through the
     SAME idempotent batch pipeline (Pipeline.run) with the epoch id as
@@ -486,13 +547,22 @@ def start_exactly_once_pipeline_stream(
     resume, replay_dead_letter, compaction and time travel all work
     unchanged on the resulting tables.
     (tests/test_streaming.py::test_exactly_once_stream_replay pins the
-    replay no-op.)"""
+    replay no-op.)
+
+    run_ids embed a per-checkpoint-lifetime ``stream_id`` (persisted
+    in the checkpoint dir) because batch_id alone restarts at 0 when
+    a checkpoint is lost/recreated against the same warehouse — the
+    old incarnation's ledger entries would silently swallow the new
+    epochs (test_new_checkpoint_same_warehouse_reprocesses). Pass
+    ``stream_id`` explicitly when the checkpoint location is not a
+    local path (e.g. hdfs:// / s3:// on a real cluster)."""
     from skewer_spark.pipeline import Pipeline
 
     pipe = Pipeline(spark, warehouse)
+    sid = stream_id or _stream_instance_id(checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pipe.run(batch_df, run_id=f"epoch-{batch_id:08d}")
+        pipe.run(batch_df, run_id=f"epoch-{sid}-{batch_id:08d}")
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -53,6 +53,13 @@ def test_go_template_conversion():
     )
     assert go_template_to_sql("plain") == "'plain'"
     assert go_template_to_sql("it''s-{{.Msgid}}") == "'it''''s-' || msgid"
+    # backslash literals render as chr(92) concats: Spark string
+    # literals treat backslash as an escape (DuckDB does not), so a
+    # quoted backslash would parse-error or silently become \t etc.
+    assert (
+        go_template_to_sql("dir\\{{.Appname}}")
+        == "'dir' || chr(92) || '' || appname"
+    )
     with pytest.raises(ConfigError, match="non-field"):
         go_template_to_sql("{{.Appname | upper}}")
     with pytest.raises(ConfigError, match="unknown template field"):

@@ -95,6 +95,20 @@ def test_narrow_hook_preserves_rows(spark):
         assert (r["appname"], r["message"], r["parse_error"]) == (a, m, e)
 
 
+def test_narrow_hook_keeps_null_key_rows(spark):
+    # the verdict join-back must be NULL-SAFE: a row with a NULL key
+    # component still gets its verdict instead of vanishing (the
+    # module contract says rows are never swallowed)
+    rows = ROWS + [(None, 9, "app9", "null conv 999", False)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = FH.apply_filter_hook(df, "rate_limit_mask").collect()
+    assert len(got) == len(rows)
+    nullrow = [r for r in got if r["conv_id"] is None]
+    assert len(nullrow) == 1
+    assert nullrow[0]["hook_status_rate_limit_mask"] == "passing"
+    assert nullrow[0]["hook_rate_limit_mask_message"] == "null conv #"
+
+
 def test_wide_hook_without_key_cols(spark):
     # a hook with NO key_cols takes the wide path (whole frame through
     # the kernel, no join) — the original behavior must keep working

@@ -546,8 +546,106 @@ def test_exactly_once_stream_replay(spark, tmp_path, sf_dir):
     assert streamed == {k: v for k, v in ref.sink_rows.items() if k in streamed}
 
     # replay epoch 0 (same data, same run_id): every unit skips
+    from skewer_spark.streaming import _stream_instance_id
+
+    sid = _stream_instance_id(str(tmp_path / "ckpt"))
     first_file = sorted((indir / "t").glob("part-*.parquet"))[0]
     epoch0 = spark.read.parquet(str(first_file))
-    res = pipe.run(epoch0, run_id="epoch-00000000")
+    res = pipe.run(epoch0, run_id=f"epoch-{sid}-00000000")
     assert len(res.skipped_units) >= 5
     assert pipe.table("sink_app").read(spark).count() == streamed["sink_app"]
+
+
+def test_new_checkpoint_same_warehouse_reprocesses(spark, tmp_path, sf_dir):
+    # batch_id restarts at 0 when a checkpoint is recreated; run_ids
+    # must NOT collide with the previous incarnation's ledger entries
+    # against the same warehouse, or brand-new data is silently
+    # swallowed as "already committed"
+    import shutil
+
+    from skewer_spark.pipeline import Pipeline
+    from skewer_spark.queries import load_transcripts
+    from skewer_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        start_exactly_once_pipeline_stream,
+    )
+
+    tr = load_transcripts(spark, sf_dir).limit(200)
+    wh = str(tmp_path / "wh")
+
+    def run_incarnation(subdir: str) -> None:
+        indir = tmp_path / subdir
+        tr.coalesce(1).write.mode("overwrite").parquet(str(indir))
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(str(indir))
+        q = start_exactly_once_pipeline_stream(
+            stream, spark, wh, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(300)
+
+    run_incarnation("in1")
+    n1 = Pipeline(spark, wh).table("sink_default").read(spark).count()
+    assert n1 > 0
+    # checkpoint lost + recreated: batch ids restart at 0 over NEW
+    # input — the second incarnation's rows must still land
+    shutil.rmtree(tmp_path / "ckpt")
+    run_incarnation("in2")
+    n2 = Pipeline(spark, wh).table("sink_default").read(spark).count()
+    assert n2 == 2 * n1, (n1, n2)
+
+
+def test_sessionize_stream_late_in_watermark_events(spark, tmp_path):
+    # late-but-in-watermark events from a LATER micro-batch must merge
+    # into the open session (extending it backward, never regressing
+    # last-event time into a negative duration) or close immediately
+    # as their own earlier session when beyond gap range
+    import datetime as dt
+    import time as _time
+
+    from skewer_spark.streaming import sessionize_stream
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    indir = tmp_path / "ev"
+    indir.mkdir()
+    sent_schema = "user_id long, ts timestamp_ntz"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, sent_schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(indir / name))
+        _time.sleep(0.05)
+
+    write_file("f1", [(1, base)])                              # 12:00
+    write_file("f2", [(1, base - dt.timedelta(minutes=5)),     # 11:55 merge
+                      (1, base - dt.timedelta(hours=3))])      # 09:00 own
+    write_file("f3", [(-1, base + dt.timedelta(hours=10))])    # advance
+    write_file("f4", [(-2, base + dt.timedelta(hours=20))])    # reap
+
+    stream = (
+        spark.readStream.schema(sent_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", "4 hours")
+    )
+    outdir = tmp_path / "out"
+    q = (
+        sessionize_stream(stream).writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.session_idx, r.n_events, r.start_us, r.duration_us)
+        for r in spark.read.parquet(str(outdir)).collect()
+        if r.user_id == 1
+    }
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    assert got == {
+        # the disjoint late event closes as its own session (fresh
+        # index in ARRIVAL order — documented append-mode divergence)
+        (2, 1, us(base - dt.timedelta(hours=3)), 0),
+        # the open session extended BACKWARD by the 11:55 arrival
+        (1, 2, us(base - dt.timedelta(minutes=5)), 300_000_000),
+    }, got
