@@ -134,6 +134,17 @@ def main() -> None:
     ))
 
     sections.append((
+        "Corpus-wide span (line) dedup, C4-style (round 3)",
+        "First-occurrence resolution is two partial-combine "
+        "HashAggregates keyed on md5(span) — shuffles move 32-byte "
+        "digests, never span bodies, and a hyper-duplicated span "
+        "collapses per map task instead of funnelling into one "
+        "row_number reduce task; verdict joins are hash equi-joins; "
+        "reassembly is one groupBy(doc_id).",
+        formatted(_make_ops_query("line_dedup")(spark, sf_dir)),
+    ))
+
+    sections.append((
         "Corpus n-gram census top-k (round 3)",
         "One bigram-key exchange with HashAggregate(partial) map-side "
         "combine absorbing the Zipf head; the top-k is "
