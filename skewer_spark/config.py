@@ -74,16 +74,35 @@ class ConfigError(ValueError):
     pass
 
 
+# characters that can NOT appear inside a quoted literal portably:
+#   \  Spark treats backslash inside string literals as an escape
+#      ('dir\' breaks the parse, 'a\tb' silently becomes a tab) while
+#      DuckDB reads it literally;
+#   $  Spark's variable substitution rewrites ${...} sequences INSIDE
+#      string literals (spark.sql.variableSubstitute, on by default —
+#      '${-b}x' silently evaluates to 'x') while DuckDB keeps them.
+# Both render as chr(<code>) concats, which the two engines evaluate
+# identically. Found by the cross-engine fuzz in tests/test_config.py.
+_SQL_CHR = {"\\": 92, "$": 36}
+
+
 def _sql_str(lit: str) -> str:
-    """Quote a literal for the portable SQL dialect. Single quotes
-    double ('' — accepted by Spark and DuckDB alike). Backslashes can
-    NOT appear inside the quotes portably: Spark's parser treats \\ as
-    an escape character inside string literals (so 'dir\\' breaks the
-    parse and 'a\\tb' silently becomes a tab) while DuckDB reads it
-    literally — so each backslash is rendered as a chr(92) concat,
-    which both engines evaluate to the literal character."""
-    pieces = [p.replace("'", "''") for p in lit.split("\\")]
-    return " || chr(92) || ".join(f"'{p}'" for p in pieces)
+    """Quote a literal for the portable SQL dialect: single quotes
+    double ('' — accepted by Spark and DuckDB alike); characters in
+    _SQL_CHR become chr() concats."""
+    parts: list[str] = []
+    buf: list[str] = []
+    for ch in lit:
+        if ch in _SQL_CHR:
+            if buf:
+                parts.append("'{}'".format("".join(buf).replace("'", "''")))
+                buf.clear()
+            parts.append(f"chr({_SQL_CHR[ch]})")
+        else:
+            buf.append(ch)
+    if buf or not parts:
+        parts.append("'{}'".format("".join(buf).replace("'", "''")))
+    return " || ".join(parts)
 
 
 def go_template_to_sql(tmpl: str) -> str:

@@ -53,12 +53,16 @@ def test_go_template_conversion():
     )
     assert go_template_to_sql("plain") == "'plain'"
     assert go_template_to_sql("it''s-{{.Msgid}}") == "'it''''s-' || msgid"
-    # backslash literals render as chr(92) concats: Spark string
-    # literals treat backslash as an escape (DuckDB does not), so a
-    # quoted backslash would parse-error or silently become \t etc.
+    # backslash/dollar literals render as chr() concats: Spark treats
+    # backslash inside string literals as an escape and substitutes
+    # ${...} variables even inside quotes (DuckDB does neither)
     assert (
         go_template_to_sql("dir\\{{.Appname}}")
-        == "'dir' || chr(92) || '' || appname"
+        == "'dir' || chr(92) || appname"
+    )
+    assert (
+        go_template_to_sql("${x}-{{.Appname}}")
+        == "chr(36) || '{x}-' || appname"
     )
     with pytest.raises(ConfigError, match="non-field"):
         go_template_to_sql("{{.Appname | upper}}")
@@ -116,3 +120,49 @@ def test_loaded_rules_route_end_to_end(spark, sf_dir):
     s1 = by_sink["sink_1414"]
     assert s1["topic"].startswith("syslog-") or s1["topic"] == "default-topic"
     assert s1["partition_key"].startswith("mypk-")
+
+
+def test_template_literal_rendering_cross_engine_fuzz(spark):
+    # differential fuzz of the literal-quoting path: for any literal
+    # containing quotes/backslashes/control-ish characters, the
+    # rendered SQL must evaluate to EXACTLY the original string on
+    # BOTH engines (Spark treats backslash in string literals as an
+    # escape, DuckDB does not — _sql_str must neutralize the
+    # difference via chr(92) concats)
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    cases: list[str] = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.text(alphabet="ab'\\%_\t{}.|$-", min_size=0, max_size=12))
+    def collect(lit):
+        cases.append(lit)
+
+    collect()
+    # a literal ending in '{' forms a non-field '{{{' with the appended
+    # template and correctly raises (pinned in
+    # test_go_template_conversion) — drop those from the fuzz corpus
+    def render(lit):
+        try:
+            return go_template_to_sql(lit + "{{.Appname}}")
+        except ConfigError:
+            return None
+
+    cases = [lit for lit in cases if render(lit) is not None]
+    assert cases
+    # one Spark job for all cases (per-case spark.sql round-trips are
+    # ~1s each); DuckDB is cheap enough per case
+    exprs = [render(lit) for lit in cases]
+    row = spark.createDataFrame([("APP",)], "appname string").selectExpr(
+        *(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    ).collect()[0]
+    for i, lit in enumerate(cases):
+        want = lit + "APP"
+        assert row[f"c{i}"] == want, (lit, row[f"c{i}"])
+        got_duck = con.sql(
+            f"SELECT {exprs[i]} AS x FROM (VALUES ('APP')) t(appname)"
+        ).fetchone()[0]
+        assert got_duck == want, (lit, got_duck)
