@@ -328,6 +328,69 @@ def dedup_stream(
     ).dropDuplicatesWithinWatermark(["text_hash"])
 
 
+def line_dedup_stream(
+    stream: DataFrame,
+    w: int = 13,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    reassembly_window: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of the batch line_dedup op (corpus_ops.
+    line_dedup_sql): C4-style corpus-wide span dedup at INGEST time.
+    Documents explode into fixed non-overlapping ``w``-word spans; a
+    span whose md5 was already seen inside the watermark horizon is
+    dropped; each document re-assembles from its surviving spans in
+    order and is emitted once the watermark passes its event-time
+    window. Two chained stateful operators (Spark 3.5+ supports
+    dropDuplicatesWithinWatermark followed by a windowed aggregation
+    in append mode); dedup state holds 32-byte digests bounded by the
+    horizon, reassembly state is bounded by in-flight windows.
+
+    Documented divergences from the batch op (the same ones every
+    watermarked operator carries): "first occurrence" is ARRIVAL
+    order, not (doc_id, pos) order — ties inside one micro-batch are
+    arbitrary; a duplicate older than the horizon is re-admitted; and
+    a document whose every span was already seen produces NO output
+    row (the batch op emits it with n_kept = 0) because its spans
+    never reach the aggregation.
+    tests/test_streaming.py::test_line_dedup_stream_drops_cross_batch
+    pins cross-batch span suppression and ordered reassembly."""
+    pad = 7
+    wm = stream.withColumn(
+        "event_time", F.col(ts_col).cast("timestamp")
+    ).withWatermark("event_time", watermark)
+    # same guarded span arithmetic as the batch SQL (SEQ1 is total for
+    # n <= 0; ANSI mode aborts on a bare sequence(1, 0) lambda index)
+    n_spans = f"(size(split(text, ' ')) + {w} - 1) div {w}"
+    spans = wm.selectExpr(
+        "doc_id",
+        "event_time",
+        f"explode(slice(sequence(0, greatest({n_spans}, 0)), 2, "
+        f"greatest({n_spans}, 0))) AS k",
+        "split(text, ' ') AS ws",
+    ).selectExpr(
+        "doc_id",
+        "event_time",
+        "cast(k - 1 AS BIGINT) AS pos",
+        f"array_join(slice(ws, (k - 1) * {w} + 1, {w}), ' ') AS span",
+    )
+    firsts = spans.withColumn(
+        "h", F.md5("span")
+    ).dropDuplicatesWithinWatermark(["h"])
+    piece = f"lpad(cast(pos AS STRING), {pad}, '0') || '|' || span"
+    return (
+        firsts.groupBy(F.window("event_time", reassembly_window), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr(
+                f"md5(array_join(transform(array_sort("
+                f"collect_list({piece})), x -> substr(x, {pad + 2})), ' '))"
+            ).alias("clean_md5"),
+        )
+        .select("doc_id", "n_kept", "clean_md5")
+    )
+
+
 CONV_STATE_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),

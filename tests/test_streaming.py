@@ -649,3 +649,64 @@ def test_sessionize_stream_late_in_watermark_events(spark, tmp_path):
         # the open session extended BACKWARD by the 11:55 arrival
         (1, 2, us(base - dt.timedelta(minutes=5)), 300_000_000),
     }, got
+
+
+def test_line_dedup_stream_drops_cross_batch(spark, tmp_path):
+    # ingest-time C4 span dedup: a span first seen in an earlier
+    # micro-batch suppresses later copies (inside the watermark), the
+    # survivor doc reassembles its remaining spans in order, and a doc
+    # whose every span was seen emits nothing (documented divergence
+    # from the batch op's n_kept = 0 row)
+    import datetime as dt
+    import hashlib
+    import time as _time
+
+    from skewer_spark.streaming import line_dedup_stream
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    schema = "doc_id long, text string, ts timestamp_ntz"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(indir / name))
+        _time.sleep(0.05)
+
+    write_file("f1", [(1, "a b c d e f", base)])
+    # batch 2: doc 2 shares span "a b c" (dropped), keeps "x y z";
+    # doc 3 is doc 1 verbatim -> every span suppressed, no output row
+    write_file("f2", [(2, "a b c x y z", base + dt.timedelta(minutes=1)),
+                      (3, "a b c d e f", base + dt.timedelta(minutes=1))])
+    # advance the watermark far past the reassembly windows, twice
+    # (the watermark lags one batch)
+    write_file("f3", [(-1, "zz", base + dt.timedelta(hours=10))])
+    write_file("f4", [(-2, "zz zz", base + dt.timedelta(hours=20))])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    outdir = tmp_path / "out"
+    q = (
+        line_dedup_stream(stream, w=3, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    got = {
+        r.doc_id: (r.n_kept, r.clean_md5)
+        for r in spark.read.parquet(str(outdir)).collect()
+        if r.doc_id > 0
+    }
+    assert got == {
+        1: (2, md5("a b c d e f")),
+        2: (1, md5("x y z")),
+        # doc 3 absent: all spans suppressed
+    }, got
