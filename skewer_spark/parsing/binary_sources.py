@@ -372,6 +372,202 @@ def octet_stream_frames(df: DataFrame, id_col: str = "conv_id",
     return df.mapInPandas(run, f"{id_col} string, frame_idx int, text string")
 
 
+# -------------------------------------------------------- RELP framing
+
+# the offer a RELP client sends in its open frame (RFC-less RELP
+# convention; the reference parses it at services/network/relp.go:560+)
+RELP_OFFER = "relp_version=0\nrelp_software=skewer\ncommands=syslog"
+
+
+def encode_relp_frame(txnr: int, command: str, data: str = "") -> bytes:
+    """One RELP wire frame: ``TXNR COMMAND DATALEN[ SP DATA]\\n``
+    (the grammar of the reference's RelpSplit scanner,
+    utils/split.go:249-288 — DATALEN is the byte length of DATA; a
+    zero-length frame omits the SP+DATA)."""
+    b = data.encode()
+    head = f"{txnr} {command} {len(b)}".encode()
+    return head + (b" " + b if b else b"") + b"\n"
+
+
+class RelpStreamScanner:
+    """Incremental RELP frame scanner (utils/split.go:249-288) for
+    byte streams arriving in chunks: ``feed()`` returns completed
+    (txnr, command, data) frames and retains only the incomplete tail
+    — a partial header or partial body — so memory is bounded by one
+    frame. DATA is length-delimited, so embedded newlines (e.g. the
+    multi-line open offer) pass through intact. A malformed header
+    kills the stream, as the reference drops the connection on a
+    framing error."""
+
+    __slots__ = ("_buf", "_dead")
+
+    def __init__(self) -> None:
+        self._buf = b""
+        self._dead = False
+
+    def _die(self) -> None:
+        self._dead = True
+        self._buf = b""
+
+    def feed(self, chunk: bytes) -> list[tuple[int, str, str]]:
+        if self._dead:
+            return []
+        buf = self._buf + chunk
+        frames: list[tuple[int, str, str]] = []
+        i, n = 0, len(buf)
+        while i < n:
+            # TXNR: decimal digits then one SP
+            j = i
+            while j < n and 0x30 <= buf[j] <= 0x39:
+                j += 1
+            if j == i:
+                self._die()
+                return frames
+            if j >= n:
+                break  # digits may continue in the next chunk
+            if buf[j] != 0x20:
+                self._die()
+                return frames
+            txnr = int(buf[i:j])
+            # COMMAND: token then one SP
+            k = j + 1
+            while k < n and buf[k] not in (0x20, 0x0A, 0x0D, 0x09):
+                k += 1
+            if k >= n:
+                break
+            if buf[k] != 0x20 or k == j + 1:
+                self._die()
+                return frames
+            command = buf[j + 1 : k].decode()
+            # DATALEN: decimal digits then LF (datalen 0) or SP+DATA+LF
+            m = k + 1
+            while m < n and 0x30 <= buf[m] <= 0x39:
+                m += 1
+            if m >= n:
+                break  # datalen digits may continue in the next chunk
+            if m == k + 1:  # a non-digit where DATALEN must start
+                self._die()
+                return frames
+            datalen = int(buf[k + 1 : m])
+            if datalen == 0:
+                if buf[m] != 0x0A:
+                    self._die()
+                    return frames
+                frames.append((txnr, command, ""))
+                i = m + 1
+                continue
+            if buf[m] != 0x20:
+                self._die()
+                return frames
+            end = m + 1 + datalen  # index of the terminating LF
+            if end >= n:
+                break  # body (or its LF) incomplete; wait for more
+            if buf[end] != 0x0A:
+                self._die()
+                return frames
+            frames.append((txnr, command, buf[m + 1 : end].decode()))
+            i = end + 1
+        self._buf = buf[i:]
+        return frames
+
+    def close(self) -> bytes:
+        tail = b"" if self._dead else self._buf
+        self._buf = b""
+        self._dead = False
+        return tail
+
+
+def relp_framed_roundtrip(df: DataFrame) -> DataFrame:
+    """RELP wire-framing roundtrip at scale: each conversation becomes
+    one RELP connection's byte stream — an ``open`` frame carrying the
+    offer, one ``syslog`` frame per turn (txnr increments in turn
+    order), a ``close`` frame — scanned back incrementally into
+    (conv_id, frame_idx, txnr, command, text, answer), where answer is
+    the RSP line the server sends per accepted frame
+    ('<txnr> rsp 6 200 OK', relp.go:395-397); the scanner emits in
+    stream order, so txnr monotonicity per connection — the ordered-ACK
+    contract rsyslog requires (relp.go:438-452) — is visible in
+    frame_idx/txnr agreement and checked by the oracle hash.
+
+    Same scale shape as octet_framed_roundtrip: hash-repartition on
+    conv_id + sortWithinPartitions, frames built inside the Arrow
+    batches with a running per-connection txnr, bytes fed to the
+    scanner in split segments so chunk-boundary resumption runs on
+    every row; state across batches is one partial frame + one
+    counter, never a whole conversation."""
+    part = df.select("conv_id", "turn_idx", "ts", "text").repartition(
+        "conv_id"
+    ).sortWithinPartitions("conv_id", "turn_idx", "ts")
+
+    out_schema = (
+        "conv_id string, frame_idx int, txnr long, command string, "
+        "text string, answer string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scanner = RelpStreamScanner()
+        cur = None
+        txnr = 0  # last client txnr used on the open connection
+        k = 0  # recovered-frame counter
+
+        def drain(conv, chunk, rows):
+            nonlocal k
+            for seg in (chunk[:5], chunk[5:]):  # mid-header boundary
+                for t, c, d in scanner.feed(seg):
+                    rows.append((conv, k, t, c, d, f"{t} rsp 6 200 OK"))
+                    k += 1
+
+        def close_conn(rows):
+            nonlocal txnr
+            if cur is not None:
+                drain(cur, encode_relp_frame(txnr + 1, "close"), rows)
+                scanner.close()
+            txnr = 0
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            convs = pdf["conv_id"].to_numpy()
+            texts = pdf["text"].to_numpy()
+            n = len(convs)
+            i = 0
+            while i < n:
+                j = i + 1
+                while j < n and convs[j] == convs[i]:
+                    j += 1
+                if convs[i] != cur:
+                    close_conn(rows)
+                    cur, k = convs[i], 0
+                    drain(cur, encode_relp_frame(1, "open", RELP_OFFER), rows)
+                    txnr = 1
+                b = bytearray()
+                for t in texts[i:j]:
+                    txnr += 1
+                    b += encode_relp_frame(txnr, "syslog", t)
+                drain(cur, bytes(b), rows)
+                i = j
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "frame_idx", "txnr", "command", "text",
+                    "answer",
+                ],
+            ).astype({"frame_idx": "int32", "txnr": "int64"})
+
+        # end of the partition: close the last open connection
+        rows = []
+        close_conn(rows)
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "frame_idx", "txnr", "command", "text",
+                    "answer",
+                ],
+            ).astype({"frame_idx": "int32", "txnr": "int64"})
+
+    return part.mapInPandas(run, out_schema)
+
+
 # ----------------------------------------------------------------- collectd
 
 # Part type codes (collectd network protocol).

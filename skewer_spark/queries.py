@@ -859,6 +859,22 @@ def q_source_octet_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATIN1_SUFFIX = " café naïve süß ©1987 ±5°"
 
 
+def q_relp_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELP wire framing roundtrip (grammar: the reference's RelpSplit
+    scanner, utils/split.go:249-288; per-frame RSP answers
+    relp.go:395-397; ordered-ACK contract relp.go:438-452): each
+    conversation becomes one connection's byte stream (open + offer,
+    one syslog frame per turn, close), scanned back incrementally with
+    bounded state. The oracle regenerates the frame sequence
+    declaratively from the transcripts — recovered txnr/command/text
+    and the answer lines must match exactly, in order."""
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.parsing.binary_sources import relp_framed_roundtrip
+
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    return relp_framed_roundtrip(df)
+
+
 def q_parse_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset transcoding wrapper (decode.go:174-199 +
     encoding.go:9-25): encode each transcript line (plus a latin-1-only
@@ -1535,6 +1551,7 @@ SELECT conv_id,
          AS frame_idx,
        text
 FROM read_parquet('{_tp(sf)}')""",
+        "relp_framed": _relp_framed_oracle(sf),
         "avro_binary_roundtrip": f"""{parsed_relation(sf)},
 enriched AS ({enr.enrich_sql('parsed')})
 SELECT conv_id, turn_idx,
@@ -1666,6 +1683,36 @@ def _tp(sf_dir: str) -> str:
     return transcripts_path(sf_dir)
 
 
+def _relp_framed_oracle(sf: str) -> str:
+    """Declarative restatement of the RELP connection stream per
+    conversation: frame 0 = open(offer), frames 1..n = syslog(turn
+    text) with txnr = ordinal + 1, frame n+1 = close('')."""
+    from skewer_spark.parsing.binary_sources import RELP_OFFER
+
+    return f"""
+WITH t AS (
+  SELECT conv_id, text,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx, ts) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS nt
+  FROM read_parquet('{_tp(sf)}')
+),
+frames AS (
+  SELECT conv_id, 0 AS frame_idx, 1 AS txnr,
+         'open' AS command, '{RELP_OFFER}' AS text
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT conv_id, CAST(rn AS INT), rn + 1, 'syslog', text FROM t
+  UNION ALL
+  SELECT conv_id, CAST(nt + 1 AS INT), nt + 2, 'close', ''
+  FROM t WHERE rn = 1
+)
+SELECT conv_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(txnr AS BIGINT) AS txnr, command, text,
+       CAST(txnr AS VARCHAR) || ' rsp 6 200 OK' AS answer
+FROM frames"""
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the external-verification order: the driver's
     correctness artifact caps at the first 50 entries, so entries are
@@ -1707,6 +1754,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": ops.pop("ngram_counts"),
         "tfidf_terms": ops.pop("tfidf_terms"),
         "line_dedup": ops.pop("line_dedup"),
+        "relp_framed": q_relp_framed,
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),

@@ -335,3 +335,82 @@ def test_octet_framed_roundtrip_equals_source(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_relp_frame_roundtrip_units():
+    from skewer_spark.parsing.binary_sources import (
+        RELP_OFFER,
+        RelpStreamScanner,
+        encode_relp_frame,
+    )
+
+    stream = (
+        encode_relp_frame(1, "open", RELP_OFFER)
+        + encode_relp_frame(2, "syslog", "<13>Oct 11 h app: hi")
+        + encode_relp_frame(3, "syslog", "")  # zero-length data frame
+        + encode_relp_frame(4, "close")
+    )
+    # whole-stream feed
+    s = RelpStreamScanner()
+    got = s.feed(stream)
+    assert got == [
+        (1, "open", RELP_OFFER),  # embedded newlines survive (length-delimited)
+        (2, "syslog", "<13>Oct 11 h app: hi"),
+        (3, "syslog", ""),
+        (4, "close", ""),
+    ]
+    assert s.close() == b""
+    # byte-at-a-time feed: every header/body boundary exercised
+    s = RelpStreamScanner()
+    got = [f for i in range(len(stream)) for f in s.feed(stream[i:i+1])]
+    assert got == [
+        (1, "open", RELP_OFFER),
+        (2, "syslog", "<13>Oct 11 h app: hi"),
+        (3, "syslog", ""),
+        (4, "close", ""),
+    ]
+    assert s.close() == b""
+
+
+def test_relp_scanner_malformed_kills_stream():
+    from skewer_spark.parsing.binary_sources import (
+        RelpStreamScanner,
+        encode_relp_frame,
+    )
+
+    good = encode_relp_frame(1, "syslog", "ok")
+    for bad in (b"x 2 syslog 2 ok\n",   # non-numeric txnr
+                b"2 syslog x ok\n",     # non-numeric datalen
+                b"3 syslog 2 okXtrailing"):  # body not LF-terminated
+        s = RelpStreamScanner()
+        assert s.feed(good) == [(1, "syslog", "ok")]
+        assert s.feed(bad + good) == []  # dead: rest of stream discarded
+        assert s.feed(good) == []
+        assert s.close() == b""  # close resets
+        assert s.feed(good) == [(1, "syslog", "ok")]
+
+
+def test_relp_framed_roundtrip_matches_source(spark, sf_dir):
+    # per-connection stream: open carries the offer, syslog frames keep
+    # txnr monotone in turn order (the ordered-ACK contract), close
+    # terminates; answers are the per-frame RSP lines
+    from skewer_spark.datagen import ensure_transcripts
+    from skewer_spark.parsing.binary_sources import (
+        RELP_OFFER,
+        relp_framed_roundtrip,
+    )
+
+    df = spark.read.parquet(ensure_transcripts(sf_dir))
+    out = relp_framed_roundtrip(df).collect()
+    n_convs = df.select("conv_id").distinct().count()
+    assert len(out) == df.count() + 2 * n_convs
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for conv, rows in by_conv.items():
+        rows.sort(key=lambda r: r.frame_idx)
+        assert [r.txnr for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0].command == "open" and rows[0].text == RELP_OFFER
+        assert rows[-1].command == "close" and rows[-1].text == ""
+        assert all(r.command == "syslog" for r in rows[1:-1])
+        assert all(r.answer == f"{r.txnr} rsp 6 200 OK" for r in rows)
