@@ -69,10 +69,42 @@ def metrics_snapshot(status_df: DataFrame, routed: DataFrame) -> DataFrame:
             "value",
         )
     )
+    # skw_relp_answers_total (services/network/relp.go:40-44): RSP
+    # answers per status under the relp_framed connection model — one
+    # connection per conversation, answers = open + close + one per
+    # syslog frame. 200 OK for every frame whose row the pipeline
+    # accepts (writeSuccess relp.go:395-397 — DROPPED rows were still
+    # received and ACKed; filtering happens after the ACK), 500 KO for
+    # rejected rows (the ForwardFail -> writeFailure path, :400-402).
+    answers_ok = status_df.agg(
+        (
+            F.sum(
+                F.when(F.col("route_status") != "rejected", 1).otherwise(0)
+            )
+            # open + close answered on every connection, even one whose
+            # every syslog frame is rejected
+            + F.countDistinct("conv_id") * F.lit(2)
+        ).alias("value")
+    ).select(
+        F.lit("skw_relp_answers_total").alias("metric"),
+        F.lit("status=200").alias("labels"),
+        "value",
+    )
+    answers_ko = (
+        status_df.where(F.col("route_status") == "rejected")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.lit("skw_relp_answers_total").alias("metric"),
+            F.lit("status=500").alias("labels"),
+            "value",
+        )
+    )
     return (
         incoming.unionByName(parse_errors)
         .unionByName(filtering_pass)
         .unionByName(filtering_nonpass)
+        .unionByName(answers_ok)
+        .unionByName(answers_ko)
         .orderBy("metric", "labels")
     )
 

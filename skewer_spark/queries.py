@@ -1490,6 +1490,14 @@ SELECT metric, labels, value FROM (
   SELECT 'skw_message_filtering_total',
          'status=' || route_status || ',destination=-', count(*)
   FROM statusd WHERE route_status <> 'passing' GROUP BY route_status
+  UNION ALL
+  SELECT 'skw_relp_answers_total', 'status=200',
+         CAST(sum(CASE WHEN route_status <> 'rejected' THEN 1 ELSE 0 END)
+              + 2 * count(DISTINCT conv_id) AS BIGINT)
+  FROM statusd
+  UNION ALL
+  SELECT 'skw_relp_answers_total', 'status=500', count(*)
+  FROM statusd WHERE route_status = 'rejected'
 )""",
         "ordering_window": f"""
 SELECT conv_id, turn_idx,
