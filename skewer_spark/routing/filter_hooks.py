@@ -63,7 +63,11 @@ class FilterHook:
     # input columns the kernel READS beyond group_cols/mutates. Only
     # meaningful with key_cols (the narrow path below).
     reads: tuple[str, ...] = ()
-    # a UNIQUE row key (caller contract). Non-empty enables the NARROW
+    # a UNIQUE row key (caller contract — unique under NULL-SAFE
+    # equality: the verdict join-back uses <=>, so two rows sharing an
+    # identical NULL-containing key tuple would cross-match and
+    # silently MULTIPLY; pass validate_keys=True to apply_filter_hook
+    # to fail fast on that instead). Non-empty enables the NARROW
     # path: only key+group+reads+mutates round-trip through Python and
     # the verdict joins back on the key, so the wide columns stay
     # JVM-side. TRADE-OFF: the join-back traverses the input lineage
@@ -102,15 +106,39 @@ def mutated_col(name: str, col: str) -> str:
     return f"hook_{name}_{col}"
 
 
-def apply_filter_hook(df: DataFrame, name: str) -> DataFrame:
+def apply_filter_hook(
+    df: DataFrame, name: str, validate_keys: bool = False
+) -> DataFrame:
     """Run one registered hook over df: adds ``hook_status_<name>``
     plus ``hook_<name>_<col>`` for each declared mutated column.
     Original columns are passed through UNTOUCHED; the mutated copies
     equal the originals on non-passing rows (enforced here, not
     trusted from the kernel — the reference only copies mutations back
-    on PASS)."""
+    on PASS).
+
+    ``validate_keys=True`` (narrow path only) runs one extra
+    aggregation asserting key_cols are unique under NULL-SAFE equality
+    before trusting the join-back — a duplicated key tuple would
+    otherwise silently multiply rows. Off by default: it costs a
+    shuffle-sized job, and production callers pin uniqueness
+    upstream."""
     hook = get_filter_hook(name)
     narrow = bool(hook.key_cols)
+    if narrow and validate_keys:
+        dup = (
+            df.groupBy(*hook.key_cols)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"hook {name!r}: key_cols {hook.key_cols} are not unique "
+                f"under null-safe equality (e.g. {tuple(dup[0])[:-1]}) — "
+                "the narrow verdict join-back would multiply rows; fix "
+                "the key or use the wide path (key_cols=())"
+            )
     if narrow:
         seen: dict[str, None] = {}
         for c in (*hook.key_cols, *hook.group_cols, *hook.reads, *hook.mutates):

@@ -464,7 +464,11 @@ _SESSION_STATE_SCHEMA = StructType(
 )
 
 
-def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stream(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    keep_index_state: bool = False,
+) -> DataFrame:
     """Streaming twin of the batch sessionize op (corpus_ops.
     sessionize_sql): gap-based sessions per user over an event-time
     stream, emitted as each session CLOSES — either because a later
@@ -496,7 +500,19 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     for such late earlier sessions (they take the next free index in
     ARRIVAL order, while the batch oracle numbers purely by time; a
     session already emitted can never be renumbered). Pinned by
-    test_sessionize_stream_late_in_watermark_events."""
+    test_sessionize_stream_late_in_watermark_events.
+
+    Index continuity across evictions: by default the timeout flush
+    REMOVES the user's state — bounded by active users — so a user
+    who returns after eviction restarts session_idx at 1 (a second
+    documented ordinality divergence from the batch oracle, which
+    numbers a user's sessions over all history).
+    ``keep_index_state=True`` retains a 5-long residue per user (just
+    the index high-water mark, no open session, no timeout) so a
+    reactivated user continues numbering where it left off — state
+    then grows with users EVER seen, the same cost the batch op pays
+    to number globally. Pinned by
+    test_sessionize_reactivated_user_numbering."""
     gap_us = gap_minutes * 60 * 1_000_000
     gap_ms = gap_minutes * 60 * 1000
 
@@ -510,11 +526,19 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
         if state.hasTimedOut:
             if state.exists:
-                si, st, la, n, _ = state.get
-                state.remove()
-                yield pd.DataFrame(
-                    [row(si, st, la, n)], columns=SESSION_OUT_SCHEMA.names
-                )
+                si, st, la, n, hwm = state.get
+                if keep_index_state:
+                    # keep only the index high-water mark (no open
+                    # session, no timeout) so a returning user
+                    # continues numbering instead of restarting at 1
+                    state.update((hwm, -1, -1, 0, hwm))
+                else:
+                    state.remove()
+                if st >= 0:
+                    yield pd.DataFrame(
+                        [row(si, st, la, n)],
+                        columns=SESSION_OUT_SCHEMA.names,
+                    )
             return
         si, st, la, n, hwm = (
             state.get if state.exists else (0, -1, -1, 0, 0)
@@ -571,19 +595,39 @@ def _stream_instance_id(checkpoint_dir: str) -> str:
     (checkpoint lifetime, batch_id) — batch_id alone would collide
     with a previous incarnation's run_ids in the committed-unit
     ledger and silently SKIP brand-new data (worse than the duplicate
-    delivery the ledger exists to prevent). First caller writes a
-    fresh id (exclusive create — a concurrent loser just re-reads);
-    restarts from the same checkpoint read it back."""
+    delivery the ledger exists to prevent).
+
+    The id becomes visible ATOMICALLY and only fully written: the
+    uuid goes to a private temp file (flushed + fsynced), which is
+    then hard-linked into place — link fails if a concurrent starter
+    won, and both racers read the winner's id; a bare open('x') would
+    expose an empty file between create and write, handing a racer
+    (or a post-crash restart) the empty id and two different run_ids
+    for the same batch — duplicate delivery. A checkpoint that
+    PREDATES this id scheme (Spark offsets already present, no id
+    file) pins the empty LEGACY id so its in-flight epoch replays
+    under the original 'epoch-<batch>' run_id format and still dedups
+    against the old ledger entries."""
     import os
     import uuid
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = os.path.join(checkpoint_dir, "skewer_stream_id")
-    try:
-        with open(path, "x") as f:
-            f.write(uuid.uuid4().hex[:12])
-    except FileExistsError:
-        pass
+    if not os.path.exists(path):
+        offsets = os.path.join(checkpoint_dir, "offsets")
+        legacy = os.path.isdir(offsets) and bool(os.listdir(offsets))
+        sid = "" if legacy else uuid.uuid4().hex[:12]
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(sid)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            pass  # a concurrent starter won; use its id
+        finally:
+            os.unlink(tmp)
     with open(path) as f:
         return f.read().strip()
 
@@ -622,10 +666,16 @@ def start_exactly_once_pipeline_stream(
     from skewer_spark.pipeline import Pipeline
 
     pipe = Pipeline(spark, warehouse)
-    sid = stream_id or _stream_instance_id(checkpoint_dir)
+    sid = stream_id if stream_id is not None else _stream_instance_id(
+        checkpoint_dir
+    )
+    # empty sid = LEGACY checkpoint (pre-dates the stream-id scheme):
+    # keep the original run_id format so a replayed in-flight epoch
+    # dedups against its old ledger entries instead of re-committing
+    prefix = f"epoch-{sid}-" if sid else "epoch-"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pipe.run(batch_df, run_id=f"epoch-{sid}-{batch_id:08d}")
+        pipe.run(batch_df, run_id=f"{prefix}{batch_id:08d}")
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

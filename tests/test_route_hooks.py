@@ -109,6 +109,23 @@ def test_narrow_hook_keeps_null_key_rows(spark):
     assert nullrow[0]["hook_rate_limit_mask_message"] == "null conv #"
 
 
+def test_narrow_hook_validate_keys_catches_nullsafe_duplicates(spark):
+    # the null-safe join treats (NULL, 9) == (NULL, 9): two such rows
+    # would cross-match and multiply. validate_keys=True fails fast on
+    # keys that are non-unique under null-safe equality; unique frames
+    # (including a single NULL-keyed row) pass validation unchanged.
+    dup = ROWS + [(None, 9, "app9", "x 1", False),
+                  (None, 9, "app9", "y 2", False)]
+    df = spark.createDataFrame(dup, SCHEMA)
+    with pytest.raises(ValueError, match="not unique"):
+        FH.apply_filter_hook(df, "rate_limit_mask", validate_keys=True)
+    ok = spark.createDataFrame(
+        ROWS + [(None, 9, "app9", "x 1", False)], SCHEMA
+    )
+    got = FH.apply_filter_hook(ok, "rate_limit_mask", validate_keys=True)
+    assert got.count() == len(ROWS) + 1
+
+
 def test_wide_hook_without_key_cols(spark):
     # a hook with NO key_cols takes the wide path (whole frame through
     # the kernel, no join) — the original behavior must keep working

@@ -710,3 +710,112 @@ def test_line_dedup_stream_drops_cross_batch(spark, tmp_path):
         2: (1, md5("x y z")),
         # doc 3 absent: all spans suppressed
     }, got
+
+
+def test_stream_instance_id_atomic_and_legacy(tmp_path):
+    import os
+
+    from skewer_spark.streaming import _stream_instance_id
+
+    # fresh checkpoint: a full 12-hex id, stable across re-reads, no
+    # torn temp files left behind
+    ck = str(tmp_path / "ck_new")
+    sid = _stream_instance_id(ck)
+    assert len(sid) == 12 and sid == _stream_instance_id(ck)
+    assert os.listdir(ck) == ["skewer_stream_id"]
+    # legacy checkpoint (Spark offsets already present, no id file):
+    # pins the EMPTY id so replayed epochs keep the original
+    # 'epoch-<batch>' run_id format and dedup against old ledger rows
+    ck2 = str(tmp_path / "ck_old")
+    os.makedirs(os.path.join(ck2, "offsets"))
+    open(os.path.join(ck2, "offsets", "0"), "w").close()
+    assert _stream_instance_id(ck2) == ""
+    assert _stream_instance_id(ck2) == ""  # persisted
+
+
+def test_legacy_stream_id_replays_old_format_run_ids(spark, tmp_path, sf_dir):
+    # explicit stream_id='' (the legacy pin): epochs commit under the
+    # pre-stream-id 'epoch-<batch>' run_ids, so an upgrade replaying an
+    # in-flight epoch against an old ledger skips instead of
+    # double-writing
+    from skewer_spark.pipeline import Pipeline
+    from skewer_spark.queries import load_transcripts
+    from skewer_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        start_exactly_once_pipeline_stream,
+    )
+
+    tr = load_transcripts(spark, sf_dir).limit(150)
+    indir = tmp_path / "in"
+    tr.coalesce(1).write.mode("overwrite").parquet(str(indir))
+    wh = str(tmp_path / "wh")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(str(indir))
+    q = start_exactly_once_pipeline_stream(
+        stream, spark, wh, str(tmp_path / "ckpt"), stream_id=""
+    )
+    q.awaitTermination(300)
+    pipe = Pipeline(spark, wh)
+    n1 = pipe.table("sink_default").read(spark).count()
+    assert n1 > 0
+    # replay epoch 0 under the legacy run_id: every unit skips
+    res = pipe.run(spark.read.parquet(str(indir)), run_id="epoch-00000000")
+    assert res.skipped_units
+    assert pipe.table("sink_default").read(spark).count() == n1
+
+
+@pytest.mark.parametrize("keep_index_state,second_idx", [(True, 2), (False, 1)])
+def test_sessionize_reactivated_user_numbering(
+    spark, tmp_path, keep_index_state, second_idx
+):
+    # a user who returns AFTER their state was flushed by the
+    # event-time timeout: with keep_index_state the index high-water
+    # mark survives eviction and numbering continues (2); the default
+    # bounded-state mode restarts at 1 (documented divergence)
+    import datetime as dt
+    import time as _time
+
+    from skewer_spark.streaming import sessionize_stream
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    indir = tmp_path / "ev"
+    indir.mkdir()
+    sent_schema = "user_id long, ts timestamp_ntz"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, sent_schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(indir / name))
+        _time.sleep(0.05)
+
+    h = dt.timedelta(hours=1)
+    write_file("f1", [(1, base)])
+    write_file("f2", [(-1, base + 10 * h)])   # advance watermark
+    write_file("f3", [(-2, base + 20 * h)])   # reap session 1
+    write_file("f4", [(1, base + 30 * h)])    # user 1 returns
+    write_file("f5", [(-3, base + 40 * h)])
+    write_file("f6", [(-4, base + 50 * h)])   # reap session 2
+
+    stream = (
+        spark.readStream.schema(sent_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", "1 second")
+    )
+    outdir = tmp_path / "out"
+    q = (
+        sessionize_stream(stream, keep_index_state=keep_index_state)
+        .writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.start_us, r.session_idx, r.n_events)
+        for r in spark.read.parquet(str(outdir)).collect()
+        if r.user_id == 1
+    )
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    assert got == [(us(base), 1, 1), (us(base + 30 * h), second_idx, 1)], got
