@@ -85,7 +85,16 @@ class IceLiteTable:
     def append(self, df: DataFrame, run_id: str, overwrite: bool = False) -> Snapshot | None:
         """Write df as one atomic snapshot. Idempotent per run_id: if a
         snapshot for run_id is already committed, skip and return None
-        (rerun/resume safety)."""
+        (rerun/resume safety).
+
+        ``overwrite=True`` replaces the whole table the same way
+        ``compact`` does: the new manifest commits FIRST (old data dirs
+        are removed only after the swap — a crash in between leaks
+        dirs that ``gc_orphans`` reaps, never a manifest pointing at
+        deleted data), and the new snapshot carries the replaced
+        run_ids (and their parents) in ``parents`` so a rerun of a
+        pre-overwrite run_id still skips instead of re-appending into
+        the reset table."""
         snaps = self._read_manifest()
         if _has_run(snaps, run_id):
             return None
@@ -97,13 +106,23 @@ class IceLiteTable:
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
-        snap = Snapshot(snapshot_id, run_id, "overwrite" if overwrite else "append", rows, time.time())
         if overwrite:
-            for old in snaps:
+            parents = sorted(
+                {s["run_id"] for s in snaps}
+                | {p for s in snaps for p in (s.get("parents") or [])}
+            )
+            old_ids = [s["snapshot_id"] for s in snaps]
+            snap = Snapshot(
+                snapshot_id, run_id, "overwrite", rows, time.time(),
+                parents=parents, replaced=old_ids,
+            )
+            self._commit_manifest([snap.__dict__])
+            for oid in old_ids:
                 shutil.rmtree(
-                    os.path.join(self.dir, "data", old["snapshot_id"]), ignore_errors=True
+                    os.path.join(self.dir, "data", oid), ignore_errors=True
                 )
-            snaps = []
+            return snap
+        snap = Snapshot(snapshot_id, run_id, "append", rows, time.time())
         snaps.append(snap.__dict__)
         self._commit_manifest(snaps)
         return snap

@@ -85,16 +85,27 @@ class LineageLog:
         return recs
 
     def _repair_tail(self) -> None:
-        """Truncate a partial final line left by a crashed append, so
-        the next append starts on a clean line boundary."""
+        """Re-terminate or truncate an unterminated final line left by
+        a crashed append, so the next append starts on a clean line
+        boundary. A final line that PARSES as JSON merely lost its
+        trailing newline (the crash hit between write and the \\n
+        reaching disk) — ``_read`` already counts that record as
+        committed, so repair must re-terminate it, never delete it
+        (deleting would un-commit a unit previously observable as
+        committed). Only an unparseable tail is truncated."""
         if not os.path.exists(self.path):
             return
         with open(self.path, "rb+") as f:
             raw = f.read()
             if not raw or raw.endswith(b"\n"):
                 return
-            cut = raw.rfind(b"\n") + 1  # 0 when no newline at all
-            f.truncate(cut)
+            tail = raw[raw.rfind(b"\n") + 1 :]
+            try:
+                json.loads(tail)
+            except ValueError:
+                f.truncate(raw.rfind(b"\n") + 1)  # genuinely torn
+            else:
+                f.write(b"\n")  # complete record: just re-terminate
 
     def records(self) -> pd.DataFrame:
         recs = self._read()
@@ -138,7 +149,26 @@ def snapshot_lineage(
     wall_ms: int,
 ) -> list[dict]:
     """One lineage record per committed output file (= output partition).
-    Accepts (file, rows) or (file, rows, min_key, max_key) tuples."""
+    Accepts (file, rows) or (file, rows, min_key, max_key) tuples.
+    An EMPTY snapshot (zero data files — e.g. dead_letter on a run
+    with no rejected rows) still yields one zero-row record: the work
+    unit must be marked committed or resume bookkeeping
+    (all-units-committed checks, staging cleanup) never completes."""
+    if not per_file_stats:
+        return [
+            {
+                "run_id": run_id,
+                "stage": stage,
+                "sink": sink,
+                "partition_id": -1,
+                "rows_in": rows_in,
+                "rows_out": 0,
+                "min_key": "",
+                "max_key": "",
+                "wall_ms": wall_ms,
+                "committed_at": time.time(),
+            }
+        ]
     out = []
     for i, stats in enumerate(per_file_stats):
         _, n = stats[0], stats[1]

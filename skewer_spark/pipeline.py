@@ -37,7 +37,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from skewer_spark import aggregate as agg
 from skewer_spark import enrich as enr
 from skewer_spark.icelite import IceLiteTable
 from skewer_spark.lineage import LineageLog, snapshot_lineage
@@ -94,14 +93,12 @@ class Pipeline:
         {table: rows} for the tables actually rewritten. Run it between
         ingest runs — resume idempotency is preserved because compacted
         snapshots carry the absorbed run_ids."""
-        import os as _os
-
         done: dict[str, int] = {}
-        if not _os.path.isdir(self.warehouse):
+        if not os.path.isdir(self.warehouse):
             return done
-        for name in sorted(_os.listdir(self.warehouse)):
+        for name in sorted(os.listdir(self.warehouse)):
             t = self.table(name)
-            if not _os.path.exists(t.manifest_path):
+            if not os.path.exists(t.manifest_path):
                 continue
             snap = t.compact(self.spark, target_file_bytes, min_files)
             if snap is not None:
@@ -170,13 +167,36 @@ class Pipeline:
         return os.path.join(self.warehouse, "_staging", run_id)
 
     # ------------------------------------------------------------ build
-    def routed_frame(self, transcripts: DataFrame, status_aware: bool = True) -> DataFrame:
+    def routed_frame(
+        self,
+        transcripts: DataFrame,
+        status_aware: bool = True,
+        observation: Observation | None = None,
+    ) -> DataFrame:
+        """The full phase-1 plan (salt -> parse -> status -> hooks ->
+        enrich -> fan-out). run() executes EXACTLY this builder (with
+        its observation attached), so the plan tools/dump_plans.py and
+        the plan gates inspect can never drift from what production
+        runs. ``observation`` attaches rows_in/dropped/rejected
+        counters to the post-status frame (collected by Spark during
+        whatever job consumes the result — zero extra passes)."""
         df = transcripts
         if self.salt_partitions:
             df = salted_repartition(df, self.salt_partitions)
         from skewer_spark.routing.filter_hooks import apply_hooks_for_rules
 
         parsed = self._status(parse_transcripts(df))
+        if observation is not None:
+            parsed = parsed.observe(
+                observation,
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum(
+                    F.when(F.col("route_status") == "dropped", 1).otherwise(0)
+                ).alias("dropped"),
+                F.sum(
+                    F.when(F.col("route_status") == "rejected", 1).otherwise(0)
+                ).alias("rejected"),
+            )
         if status_aware:
             enriched = apply_hooks_for_rules(
                 enr.enrich(parsed, self.spark), self.rules
@@ -256,31 +276,9 @@ class Pipeline:
         all_units_committed = all(
             (run_id, "sink", s) in committed for s in all_sinks
         )
-        wrote = False
         if not staging_done and not all_units_committed:
-            df = transcripts
-            if self.salt_partitions:
-                df = salted_repartition(df, self.salt_partitions)
-            parsed = self._status(parse_transcripts(df)).observe(
-                obs,
-                F.count(F.lit(1)).alias("rows_in"),
-                F.sum(F.when(F.col("route_status") == "dropped", 1).otherwise(0)).alias(
-                    "dropped"
-                ),
-                F.sum(
-                    F.when(F.col("route_status") == "rejected", 1).otherwise(0)
-                ).alias("rejected"),
-            )
-            from skewer_spark.routing.filter_hooks import (
-                apply_hooks_for_rules,
-            )
-
-            routed = R.route_fanout(
-                apply_hooks_for_rules(
-                    enr.enrich(parsed, self.spark), self.rules
-                ),
-                self.rules,
-                status_aware=True,
+            routed = self.routed_frame(
+                transcripts, status_aware=True, observation=obs
             )
             t0 = time.time()
             routed.write.mode("overwrite").partitionBy("sink").parquet(staging)
@@ -288,7 +286,6 @@ class Pipeline:
                 k: obs.get.get(k, 0) for k in ("dropped", "rejected")
             }
             res.rows_in = obs.get.get("rows_in", 0)
-            wrote = True
             self.lineage.commit(
                 [
                     {
@@ -316,6 +313,16 @@ class Pipeline:
             t0 = time.time()
             table = self.table(sink)
             snap = table.register_dir(os.path.join(staging, f"sink={sink}"), run_id)
+            if snap is None:
+                # the manifest already carries this run (a crash landed
+                # between register_dir's commit and the lineage append):
+                # BACKFILL the lineage record from the manifest, or the
+                # unit stays permanently uncommitted — staging never
+                # cleans up and every rerun re-enters this loop
+                snap = next(
+                    (s for s in table.snapshots() if s.run_id == run_id),
+                    None,
+                )
             if snap is not None:
                 self.lineage.commit(
                     snapshot_lineage(
@@ -326,6 +333,24 @@ class Pipeline:
                     )
                 )
                 res.sink_rows[sink] = snap.rows
+            else:
+                # run_id survives only as a compaction parent: per-file
+                # stats are gone; commit a marker record so resume
+                # bookkeeping completes (rows_out=-1 = unrecoverable)
+                self.lineage.commit(
+                    [
+                        {
+                            "run_id": run_id,
+                            "stage": "sink",
+                            "sink": sink,
+                            "partition_id": -1,
+                            "rows_in": -1,
+                            "rows_out": -1,
+                            "wall_ms": int((time.time() - t0) * 1000),
+                            "committed_at": time.time(),
+                        }
+                    ]
+                )
             n_sinks_done += 1
             if fail_after_sinks is not None and n_sinks_done >= fail_after_sinks:
                 raise RuntimeError(f"simulated crash after {n_sinks_done} sinks")
@@ -341,16 +366,46 @@ class Pipeline:
         res.skipped_units.extend(
             (run_id, "agg", f"agg_{k}") for k in AGG_KEYS if k not in pending_aggs
         )
+        agg_overwrite = False
         if pending_aggs:
+            # DELTA aggregation: scan only THIS RUN's committed files
+            # per sink, never the whole table — the agg tables hold one
+            # delta snapshot per run and totals are the sum across
+            # snapshots. (Scanning t.read() here would total ALL runs
+            # and append that under this run_id: every earlier run
+            # double-counted — and at 10^12 rows the full-table re-scan
+            # per run is the wrong cost shape anyway.) If a pending
+            # run's per-run files were already absorbed by compaction
+            # (crash before the agg units, maintenance ran in between),
+            # fall back to ONE full recompute committed as an OVERWRITE
+            # snapshot — totals stay exact because the overwrite
+            # replaces every prior delta.
             frames = []
             for rule in self.rules:  # dead letter excluded from rollups
                 t = self.table(rule.sink)
-                if t.data_files():
+                run_snap = next(
+                    (s for s in t.snapshots() if s.run_id == run_id), None
+                )
+                if run_snap is None:
+                    if run_id in t.committed_runs():
+                        agg_overwrite = True  # absorbed: delta is gone
+                        break
+                    continue  # sink had no rows this run
+                files = [f for f, _ in t.per_file_rows(run_snap.snapshot_id)]
+                if files:
                     frames.append(
-                        t.read(self.spark).select(
+                        self.spark.read.parquet(*files).select(
                             F.lit(rule.sink).alias("sink"), *AGG_KEYS
                         )
                     )
+            if agg_overwrite:
+                frames = [
+                    t.read(self.spark).select(
+                        F.lit(rule.sink).alias("sink"), *AGG_KEYS
+                    )
+                    for rule in self.rules
+                    if (t := self.table(rule.sink)).data_files()
+                ]
             if frames:
                 u = frames[0]
                 for f2 in frames[1:]:
@@ -388,7 +443,14 @@ class Pipeline:
                         .reset_index(drop=True)
                     )
                     table = self.table(f"agg_{key}")
-                    snap = table.append_pandas(pdf, run_id)
+                    if agg_overwrite:
+                        snap = table.append(
+                            self.spark.createDataFrame(pdf),
+                            run_id,
+                            overwrite=True,
+                        )
+                    else:
+                        snap = table.append_pandas(pdf, run_id)
                     if snap is not None:
                         self.lineage.commit(
                             snapshot_lineage(

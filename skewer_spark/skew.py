@@ -80,8 +80,10 @@ def blocked_row_number(
     )
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_bn").over(w_cum), F.lit(0)))
     out = local.join(offsets.select(part_col, "_blk", "_off"), [part_col, "_blk"])
+    # LONG, not int: a hot key past 2^31 rows — exactly the scale this
+    # helper exists for — would silently wrap a 32-bit rank
     return (
-        out.withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("int"))
+        out.withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_blk", "_lrn", "_off")
     )
 

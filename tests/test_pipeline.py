@@ -373,3 +373,120 @@ def test_lineage_torn_at_every_offset(tmp_path):
         assert list(log.records().run_id)[-1] == "r9"
         raw = open(log.path, "rb").read()
         assert raw.endswith(b"\n")
+
+
+def test_two_runs_agg_totals_do_not_double_count(spark, sf_dir, tmp_path):
+    # phase-3 rollups are per-run DELTAS over this run's committed
+    # files only: two runs into one warehouse must sum to exactly the
+    # combined routed rows (the old full-table re-aggregation appended
+    # run1's totals AGAIN under run2)
+    tr = load_transcripts(spark, sf_dir)
+    p = Pipeline(spark, str(tmp_path / "wh"))
+    r1 = p.run(tr.where("turn_idx % 2 = 0"), run_id="runA")
+    r2 = p.run(tr.where("turn_idx % 2 = 1"), run_id="runB")
+    want = sum(r1.sink_rows[s] + r2.sink_rows[s]
+               for s in r1.sink_rows if s != "dead_letter")
+    got = p.table("agg_facility").read(spark).groupBy().sum("n").collect()[0][0]
+    assert got == want, (got, want)
+    # severity/tool rollups see the same delta semantics
+    got_sev = p.table("agg_severity").read(spark).groupBy().sum("n").collect()[0][0]
+    assert got_sev == want
+
+
+def test_empty_dead_letter_unit_commits_and_staging_cleans(spark, sf_dir, tmp_path):
+    # zero rejected rows -> the dead_letter snapshot is EMPTY; its work
+    # unit must still get a lineage record (zero-row marker) so the
+    # all-units-committed check passes and staging is removed
+    import os
+
+    tr = load_transcripts(spark, sf_dir).limit(200)
+    p = Pipeline(spark, str(tmp_path / "wh"), rejected_expr="FALSE")
+    res = p.run(tr, run_id="clean")
+    assert res.status_counts["rejected"] == 0
+    assert ("clean", "sink", "dead_letter") in p.lineage.committed_units()
+    assert not os.path.exists(p._staging_dir("clean"))
+
+
+def test_resume_backfills_lineage_after_commit_gap(spark, sf_dir, tmp_path, monkeypatch):
+    # crash BETWEEN a sink's manifest commit (register_dir) and its
+    # lineage append: on resume register_dir returns None (idempotency)
+    # and the lineage record must be backfilled from the manifest —
+    # otherwise the unit stays uncommitted forever and staging leaks
+    import os
+
+    from skewer_spark.lineage import LineageLog
+
+    tr = load_transcripts(spark, sf_dir).limit(300)
+    p = Pipeline(spark, str(tmp_path / "wh"))
+    real_commit = LineageLog.commit
+    state = {"armed": True}
+
+    def failing_commit(self, records):
+        if state["armed"] and any(r.get("stage") == "sink" for r in records):
+            state["armed"] = False
+            raise RuntimeError("simulated crash after manifest commit")
+        return real_commit(self, records)
+
+    monkeypatch.setattr(LineageLog, "commit", failing_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        p.run(tr, run_id="gap")
+    monkeypatch.setattr(LineageLog, "commit", real_commit)
+
+    res = Pipeline(spark, str(tmp_path / "wh")).run(tr, run_id="gap")
+    p2 = Pipeline(spark, str(tmp_path / "wh"))
+    units = p2.lineage.committed_units()
+    for s in ("sink_app", "sink_security", "sink_tools", "sink_default",
+              "dead_letter"):
+        assert ("gap", "sink", s) in units, s
+    assert not os.path.exists(p2._staging_dir("gap"))
+    # backfilled rows are real manifest rows, and a further rerun no-ops
+    res3 = p2.run(tr, run_id="gap")
+    assert len(res3.skipped_units) >= 5
+
+
+def test_overwrite_commits_manifest_before_removing_old_dirs(spark, tmp_path):
+    # append(overwrite=True) follows compact's crash-safe order: the
+    # new manifest carries the replaced snapshot ids + prior run_ids as
+    # parents, old dirs go away after the swap, a rerun of a
+    # pre-overwrite run_id still skips, and gc_orphans can reap a dir
+    # that survived a crash inside the removal window
+    import os
+
+    from skewer_spark.icelite import IceLiteTable
+
+    t = IceLiteTable(str(tmp_path / "wh"), "tbl")
+    df1 = spark.range(10).selectExpr("cast(id as string) AS v")
+    df2 = spark.range(5).selectExpr("cast(id as string) AS v")
+    s1 = t.append(df1, "r1")
+    s2 = t.append(df2, "r2", overwrite=True)
+    assert s2.operation == "overwrite"
+    assert "r1" in (s2.parents or []) and s1.snapshot_id in (s2.replaced or [])
+    assert t.read(spark).count() == 5
+    # pre-overwrite run replays as a no-op
+    assert t.append(df1, "r1") is None
+    # crash window: a replaced dir left on disk is reaped by gc
+    ghost = os.path.join(t.dir, "data", s1.snapshot_id)
+    os.makedirs(ghost, exist_ok=True)
+    assert s1.snapshot_id in t.gc_orphans()
+    assert not os.path.isdir(ghost)
+
+
+def test_lineage_repair_keeps_parseable_unterminated_tail(tmp_path):
+    # a crash can persist the final record's JSON but not its trailing
+    # newline; _read counts it as committed, so repair must
+    # RE-TERMINATE it — truncating would un-commit an observed unit
+    from skewer_spark.lineage import LineageLog
+
+    log = LineageLog(str(tmp_path))
+    rec = dict(run_id="r", stage="sink", sink="a", partition_id=0,
+               rows_in=1, rows_out=1, wall_ms=0)
+    log.commit([dict(rec)])
+    with open(log.path, "rb+") as f:
+        raw = f.read()
+        f.seek(0)
+        f.truncate()
+        f.write(raw.rstrip(b"\n"))  # strip the terminator, keep the JSON
+    assert ("r", "sink", "a") in log.committed_units()
+    log.commit([dict(rec, sink="b")])
+    units = log.committed_units()
+    assert ("r", "sink", "a") in units and ("r", "sink", "b") in units

@@ -39,7 +39,9 @@ def test_blocked_row_number_matches_window(spark, sf_dir):
     tr = load_transcripts(spark, sf_dir)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     plain = tr.select(
-        "conv_id", "turn_idx", F.row_number().over(w).alias("rn")
+        "conv_id", "turn_idx",
+        # long, matching blocked_row_number's overflow-safe output type
+        F.row_number().over(w).cast("long").alias("rn"),
     )
     blocked = blocked_row_number(
         tr, "conv_id", "turn_idx", block_size=64
