@@ -10,7 +10,7 @@ the same materialized parquet file.
 ``text`` corpus: one branch per reference decoder branch
 (/root/reference/decoders/rfc3164_format.go:28-166,
 /root/reference/grammars/rfc5424/RFC5424.g4), selected by
-``event_id % 12``:
+``event_id % 13``:
 
   0-2  <PRI>Mmm dd HH:MM:SS host app[pid]: body      (classic 3164)
   3    <PRI>RFC3339 host app: body                   (RFC3339 ts branch)
@@ -44,7 +44,12 @@ import pyarrow.parquet as pq
 REPO_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
 APPS = ["nginx", "sshd", "kernel", "postfix", "cron", "agentd", "skewerd", "etl"]
-TOOLS5 = ["search", "exec", "browser", "python", "shell"]
+from skewer_spark.dims import TOOL_NAMES as TOOLS5  # single source
+assert TOOLS5 == ["search", "exec", "browser", "python", "shell"], (
+    "dims.TOOLS changed: regenerate data/ fixtures (datagen is\n"
+    "deterministic ONLY while this list is stable) before relying\n"
+    "on cached parquet"
+)
 
 
 def transcripts_path(sf_dir: str, repeat: int = 1) -> str:

@@ -105,9 +105,10 @@ def _sd_from_props_flat() -> Column:
                 filter(split(props_flat, '\n'), l -> split(l, '\\|')[0] = sid),
                 CAST('' AS STRING),
                 (a2, l) -> a2 || ' ' ||
-                  split(split(l, '\\|')[1], '=')[0] || '="' ||
+                  substring_index(substring_index(l, '=', 1), '|', -1)
+                  || '="' ||
                   replace(replace(replace(
-                    substring(split(l, '\\|')[1], instr(split(l, '\\|')[1], '=') + 1),
+                    substring(l, instr(l, '=') + 1),
                     '\\', '\\\\'), '"', '\\"'), ']', '\\]') || '"'
               ) || ']'
           )
@@ -127,10 +128,9 @@ def _sd_from_props_flat_sql() -> str:
                 list_filter(string_split(props_flat, chr(10)),
                             l -> string_split(l, '|')[1] = sid),
                 l -> ' ' ||
-                  string_split(string_split(l, '|')[2], '=')[1] || '="' ||
+                  split_part(split_part(l, '=', 1), '|', -1) || '="' ||
                   replace(replace(replace(
-                    substring(string_split(l, '|')[2],
-                              strpos(string_split(l, '|')[2], '=') + 1),
+                    substring(l, strpos(l, '=') + 1),
                     '\', '\\'), '"', '\"'), ']', '\]') || '"'
               ), 'string_agg', '') || ']'
           ), 'string_agg', '')
@@ -151,7 +151,9 @@ def encode_rfc5424() -> Column:
     ).otherwise(head)
 
 
-_ASCII_RE = "^[\\x21-\\x7e]*$"  # PrintableUsASCII (utils/strings.go:4-11)
+# PrintableUsASCII (utils/strings.go:4-11). \z, not $: Java '$' would
+# forgive one trailing newline that RE2 (and the reference) reject
+_ASCII_RE = "^[\\x21-\\x7e]*\\z"
 
 
 def rfc5424_encodable() -> Column:
@@ -351,10 +353,18 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
     )
     fac = F.coalesce(F.try_element_at(fmap, F.col("_j.facility")), F.lit(1))
     sev = F.coalesce(F.try_element_at(smap, F.col("_j.severity")), F.lit(6))
+    # canonical props_flat is newline-DELIMITED, so domain/key/value
+    # text from arbitrary JSON must never carry line terminators — a
+    # value like "a\nb" would otherwise split into a bogus second line
+    # that every downstream consumer (properties_map, the SD
+    # re-encoder) misparses. Sanitize to spaces at the boundary.
+    _clean = "translate({}, '\\n\\r', '  ')"
     lines = F.expr(
         "array_join(array_sort(flatten(transform(map_entries(_j.properties), "
         "e -> transform(map_entries(e.value), "
-        "kv -> e.key || '|' || kv.key || '=' || kv.value)))), '\\n')"
+        f"kv -> {_clean.format('e.key')} || '|' || "
+        f"{_clean.format('kv.key')} || '=' || "
+        f"{_clean.format('kv.value')})))), '\\n')"
     )
     nz = lambda c: F.coalesce(F.col(f"_j.{c}"), F.lit(""))
     return (

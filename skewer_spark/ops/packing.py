@@ -27,6 +27,14 @@ The residual single-task window in phase b holds block TOTALS, not
 rows; if even that outgrows one task, the same blocking applies
 recursively to the totals.
 
+Known cost trade (same one filter_hooks documents for its verdict
+join-back): the window side and the block-totals side are differently
+shaped projections of the same input, so Spark traverses the input
+lineage twice — including any upstream tokenization. At 10^12 docs,
+stage the tokenized (order_col, n_tokens) frame to parquet first and
+run the prefix sum over that narrow scan; the two traversals then
+cost two column-pruned scans of two ints, not two tokenizations.
+
 Reference anchor: skewer orders delivery per connection and assigns
 Kafka offsets as a per-partition running position (store/store.go
 retrieve/ACK ordering); packing is the same running-position idea

@@ -85,7 +85,8 @@ p5424b AS (
                range(1, len(regexp_extract_all(e, '{_PARAM}', 1)) + 1),
                i -> regexp_extract(e, '^\\[([^ \\]]+)', 1) || '|' ||
                     regexp_extract_all(e, '{_PARAM}', 1)[i] || '=' ||
-                    regexp_extract_all(e, '{_PARAM}', 2)[i])
+                    regexp_replace(regexp_extract_all(e, '{_PARAM}', 2)[i],
+                                   '\\\\(.)', '\\1', 'g'))
       ))), chr(10))
     ELSE '' END AS props5424
   FROM p5424

@@ -38,6 +38,7 @@ from skewer_spark.parsing.syslog import TS_YEAR_MAX, TS_YEAR_MIN, _try_ts_format
 
 _SD_ELEM = re.compile(r"\[([^ \]]+)((?:\\\]|[^\]])*)\]")
 _SD_PARAM = re.compile(r'([^ =\[\]]+)="((?:[^"\\]|\\.)*)"')
+_SD_UNESC = re.compile(r'\\(.)')  # stored values are unescaped
 
 _PRI_PAT = r"(?s)^<(?P<pri>\d+)>(?P<rest>.*)$"
 _SD_BLOCK = r"(?:\[(?:\\\]|[^\]])*\])+"
@@ -357,7 +358,8 @@ def parse_batch_arrow(
                 for em in _SD_ELEM.finditer(sd[i]):
                     sid, params = em.group(1), em.group(2)
                     for pmm in _SD_PARAM.finditer(params):
-                        lines.append(f"{sid}|{pmm.group(1)}={pmm.group(2)}")
+                        v = _SD_UNESC.sub(r'\1', pmm.group(2))
+                        lines.append(f"{sid}|{pmm.group(1)}={v}")
                 props_flat[okx[i]] = "\n".join(sorted(lines))
 
     # ------------------------------------------------------------- RFC3164

@@ -60,11 +60,21 @@ def normalize_charset(coding: str) -> tuple[str, str]:
 
 def transcode_series(raw: pd.Series, charset: str) -> pd.Series:
     """bytes Series -> str Series under the named charset; never fails
-    (invalid input degrades to U+FFFD per the contract above)."""
+    (invalid input degrades to U+FFFD per the contract above).
+    Degrades, never VANISHES: an already-decoded str passes through
+    unchanged (a string-typed column reaching the bytes path would
+    otherwise silently map the whole corpus to ''); only NULLs become
+    ''."""
     codec, errors = normalize_charset(charset)
-    return raw.map(
-        lambda b: b.decode(codec, errors) if isinstance(b, (bytes, bytearray)) else ""
-    )
+
+    def _one(b):
+        if isinstance(b, (bytes, bytearray)):
+            return b.decode(codec, errors)
+        if isinstance(b, str):
+            return b
+        return ""
+
+    return raw.map(_one)
 
 
 def make_parse_bytes_udf(charset: str = "utf8", mode: str = "auto"):

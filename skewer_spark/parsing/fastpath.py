@@ -30,6 +30,7 @@ _R5424 = re.compile(
 )
 _SD_ELEM = re.compile(r"\[([^ \]]+)((?:\\\]|[^\]])*)\]")
 _SD_PARAM = re.compile(r'([^ =\[\]]+)="((?:[^"\\]|\\.)*)"')
+_SD_UNESC = re.compile(r'\\(.)')  # stored values are unescaped
 _TAG = re.compile(r"^([^\[]*)(?:\[([^\]]*)\]?.*)?$", re.DOTALL)
 _HOSTNAME = re.compile(r"^[A-Za-z0-9.:_\-]+$")
 _TS_NUM = re.compile(
@@ -164,7 +165,8 @@ def parse_one(raw: str, ing: int) -> tuple:
             for em in _SD_ELEM.finditer(sd):
                 sid, params = em.group(1), em.group(2)
                 for pmm in _SD_PARAM.finditer(params):
-                    lines.append(f"{sid}|{pmm.group(1)}={pmm.group(2)}")
+                    v = _SD_UNESC.sub(r'\1', pmm.group(2))
+                    lines.append(f"{sid}|{pmm.group(1)}={v}")
             props = "\n".join(sorted(lines))
         nil = lambda x: "" if x == "-" else x
         return (pri, fac, sev, 1, tr, ing, nil(host), nil(app), nil(proc),

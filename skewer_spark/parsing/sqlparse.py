@@ -105,7 +105,9 @@ def parse_transcripts_sql(
                       regexp_extract_all(e, '{_PARAM}', 0),
                       p -> regexp_extract(e, '^\\\\[([^ \\\\]]+)', 1) || '|' ||
                            regexp_extract(p, '{_PARAM}', 1) || '=' ||
-                           regexp_extract(p, '{_PARAM}', 2))
+                           regexp_replace(
+                             regexp_extract(p, '{_PARAM}', 2),
+                             '\\\\\\\\(.)', '$1'))
                   ))), '\\n')
                 ELSE '' END"""
             ),

@@ -75,6 +75,10 @@ _SD_BLOCK = r"(?:\[(?:\\\]|[^\]])*\])+"
 _R5424_RE = r"^1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|" + _SD_BLOCK + r")( (.*))?$"
 _SD_ELEM_RE = re.compile(r"\[([^ \]]+)((?:\\\]|[^\]])*)\]")
 _SD_PARAM_RE = re.compile(r'([^ =\[\]]+)="((?:[^"\\]|\\.)*)"')
+# canonical props_flat stores UNESCAPED param values (the reference's
+# SetProperty stores the logical value, model/types.go:497-512); the
+# RFC5424 encoder re-applies escapeSDParam escaping exactly once
+_SD_UNESC = re.compile(r'\\(.)')
 _TAG_RE = r"^([^\[]*)(?:\[([^\]]*)\]?.*)?$"
 _HOSTNAME_RE = r"^[A-Za-z0-9.:_\-]+$"
 
@@ -222,7 +226,8 @@ def parse_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
                     for elem_m in _SD_ELEM_RE.finditer(raw):
                         sid, params = elem_m.group(1), elem_m.group(2)
                         for pm in _SD_PARAM_RE.finditer(params):
-                            lines.append(f"{sid}|{pm.group(1)}={pm.group(2)}")
+                            v = _SD_UNESC.sub(r'\1', pm.group(2))
+                            lines.append(f"{sid}|{pm.group(1)}={v}")
                     flat.append("\n".join(sorted(lines)))
                 res.loc[with_sd.index, "props_flat"] = flat
 

@@ -29,7 +29,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOPIC_VALID_RE = "^[a-zA-Z0-9._-]{1,249}$"
+# \z (end of TEXT), not $: Java regex '$' matches before a final line
+# terminator, so a topic with a trailing newline (reachable via
+# decode_json fields, which are not line-split) would pass validation
+# on Spark while DuckDB's RE2 rejects it — \z means end-of-text on both
+TOPIC_VALID_RE = "^[a-zA-Z0-9._-]{1,249}\\z"
 
 # tri-state classification (portable SQL over parsed columns)
 STATUS_DROPPED_EXPR = "severity = 7 AND facility >= 16"
@@ -200,7 +204,20 @@ def route_fanout(
 
 def routing_union_sql(from_relation: str, rules: tuple[RouteRule, ...] = DEFAULT_RULES) -> str:
     """DuckDB oracle: the same fan-out as a UNION ALL of filtered
-    selects; per-rule PASS mutations become SELECT * REPLACE."""
+    selects; per-rule PASS mutations become SELECT * REPLACE.
+
+    Raises on rules that name a ``filter_hook``: the hook's verdict
+    gate and mutations run arbitrary Python and have no SQL
+    restatement HERE (route_custom_filter's oracle states the demo
+    hook's semantics independently) — silently omitting the hook
+    would yield an oracle that over-counts routed rows and blames the
+    correct Spark side."""
+    hooked = [r.sink for r in rules if getattr(r, "filter_hook", "")]
+    if hooked:
+        raise ValueError(
+            f"routing_union_sql cannot state filter-hook semantics for "
+            f"rules {hooked}; build the hook's oracle explicitly"
+        )
     parts = []
     for r in rules:
         if r.transform_exprs:

@@ -40,6 +40,12 @@ def get_spark(
         # (measured on the e2e pipeline; at 100 TB the saved IO/storage
         # compounds across every sink table and shuffle spill)
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # last-write-wins on duplicate map keys = the reference's
+        # SetProperty semantics (model/types.go:497-512). RFC5424
+        # allows repeated SD param names, so props_flat can carry
+        # duplicate 'sid|k=...' lines; the default EXCEPTION policy
+        # would crash properties_map/encode_gelf on legal input.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SKEWER_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -168,8 +168,10 @@ def test_rfc5424_roundtrip(case):
     # integer ns -> us: float Timedelta division loses precision > 2^53 ns
     epoch = (pd.Timestamp(ts) - pd.Timestamp("1970-01-01")).value // 1000
     assert out["time_reported"] == epoch, (iso, out["time_reported"], epoch)
+    # canonical props_flat stores the UNESCAPED logical value: the
+    # wire carries _escape_sd(v), the parse recovers v exactly
     want_props = sorted(
-        f"{sid}|{k}={_escape_sd(v)}"
+        f"{sid}|{k}={v}"
         for sid, params in sds
         for k, v in params
     )

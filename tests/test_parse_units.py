@@ -191,8 +191,10 @@ def test_rfc5424_all_nil():
 def test_rfc5424_sd_escape():
     # escaped ']' inside an SD value (encoders/rfc5424.go:84-110)
     r = parse_one('<165>1 2003-10-11T22:14:15Z host app - - [a b="c\\]d"]')
-    assert r["structured"] == '[a b="c\\]d"]'
-    assert r["props_flat"] == "a|b=c\\]d"
+    assert r["structured"] == '[a b="c\\]d"]'  # raw wire text, escapes kept
+    # canonical props_flat stores the UNESCAPED logical value
+    # (SetProperty, model/types.go:497-512) — the encoder re-escapes
+    assert r["props_flat"] == "a|b=c]d"
     assert r["message"] == ""
 
 
@@ -614,3 +616,95 @@ def test_rsyslog_kernel_matches_column_decoder(spark):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), (
             c, got[c].tolist(), want[c].tolist()
         )
+
+
+def test_sd_values_unescaped_and_roundtrip_stable(spark):
+    # canonical props_flat stores the UNESCAPED param value (the
+    # reference's SetProperty stores the logical value); the RFC5424
+    # encoder applies escapeSDParam exactly once, so parse->encode->
+    # parse is a fixpoint even for values with quotes, backslashes,
+    # pipes, and ']'
+    import pandas as pd
+
+    from skewer_spark.encoders import encode_rfc5424
+    from skewer_spark.parsing.syslog import parse_batch
+
+    line = ('<34>1 2024-01-01T00:00:00Z h a p m '
+            '[ex@1 k="a\\"b\\\\c" j="x|y" z="q\\]r"] hi')
+    p1 = parse_batch(pd.Series([line]), pd.Series([0]))
+    assert p1["props_flat"][0] == 'ex@1|j=x|y\nex@1|k=a"b\\c\nex@1|z=q]r'
+    df = spark.createDataFrame(p1)
+    wire = df.select(encode_rfc5424().alias("w")).collect()[0]["w"]
+    p2 = parse_batch(pd.Series([wire]), pd.Series([0]))
+    assert p2["props_flat"][0] == p1["props_flat"][0]
+    assert p2["message"][0] == "hi"
+
+
+def test_duplicate_sd_param_names_encode_last_wins(spark):
+    # RFC5424 allows repeated PARAM-NAMEs; the reference's SetProperty
+    # is last-write-wins. props_flat keeps both lines; map-building
+    # consumers (encode_gelf/properties_map) must not crash — the
+    # session pins mapKeyDedupPolicy=LAST_WIN
+    import json
+
+    import pandas as pd
+
+    from skewer_spark.encoders import encode_gelf
+    from skewer_spark.parsing.syslog import parse_batch
+
+    line = '<34>1 2024-01-01T00:00:00Z h a p m [ex@1 k="a" k="b"] hi'
+    p = parse_batch(pd.Series([line]), pd.Series([0]))
+    assert p["props_flat"][0] == "ex@1|k=a\nex@1|k=b"
+    df = spark.createDataFrame(p).withColumn(
+        "facility_name", __import__("pyspark.sql.functions",
+                                    fromlist=["F"]).lit("auth")
+    )
+    gelf = json.loads(df.select(encode_gelf().alias("g")).collect()[0]["g"])
+    assert gelf["_props"]["ex@1"]["k"] == "b"  # last wins, no crash
+
+
+def test_trailing_newline_rejected_by_topic_and_encodable(spark):
+    # Java regex '$' forgives a final newline; the \z anchors must
+    # reject it on BOTH engines (a newline topic would corrupt the
+    # wire; DuckDB's RE2 already rejected it -> oracle divergence)
+    import duckdb
+
+    from skewer_spark.encoders import _ASCII_RE
+    from skewer_spark.routing.rules import TOPIC_VALID_RE
+
+    from pyspark.sql import functions as F
+
+    # Column-API rlike, as production uses it (a SQL literal would
+    # additionally eat the backslash of \z — rules.py embeds the regex
+    # into SQL text only on the DuckDB side, whose literals are raw)
+    df = spark.createDataFrame([("valid-topic",), ("bad\n",)], "t string")
+    got = [r[0] for r in df.select(F.col("t").rlike(TOPIC_VALID_RE)).collect()]
+    assert got == [True, False]
+    got2 = [r[0] for r in df.select(F.col("t").rlike(_ASCII_RE)).collect()]
+    assert got2 == [True, False]
+    con = duckdb.connect()
+    assert con.sql(
+        f"SELECT regexp_matches('valid-topic', '{TOPIC_VALID_RE}'), "
+        f"regexp_matches('bad' || chr(10), '{TOPIC_VALID_RE}')"
+    ).fetchone() == (True, False)
+
+
+def test_transcode_passes_str_through():
+    # a string-typed column reaching the bytes path must pass through,
+    # not silently vanish to ''
+    import pandas as pd
+
+    from skewer_spark.parsing.charsets import transcode_series
+
+    s = transcode_series(pd.Series([b"caf\xe9", "already str", None]), "latin1")
+    assert list(s) == ["café", "already str", ""]
+
+
+def test_routing_union_sql_refuses_hooked_rules():
+    import pytest as _pytest
+
+    from skewer_spark.routing.rules import RouteRule, routing_union_sql
+
+    rules = (RouteRule("s", "'t'", "TRUE", filter_hook="rate_limit_mask"),)
+    with _pytest.raises(ValueError, match="filter-hook"):
+        routing_union_sql("parsed", rules)
