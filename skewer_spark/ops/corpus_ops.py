@@ -158,15 +158,7 @@ def dedup_simhash_pairs_sql(max_hamming: int = 3) -> str:
     xor, one ALU op instead of 32 substring compares); DISTINCT
     collapses pairs meeting in several bands. The join stays an
     equality join (linear, AQE-skew-splittable), never all-pairs."""
-    return f"""WITH {CORPUS},
-wx AS (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS word FROM corpus),
-ws AS (SELECT doc_id, word, count(*) AS cnt FROM wx GROUP BY doc_id, word),
-sim AS (SELECT doc_id, {_simhash_int()} AS sig FROM ws GROUP BY doc_id),
-bands AS (
-  SELECT doc_id, sig, band_idx,
-         IDIV(sig, CAST(POW(2, band_idx * 8) AS BIGINT)) % 256 AS band
-  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS bi(band_idx)
-)
+    return f"""WITH {CORPUS},{_simhash_bands_ctes()}
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        CAST(HAMMING(x.sig, y.sig) AS BIGINT) AS hamming
 FROM bands x JOIN bands y
@@ -764,7 +756,13 @@ c AS (
          LASTNN(cfg_value) OVER w AS asof_cfg_value
   FROM u
   WINDOW w AS (PARTITION BY user_id
-               ORDER BY ord_us, is_cfg DESC, COALESCE(event_id, -1)
+               -- total order: cfg rows have event_id NULL, so the old
+               -- COALESCE(event_id, -1) collapsed every same-timestamp
+               -- cfg row to one tie rank — which config "wins" was
+               -- engine/run-dependent. cfg_id breaks the tie
+               -- deterministically (highest cfg_id at a timestamp is
+               -- the effective config).
+               ORDER BY ord_us, is_cfg DESC, COALESCE(event_id, cfg_id, -1)
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, event_id, CAST(ord_us AS BIGINT) AS tus,

@@ -149,7 +149,12 @@ def decode_gelf(df: DataFrame, col: str = "line") -> DataFrame:
         F.coalesce(j["_procid"], F.lit("")).alias("procid"),
         F.coalesce(j["_msgid"], F.lit("")).alias("msgid"),
         F.coalesce(j["short_message"], F.lit("")).alias("message"),
-        (j["timestamp"] * 1_000_000).cast("long").alias("time_reported"),
+        # GELF timestamp is OPTIONAL: absent -> 0, like the reference's
+        # zero-value TimeUnix (a NULL epoch breaks PARSED-schema sinks
+        # and silently drops rows from time-bucketed rollups)
+        F.coalesce(
+            (j["timestamp"] * 1_000_000).cast("long"), F.lit(0)
+        ).alias("time_reported"),
         props.alias("props_flat"),
     )
 
@@ -167,7 +172,7 @@ def decode_gelf(df: DataFrame, col: str = "line") -> DataFrame:
 # full models parser).
 _FIELD_CASE = (
     "CASE "
-    "WHEN {f} {rlike} '^[^=]+=[0-9]+i$' THEN "
+    "WHEN {f} {rlike} '^[^=]+=-?[0-9]+i$' THEN "
     "'influxdb_fields|' || {k} || '_integer=' || {vi} "
     "WHEN {f} {rlike} '^[^=]+=(t|T|true|True|TRUE)$' THEN "
     "'influxdb_fields|' || {k} || '_boolean=true' "
@@ -183,25 +188,28 @@ def decode_influx(df: DataFrame, col: str = "line") -> DataFrame:
     line = F.col(col)
     meas = F.regexp_extract(line, r"^([^, ]+),", 1)
     host = F.expr(
-        "coalesce(filter(transform(split(regexp_extract(line, "
-        "'^[^, ]+,([^ ]*) ', 1), ','), t -> CASE WHEN t LIKE 'host=%' "
-        "THEN substr(t, 6) END), x -> x IS NOT NULL)[0], '')"
+        f"coalesce(filter(transform(split(regexp_extract({col}, "
+        f"'^[^, ]+,([^ ]*) ', 1), ','), t -> CASE WHEN t LIKE 'host=%' "
+        f"THEN substr(t, 6) END), x -> x IS NOT NULL)[0], '')"
     )
     ts = F.regexp_extract(line, r" (\d+)$", 1).cast("long")
     tags_arr = F.expr(
-        "transform(split(regexp_extract(line, '^[^, ]+,([^ ]*) ', 1), ','), "
-        "t -> 'influxdb_tags|' || t)"
+        f"transform(split(regexp_extract({col}, '^[^, ]+,([^ ]*) ', 1), ','), "
+        f"t -> 'influxdb_tags|' || t)"
     )
+    # value = everything after the FIRST '=' (quoted string values may
+    # contain '='); key = before the first '='
+    vraw = "substr(f, instr(f, '=') + 1)"
     case = _FIELD_CASE.format(
         f="f", rlike="RLIKE",
         k="split(f, '=')[0]",
-        vi="rtrim('i', split(f, '=')[1])",
-        vs="replace(substr(split(f, '=')[1], 2, length(split(f, '=')[1]) - 2), "
+        vi=f"rtrim('i', {vraw})",
+        vs=f"replace(substr({vraw}, 2, length({vraw}) - 2), "
            "'\\\\\"', '\"')",
-        v="split(f, '=')[1]",
+        v=vraw,
     )
     fields_arr = F.expr(
-        f"transform(split(regexp_extract(line, '^[^ ]+ ([^ ]+) ', 1), ','), "
+        f"transform(split(regexp_extract({col}, '^[^ ]+ ([^ ]+) ', 1), ','), "
         f"f -> {case})"
     )
     return df.select(
@@ -224,13 +232,13 @@ def influx_oracle_exprs() -> str:
     """DuckDB SELECT-list fragment mirroring decode_influx over `line`."""
     # DuckDB spells the regex predicate regexp_matches(f, '...'):
     # render with placeholders, then rewrite each predicate
+    vraw = "substr(f, strpos(f, '=') + 1)"
     case = _FIELD_CASE.format(
         f="__F__", rlike="__RL__",
         k="string_split(f, '=')[1]",
-        vi="rtrim(string_split(f, '=')[2], 'i')",
-        vs="replace(substr(string_split(f, '=')[2], 2, "
-           "length(string_split(f, '=')[2]) - 2), '\\\"', '\"')",
-        v="string_split(f, '=')[2]",
+        vi=f"rtrim({vraw}, 'i')",
+        vs=f"replace(substr({vraw}, 2, length({vraw}) - 2), '\\\"', '\"')",
+        v=vraw,
     )
     import re as _re
 
@@ -361,7 +369,10 @@ def w3c_oracle_expr(fields: list[str] | None = None) -> str:
         f"'w3c|{name}=' || string_split(line, ' ')[{i + 1}] END"
         for i, name in enumerate(fields)
     )
+    # COALESCE: DuckDB's array_to_string on an EMPTY list (a record
+    # whose every field is '-') is NULL where Spark's array_join is ''
+    # (the portable.py AJOIN trap)
     return (
-        f"array_to_string(list_sort(list_filter([{items}], "
-        "x -> x IS NOT NULL)), chr(10)) AS w3c_flat"
+        f"coalesce(array_to_string(list_sort(list_filter([{items}], "
+        "x -> x IS NOT NULL)), chr(10)), '') AS w3c_flat"
     )

@@ -1339,14 +1339,14 @@ def _gelf_field_sql() -> str:
   coalesce(json_extract_string(line, '$._procid'), '') AS procid,
   coalesce(json_extract_string(line, '$._msgid'), '') AS msgid,
   coalesce(json_extract_string(line, '$.short_message'), '') AS message,
-  cast(try_cast(json_extract_string(line, '$.timestamp') AS DOUBLE) * 1000000
-       AS BIGINT) AS time_reported,
-  array_to_string(list_sort(list_filter([
+  coalesce(cast(try_cast(json_extract_string(line, '$.timestamp') AS DOUBLE)
+                * 1000000 AS BIGINT), 0) AS time_reported,
+  coalesce(array_to_string(list_sort(list_filter([
     CASE WHEN coalesce(json_extract_string(line, '$.full_message'), '') <> ''
          THEN 'gelf|full=' || json_extract_string(line, '$.full_message') END,
     CASE WHEN coalesce(json_extract_string(line, '$._ev'), '') <> ''
          THEN 'gelf|_ev=' || json_extract_string(line, '$._ev') END
-  ], x -> x IS NOT NULL)), chr(10)) AS props_flat"""
+  ], x -> x IS NOT NULL)), chr(10)), '') AS props_flat"""
 
 
 def _gelf_chunked_oracle() -> str:

@@ -708,3 +708,33 @@ def test_routing_union_sql_refuses_hooked_rules():
     rules = (RouteRule("s", "'t'", "TRUE", filter_hook="rate_limit_mask"),)
     with _pytest.raises(ValueError, match="filter-hook"):
         routing_union_sql("parsed", rules)
+
+
+def test_influx_negative_int_equals_in_string_and_col_param(spark):
+    # reference typing (influxdb.go:48-90): negative integers are
+    # _integer (not _float with a leaking 'i'), quoted values keep
+    # everything after the FIRST '=', and the decoder honors a
+    # non-default column name end to end
+    from skewer_spark.parsing.wire_formats import decode_influx
+
+    line = 'm,host=h1 count=-3i,note="a=b",x=1.5 1234'
+    df = spark.createDataFrame([(line,)], "raw string")
+    r = decode_influx(df, col="raw").collect()[0]
+    assert r["hostname"] == "h1" and r["measurement"] == "m"
+    fields = set(r["fields_flat"].split("\n"))
+    assert "influxdb_fields|count_integer=-3" in fields
+    assert "influxdb_fields|note_string=a=b" in fields
+    assert "influxdb_fields|x_float=1.5" in fields
+
+
+def test_gelf_missing_timestamp_defaults_to_zero(spark):
+    # GELF timestamp is optional: absent -> epoch 0 (reference
+    # zero-value TimeUnix), never NULL (a NULL epoch breaks
+    # PARSED-schema sinks and drops rows from time-bucketed rollups)
+    from skewer_spark.parsing.wire_formats import decode_gelf
+
+    line = '{"version":"1.1","host":"h","short_message":"m","level":6}'
+    df = spark.createDataFrame([(line,)], "line string")
+    r = decode_gelf(df).collect()[0]
+    assert r["time_reported"] == 0
+    assert r["message"] == "m" and r["severity"] == 6
