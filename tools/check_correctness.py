@@ -38,6 +38,14 @@ def norm_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if "sf0.01" not in sf_dir:
+        # the DuckDB side (pre-registered views AND the read_parquet
+        # paths baked into oracle_sql strings via ORACLE_SF_DIR) is
+        # pinned to sf0.01, exactly like the driver's gate — a Spark
+        # run at another scale would silently compare different data
+        raise SystemExit(
+            f"oracles are pinned to sf0.01 (driver behavior); got {sf_dir}"
+        )
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from skewer_spark.session import get_spark
