@@ -184,6 +184,7 @@ def load_config(
                 lossy=True,
             )
 
+    used_names: set[str] = set()
     for idx, s in enumerate(conf.get("syslog", [])):
         port = s.get("port")
         sock = s.get("unix_socket_path") or ""
@@ -192,6 +193,20 @@ def load_config(
             else f"sink_{sock.rsplit('/', 1)[-1].split('.')[0]}" if sock
             else f"sink_{idx}"
         )
+        if name in used_names:
+            # two [[syslog]] sections sharing a port (e.g. tcp + udp
+            # listeners on 1514) must NOT collapse to one sink name —
+            # that silently double-writes every row. Uniquify by
+            # protocol, then by section index, and say so.
+            base = name
+            proto = str(s.get("protocol", "")).strip().lower()
+            if proto and f"{base}_{proto}" not in used_names:
+                name = f"{base}_{proto}"
+            else:
+                name = f"{base}_{idx}"
+            warn(f"duplicate source name {base!r} (shared port/socket); "
+                 f"renamed this section's sink to {name!r}")
+        used_names.add(name)
         fmt_raw = str(s.get("format", "auto"))
         fmt = _FORMAT_ALIASES.get(fmt_raw.lower(), fmt_raw)
         if not has_parser(fmt):

@@ -325,6 +325,17 @@ def encode_json() -> Column:
     )
 
 
+# The pJSON timestamp grammar, shared verbatim by the Column decoder
+# below and the dispatchable kernel (parsing/registry.parse_json_batch):
+# RFC3339 with required offset and <=6 fractional digits. Unanchored —
+# each consumer adds its own anchors (^...\z for Java rlike,
+# fullmatch for Python re).
+JSON_TS_RE = (
+    r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+    r"(?:\.\d{1,6})?(?:Z|[+-]\d{2}:\d{2})"
+)
+
+
 def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
     """pJSON decoder — the decode direction of the RegularSyslog shape
     (decoders/json_format.go:13-20 via RegularSyslog.Internal(),
@@ -351,6 +362,18 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
     smap = F.create_map(
         *[F.lit(v) for code, name in SEVERITIES for v in (name, code)]
     )
+    # pJSON timestamp grammar is RFC3339 (what encode_json emits and the
+    # Go reference's time.RFC3339 accepts) — gate the cast behind the
+    # shared regex so this path and the dispatchable kernel twin
+    # (registry.parse_json_batch) accept EXACTLY the same strings: an
+    # ungated cast would also parse '2024-01-01' etc. that the kernel
+    # rejects, silently breaking the pinned-EQUAL contract on hostile
+    # JSON. Non-matching/absent -> NULL (both paths). Column-API rlike
+    # only — \z must never go through a SQL string literal.
+    ts = lambda c: F.unix_micros(
+        F.when(F.col(c).rlike("^" + JSON_TS_RE + "\\z"), F.col(c))
+        .cast("timestamp")
+    )
     fac = F.coalesce(F.try_element_at(fmap, F.col("_j.facility")), F.lit(1))
     sev = F.coalesce(F.try_element_at(smap, F.col("_j.severity")), F.lit(6))
     # canonical props_flat is newline-DELIMITED, so domain/key/value
@@ -372,14 +395,8 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
         .withColumn("facility", fac.cast("int"))
         .withColumn("severity", sev.cast("int"))
         .withColumn("version", F.lit(1).cast("int"))
-        .withColumn(
-            "time_reported",
-            F.unix_micros(F.col("_j.timereported").cast("timestamp")),
-        )
-        .withColumn(
-            "time_generated",
-            F.unix_micros(F.col("_j.timegenerated").cast("timestamp")),
-        )
+        .withColumn("time_reported", ts("_j.timereported"))
+        .withColumn("time_generated", ts("_j.timegenerated"))
         .withColumn("hostname", nz("hostname"))
         .withColumn("appname", nz("appname"))
         .withColumn("procid", nz("procid"))

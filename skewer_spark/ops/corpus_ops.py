@@ -926,7 +926,12 @@ def frame_sample_sql(n_frames: int = 4) -> str:
     document as pure column math. This is the step a video pipeline
     runs BEFORE touching any payload bytes: metadata-only, so the scan
     never reads the blob column (pruning), and the decode stage
-    receives an explicit per-doc work list instead of whole videos."""
+    receives an explicit per-doc work list instead of whole videos.
+
+    frame_indices is emitted as a comma-joined STRING, not an array:
+    the driver's correctness canonicalizer sorts columns via pandas
+    and cannot hash list cells (query outputs must be scalar-typed —
+    see tests/test_queries_contract.py)."""
     return f"""
 WITH meta AS (
   SELECT doc_id,
@@ -941,9 +946,11 @@ plan AS (
 )
 SELECT doc_id, CAST(duration_ms AS BIGINT) AS duration_ms,
        CAST(fps AS INT) AS fps, total_frames,
-       XFORM(SEQ1({n_frames}),
-             k -> CAST(IDIV((k - 1) * total_frames, {n_frames}) AS BIGINT))
-         AS frame_indices
+       COALESCE(AJOIN(
+         XFORM(SEQ1({n_frames}),
+               k -> CAST(CAST(IDIV((k - 1) * total_frames, {n_frames})
+                              AS BIGINT) AS SSTR)),
+         ','), '') AS frame_indices
 FROM plan"""
 
 

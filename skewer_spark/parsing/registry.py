@@ -107,8 +107,15 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
     facility/severity names -> codes with the reference defaults
     (user=1 / info=6), Version forced 1, priority recomputed,
     structured cleared, two-level properties -> sorted 'sid|k=v'
-    lines. Invalid JSON degrades loudly (parse_error=True, raw line in
-    message) like the rest of the dispatch surface.
+    lines with sid/key/value \\n\\r sanitized to spaces (props_flat is
+    newline-delimited — same `translate` boundary as the Column path).
+    Timestamps accept EXACTLY the shared RFC3339 grammar
+    (encoders.JSON_TS_RE); absent/non-matching -> NULL, matching the
+    Column decoder (pd.Timestamp would otherwise accept far more
+    formats than Spark's cast). Invalid JSON degrades loudly
+    (parse_error=True, raw line in message, ingest-time fallback) like
+    the rest of the dispatch surface — that branch is kernel-only (the
+    Column path has no parse_error concept).
 
     Cost note: JSON object decode is inherently per-object work (the
     reference pays the same per-message iterator cost,
@@ -117,9 +124,15 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
     no-per-row-Python rule is about. The hot-path formats
     (rfc3164/rfc5424/auto) remain fully vectorized numpy/RE2 kernels."""
     import json
+    import re
+    from datetime import datetime, timedelta, timezone
 
     from skewer_spark.dims import FACILITIES, SEVERITIES
+    from skewer_spark.encoders import JSON_TS_RE
 
+    ts_re = re.compile(JSON_TS_RE)
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    us = timedelta(microseconds=1)
     fmap = {name: code for code, name in FACILITIES}
     smap = {name: code for code, name in SEVERITIES}
     t = text.fillna("").reset_index(drop=True)
@@ -132,13 +145,18 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
         "message", "props_flat", "parse_error",
     )}
 
-    def ts_us(v: object, fallback: int) -> int:
-        if not v:
-            return fallback
-        try:
-            return int(pd.Timestamp(str(v)).value // 1000)
-        except ValueError:
-            return fallback
+    def ts_us(v: object) -> int | None:
+        """Shared-grammar RFC3339 only; None (NULL) otherwise — the
+        Column twin's `cast` yields NULL on the same inputs."""
+        if not v or not ts_re.fullmatch(str(v)):
+            return None
+        dt = datetime.fromisoformat(str(v))
+        return (dt - epoch) // us
+
+    def clean(v: object) -> str:
+        # props_flat is newline-delimited: line terminators inside
+        # sid/key/value would forge extra lines (Column path: translate)
+        return str(v).replace("\n", " ").replace("\r", " ")
 
     for i in range(n):
         raw = t.iloc[i]
@@ -166,13 +184,13 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
         cols["priority"].append(fac * 8 + sev)
         cols["facility"].append(fac)
         cols["severity"].append(sev)
-        cols["time_reported"].append(ts_us(obj.get("timereported"), fb))
-        cols["time_generated"].append(ts_us(obj.get("timegenerated"), fb))
+        cols["time_reported"].append(ts_us(obj.get("timereported")))
+        cols["time_generated"].append(ts_us(obj.get("timegenerated")))
         for k in ("hostname", "appname", "procid", "msgid", "message"):
             cols[k].append(str(obj.get(k) or ""))
         props = obj.get("properties") or {}
         lines = sorted(
-            f"{sid}|{k}={v}"
+            f"{clean(sid)}|{clean(k)}={clean(v)}"
             for sid, kv in props.items()
             if isinstance(kv, dict)
             for k, v in kv.items()
@@ -189,8 +207,10 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
             # error rows carry a fully-zeroed header (the forced-5424
             # convention from the r1 ADVICE fix)
             "version": np.where(err.to_numpy(), 0, 1).astype("int32"),
-            "time_reported": pd.Series(cols["time_reported"], dtype="int64"),
-            "time_generated": pd.Series(cols["time_generated"], dtype="int64"),
+            # nullable: absent/non-grammar timestamps are NULL on valid
+            # rows (Column-twin parity); error rows carry ingest time
+            "time_reported": pd.Series(cols["time_reported"], dtype="Int64"),
+            "time_generated": pd.Series(cols["time_generated"], dtype="Int64"),
             "hostname": cols["hostname"],
             "appname": cols["appname"],
             "procid": cols["procid"],

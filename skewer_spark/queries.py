@@ -1721,15 +1721,47 @@ SELECT conv_id, CAST(frame_idx AS INT) AS frame_idx,
 FROM frames"""
 
 
+# Round-4 verification order (VERDICT r3 #1/#2): the driver's
+# correctness artifact caps at the first 50 registry entries, so the
+# registry is reordered every round to rotate driver coverage.
+#   slot 1      : frame_sample — the ONE r3 err (array column crashed
+#                 the driver canonicalizer; now emits a CSV string).
+#   slots 2-41  : the 40 names absent from CORRECTNESS_r03 (all were
+#                 green in r02; they regain an external row this round).
+#   slots 42-50 : 9 spine veterans (green in r03) — the core pipeline
+#                 legs re-verified every round regardless of rotation.
+#   slots 51+   : the remaining r03-green queries (most recently
+#                 externally verified — safest to truncate).
+# tests/test_queries_contract.py gates this rotation: every registry
+# name must be green in the union of the last two CORRECTNESS files.
+ROTATION_HEAD: list[str] = [
+    "frame_sample",
+    # -- absent from CORRECTNESS_r03 (registry order) --
+    "agg_tool", "ordering_window", "metrics_parity", "add_missing_msgid",
+    "agg_severity_hourly", "ann_topk_numpy", "text_equality",
+    "topic_default", "decode_rsyslog_json", "decode_gelf", "decode_influx",
+    "decode_w3c", "decode_acct", "decode_collectd", "decode_ltsv",
+    "gelf_chunked", "parse_dispatch", "parse_custom_kv", "encode_rfc3164",
+    "encode_gelf", "encode_rfc5424", "encode_file", "encode_json",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "embed_neardup",
+    "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
+    "ann_recall", "ann_ivf", "ann_ivf_recall", "split_assign",
+    "stratified_sample", "winnow_fingerprint", "corpus_filter",
+    "sessionize",
+    # -- spine veterans, re-verified every round --
+    "parse_syslog", "enrich_dims", "route_fanout", "route_mutate",
+    "decode_json", "conv_rollup", "route_status", "agg_facility",
+    "agg_severity",
+]
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the external-verification order: the driver's
     correctness artifact caps at the first 50 entries, so entries are
-    ranked by how much they need a driver-side row (VERDICT r2 #1).
-    Tier 1: the 11 queries never driver-checked in any round. Tier 2:
-    queries NEW this round. Tier 3: the 11 green in round 1's artifact
-    but truncated out of round 2's. Tier 4: veterans (green in the r2
-    artifact), original order — whatever the cap truncates now is the
-    most-recently-externally-verified set; rotate again next round."""
+    reordered per round via ROTATION_HEAD (names listed there come
+    first, in that order; everything else follows in construction
+    order). See ROTATION_HEAD for this round's rationale."""
     ops = {name: _make_ops_query(name) for name in _ops_registry()}
     tier1_never_checked = {
         "asof_join": ops.pop("asof_join"),
@@ -1813,9 +1845,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_json": q_encode_json,
         **ops,
     }
-    return {
+    everything = {
         **tier1_never_checked,
         **tier2_new_this_round,
         **tier3_r1_only,
         **tier4_veterans,
     }
+    head = {name: everything.pop(name) for name in ROTATION_HEAD}
+    return {**head, **everything}

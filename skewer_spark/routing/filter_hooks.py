@@ -70,16 +70,17 @@ class FilterHook:
     # to fail fast on that instead). Non-empty enables the NARROW
     # path: only key+group+reads+mutates round-trip through Python and
     # the verdict joins back on the key, so the wide columns stay
-    # JVM-side. TRADE-OFF: the join-back traverses the input lineage
-    # TWICE (Spark cannot reuse the exchange across the two differently
-    # projected sides), so the upstream — including any parse UDF — runs
-    # once per side; the narrow Arrow transfer still wins whenever the
-    # frame is wide relative to the kernel's declared columns. Measured
-    # end-to-end on the full hooked pipeline (10M rows, parse->enrich->
-    # hook->fanout, local[32]): 35.3 s narrow vs 88.8 s wide, identical
-    # outputs; isolated hook stage 16.9 s vs 75.8 s. Empty -> the whole
-    # frame passes through the kernel once (correct for any schema and
-    # any non-unique keying, pays full-width Arrow transfer).
+    # JVM-side. The input frame is localCheckpoint-ed first: the
+    # join-back references the input lineage on BOTH sides, and Spark
+    # cannot reuse an exchange across two differently-projected
+    # subtrees — without materialization the upstream (including any
+    # parse UDF) would run once per side (the r3 shape: 43.7 s at 10M
+    # rows; checkpointed r4: the parse runs once). Executor-loss
+    # caveat: local checkpoint blocks are not recomputable — the same
+    # durability class as the pipeline's staging writes. Empty -> the
+    # whole frame passes through the kernel once (correct for any
+    # schema and any non-unique keying, pays full-width Arrow
+    # transfer; measured 2.5x slower e2e at 10M rows).
     key_cols: tuple[str, ...] = ()
 
 
@@ -124,6 +125,15 @@ def apply_filter_hook(
     upstream."""
     hook = get_filter_hook(name)
     narrow = bool(hook.key_cols)
+    if narrow:
+        # Materialize the input ONCE (lazy local checkpoint): the
+        # narrow verdict join-back references this frame on both join
+        # sides, and Spark re-runs an unmaterialized lineage per side
+        # (including any parse UDF upstream). The checkpoint turns the
+        # double traversal into one pass + a block read — the
+        # key-uniqueness validation below reuses it too. See
+        # FilterHook.key_cols for the durability caveat.
+        df = df.localCheckpoint(eager=False)
     if narrow and validate_keys:
         dup = (
             df.groupBy(*hook.key_cols)

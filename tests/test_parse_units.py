@@ -558,6 +558,60 @@ def test_json_kernel_matches_column_decoder(spark, sf_dir):
     assert not got["parse_error"].any()
 
 
+def test_json_kernel_matches_column_decoder_hostile(spark):
+    # the documented EQUAL contract must hold on HOSTILE JSON, not just
+    # the benign encoded corpus (r3 ADVICE): newline/CR injection into
+    # property sid/key/value (props_flat is newline-delimited), missing
+    # timestamps, and timestamps outside the shared RFC3339 grammar
+    # that pd.Timestamp would happily accept ('2024-01-01', prose
+    # dates) but Spark's gated cast must not.
+    import json as _json
+
+    from skewer_spark.encoders import decode_json
+    from skewer_spark.parsing.registry import parse_json_batch
+
+    lines = [
+        _json.dumps({"facility": "kern", "severity": "crit",
+                     "message": "m", "properties":
+                     {"s\nid": {"k\rey": "a\nb", "ok": "v"}}}),
+        _json.dumps({"message": "no timestamps at all"}),
+        _json.dumps({"message": "date only",
+                     "timereported": "2024-01-01",
+                     "timegenerated": "2024-01-01"}),
+        _json.dumps({"message": "prose date pandas would parse",
+                     "timereported": "March 5 2024 12:00",
+                     "timegenerated": "yesterday"}),
+        _json.dumps({"message": "offset + fraction",
+                     "timereported": "2024-06-01T01:02:03.123456+05:00",
+                     "timegenerated": "2024-06-01T01:02:03Z"}),
+        _json.dumps({"message": "too many fraction digits",
+                     "timereported": "2024-06-01T01:02:03.1234567Z",
+                     "timegenerated": "2024-06-01T01:02:03.9Z"}),
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    want = decode_json(df).toPandas()
+    got = parse_json_batch(
+        pd.Series(lines), pd.Series([0] * len(lines), dtype="int64")
+    )
+    assert not got["parse_error"].any()
+    for col in ("priority", "facility", "severity", "version", "hostname",
+                "appname", "procid", "msgid", "structured", "message",
+                "props_flat"):
+        assert got[col].tolist() == want[col].tolist(), col
+    for col in ("time_reported", "time_generated"):
+        g = got[col].astype("Int64")
+        w = want[col].astype("Int64")
+        assert (g.isna() == w.isna()).all(), col
+        assert (g.dropna() == w.dropna()).all(), col
+    # the injected line terminators were sanitized, not forwarded
+    assert got["props_flat"][0] == "s id|k ey=a b\ns id|ok=v"
+    # grammar gate: rows 1-3 NULL, rows 4-5 parsed
+    assert got["time_reported"].isna().tolist() == [
+        True, True, True, True, False, True]
+    assert got["time_generated"].isna().tolist() == [
+        True, True, True, True, False, False]
+
+
 def test_json_kernel_degrades_on_invalid():
     from skewer_spark.parsing.registry import parse_json_batch
 

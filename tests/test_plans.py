@@ -222,14 +222,14 @@ def test_hook_fanout_plan_shape(spark, sf_dir):
     routed = R.route_fanout(FH.apply_hooks_for_rules(parsed, rules), rules)
     plan = plan_of(routed)
     assert plan.count("FlatMapGroupsInPandas") == 1
-    # the hook's NARROW path (key_cols) joins the slim verdict frame
-    # back to the wide original, so the parse UDF appears on BOTH join
-    # sides — the deliberate trade: lineage runs twice but only
-    # key+group+reads+mutates columns cross the Arrow boundary
-    # (measured 2.5x faster e2e than one full-width pass at 10M rows;
-    # see FilterHook.key_cols). The verdict side must be an equi-join,
-    # never a cartesian.
-    assert plan.count("ArrowEvalPython") == 2
+    # the hook's NARROW path (key_cols) localCheckpoints the input
+    # before the verdict join-back, so the parse UDF runs ONCE inside
+    # the checkpoint job and the downstream plan reads the materialized
+    # blocks on both join sides (r3 shape: ArrowEvalPython appeared on
+    # BOTH sides, re-running the parse per side). The verdict side must
+    # be an equi-join, never a cartesian.
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("ExistingRDD") >= 2  # checkpointed frame, both sides
     assert "CartesianProduct" not in plan
 
 

@@ -1,0 +1,94 @@
+"""Driver-contract gates for the query registry (VERDICT r3 #1/#2/#8).
+
+Two invariants the external driver imposes that plain correctness runs
+cannot see:
+
+1. **Scalar-only output schemas.** The driver's canonicalizer sorts
+   result columns via pandas before hashing; an ArrayType/MapType/
+   StructType column throws ``unhashable type: 'list'`` and burns the
+   query's verification slot (CORRECTNESS_r03 ``frame_sample`` err).
+   Every ``queries()`` output schema must therefore be scalar-typed.
+
+2. **Rotation coverage.** The driver caps its artifact at the FIRST 50
+   registry entries; with 90 queries each name is verified at best
+   every other round. ``ROTATION_HEAD`` must be maintained so no name
+   goes two rounds without a driver row: every registry name must be
+   green in the latest CORRECTNESS artifact or sit inside the current
+   first-50 window (i.e. it gets a row in the upcoming round).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+from pyspark.sql import types as T
+
+DRIVER_CAP = 50
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+
+def _latest_artifacts() -> list[dict]:
+    """CORRECTNESS_r*.json files, newest round last."""
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    return [json.load(open(p)) for p in paths]
+
+
+def test_query_output_schemas_are_scalar_only(spark, sf_dir):
+    """Build every registered query's DataFrame (sf0.001 — schemas are
+    scale-independent) and assert no complex-typed output column."""
+    from skewer_spark.queries import build_queries
+
+    offenders = {}
+    for name, q in build_queries().items():
+        schema = q(spark, sf_dir).schema
+        bad = [f.name for f in schema.fields if isinstance(f.dataType, _COMPLEX)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "query outputs must be scalar columns only (driver canonicalizer "
+        f"cannot hash list/map/struct cells): {offenders}"
+    )
+
+
+def test_registry_rotation_covers_every_query():
+    """No query may go two rounds without a driver-side row: each name
+    is green in the newest artifact, or in the first DRIVER_CAP slots
+    (so the upcoming round's artifact covers it)."""
+    from skewer_spark.queries import build_queries
+
+    arts = _latest_artifacts()
+    if not arts:
+        pytest.skip("no CORRECTNESS artifacts yet (round 1)")
+    latest = arts[-1]
+    green_latest = {
+        n for n, row in latest.items()
+        if row.get("err") is None and row.get("rows_match")
+    }
+    reg = list(build_queries())
+    stale = [
+        n for pos, n in enumerate(reg)
+        if pos >= DRIVER_CAP and n not in green_latest
+    ]
+    assert not stale, (
+        "these queries were not green in the latest CORRECTNESS artifact "
+        f"and are outside the driver's first-{DRIVER_CAP} window — move "
+        f"them into ROTATION_HEAD: {stale}"
+    )
+
+
+def test_rotation_head_names_exist():
+    from skewer_spark.queries import ROTATION_HEAD, build_queries
+
+    reg = set(build_queries())
+    unknown = [n for n in ROTATION_HEAD if n not in reg]
+    assert not unknown, f"ROTATION_HEAD names not in registry: {unknown}"
+    assert len(ROTATION_HEAD) == len(set(ROTATION_HEAD)), "duplicate names"
+    assert len(ROTATION_HEAD) <= DRIVER_CAP

@@ -10,6 +10,7 @@ Usage: python tools/check_correctness.py [sf_dir]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -31,14 +32,17 @@ def norm_hash(df: pd.DataFrame) -> str:
         elif str(col.dtype).startswith("float"):
             d[c] = col.round(6).map(lambda x: f"{x:.6f}")
         else:
-            d[c] = col.astype("int64", errors="ignore").astype(str)
+            try:  # astype(errors="ignore") is deprecated in pandas 2.x
+                d[c] = col.astype("int64").astype(str)
+            except (ValueError, TypeError):
+                d[c] = col.astype(str)
     rows = sorted("\x1f".join(r) for r in d.itertuples(index=False, name=None))
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    if "sf0.01" not in sf_dir:
+    if os.path.basename(os.path.normpath(sf_dir)) != "sf0.01":
         # the DuckDB side (pre-registered views AND the read_parquet
         # paths baked into oracle_sql strings via ORACLE_SF_DIR) is
         # pinned to sf0.01, exactly like the driver's gate — a Spark
