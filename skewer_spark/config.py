@@ -52,7 +52,6 @@ _TMPL_FIELDS = {
     "Msgid": "msgid",
     "Message": "message",
 }
-_TMPL_RE = re.compile(r"\{\{\s*\.(\w+)\s*\}\}")
 
 # format names the reference accepts -> parser-registry names
 _FORMAT_ALIASES = {
@@ -105,21 +104,41 @@ def _sql_str(lit: str) -> str:
     return " || ".join(parts)
 
 
+_ACTION_RE = re.compile(r"^\s*\.(\w+)\s*$")
+
+
 def go_template_to_sql(tmpl: str) -> str:
     """``"syslog-{{.Appname}}"`` -> ``'syslog-' || appname`` (portable
     SQL, same dialect subset as RouteRule exprs). Only plain field
     references are expressible; pipelines/function calls in a template
-    raise (the caller surfaces them as warnings/errors)."""
-    if "{{" in re.sub(_TMPL_RE, "", tmpl):
-        raise ConfigError(
-            f"template {tmpl!r} uses non-field Go template syntax "
-            "(pipeline/function) — port it to a SQL expr or filter hook"
-        )
+    raise (the caller surfaces them as warnings/errors).
+
+    The scan mirrors Go text/template's lexer: leftmost ``{{`` opens an
+    action, text runs to the next ``}}``, stray ``}}`` outside an
+    action is literal text. A regex-extraction approach diverges from
+    Go on pathological braces (``a{{{.Appname}}`` is a Go parse error,
+    not literal ``a{`` + field) — found by the template fuzz in
+    tests/test_config.py."""
     parts: list[str] = []
     pos = 0
-    for m in _TMPL_RE.finditer(tmpl):
-        if m.start() > pos:
-            parts.append(_sql_str(tmpl[pos : m.start()]))
+    while True:
+        i = tmpl.find("{{", pos)
+        if i < 0:
+            break
+        if i > pos:
+            parts.append(_sql_str(tmpl[pos:i]))
+        j = tmpl.find("}}", i + 2)
+        if j < 0:
+            raise ConfigError(
+                f"template {tmpl!r} has an unclosed {{{{ — non-field Go "
+                "template syntax; port it to a SQL expr or filter hook"
+            )
+        m = _ACTION_RE.match(tmpl[i + 2 : j])
+        if not m:
+            raise ConfigError(
+                f"template {tmpl!r} uses non-field Go template syntax "
+                "(pipeline/function) — port it to a SQL expr or filter hook"
+            )
         fld = m.group(1)
         if fld not in _TMPL_FIELDS:
             raise ConfigError(
@@ -127,10 +146,10 @@ def go_template_to_sql(tmpl: str) -> str:
                 f"fields: {sorted(_TMPL_FIELDS)}"
             )
         parts.append(_TMPL_FIELDS[fld])
-        pos = m.end()
-    if pos < len(tmpl):
+        pos = j + 2
+    if pos < len(tmpl) or not parts:
         parts.append(_sql_str(tmpl[pos:]))
-    return " || ".join(parts) if parts else "''"
+    return " || ".join(parts)
 
 
 @dataclass

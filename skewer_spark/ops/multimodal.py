@@ -348,7 +348,15 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     keyframe-extract at deployment.
 
     Input columns: doc_id, payload (binary), total_frames,
-    frame_indices (array<long>)."""
+    frame_indices (array<long>, or the comma-joined string form the
+    driver-facing ``frame_sample`` query emits — the external
+    correctness canonicalizer cannot hash array cells, so the plan
+    query serializes; this execution stage accepts either)."""
+
+    def _indices(val) -> list:
+        if isinstance(val, str):
+            return [int(x) for x in val.split(",") if x != ""]
+        return [int(x) for x in (val if val is not None else [])]
 
     def _frame_bytes(payload: bytes, idx: int, total: int) -> bytes:
         if not payload or total <= 0:
@@ -362,7 +370,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             ids, idxs, frames, feats = [], [], [], []
             for r in pdf.itertuples(index=False):
                 payload = r.payload or b""
-                for fi in r.frame_indices:
+                for fi in _indices(r.frame_indices):
                     fb = _frame_bytes(payload, int(fi), int(r.total_frames))
                     ids.append(r.doc_id)
                     idxs.append(int(fi))

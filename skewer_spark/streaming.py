@@ -328,6 +328,48 @@ def dedup_stream(
     ).dropDuplicatesWithinWatermark(["text_hash"])
 
 
+def line_dedup_stream_spans(
+    stream: DataFrame,
+    w: int = 13,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The surviving-spans stage of ``line_dedup_stream``: explode
+    documents into fixed non-overlapping ``w``-word spans and drop any
+    span whose md5 was already admitted inside the watermark horizon
+    (state = 32-byte digests, bounded by the horizon). Exposed
+    separately so the end-state equality test can compare the
+    surviving span MULTISET against the batch op's kept spans — the
+    doc-level output alone cannot show a span that wrongly survived
+    twice across micro-batches.
+
+    Output: (doc_id, event_time, pos, span) — one row per admitted
+    span occurrence."""
+    wm = stream.withColumn(
+        "event_time", F.col(ts_col).cast("timestamp")
+    ).withWatermark("event_time", watermark)
+    # same guarded span arithmetic as the batch SQL (SEQ1 is total for
+    # n <= 0; ANSI mode aborts on a bare sequence(1, 0) lambda index)
+    n_spans = f"(size(split(text, ' ')) + {w} - 1) div {w}"
+    spans = wm.selectExpr(
+        "doc_id",
+        "event_time",
+        f"explode(slice(sequence(0, greatest({n_spans}, 0)), 2, "
+        f"greatest({n_spans}, 0))) AS k",
+        "split(text, ' ') AS ws",
+    ).selectExpr(
+        "doc_id",
+        "event_time",
+        "cast(k - 1 AS BIGINT) AS pos",
+        f"array_join(slice(ws, (k - 1) * {w} + 1, {w}), ' ') AS span",
+    )
+    return (
+        spans.withColumn("h", F.md5("span"))
+        .dropDuplicatesWithinWatermark(["h"])
+        .drop("h")
+    )
+
+
 def line_dedup_stream(
     stream: DataFrame,
     w: int = 13,
@@ -356,27 +398,9 @@ def line_dedup_stream(
     tests/test_streaming.py::test_line_dedup_stream_drops_cross_batch
     pins cross-batch span suppression and ordered reassembly."""
     pad = 7
-    wm = stream.withColumn(
-        "event_time", F.col(ts_col).cast("timestamp")
-    ).withWatermark("event_time", watermark)
-    # same guarded span arithmetic as the batch SQL (SEQ1 is total for
-    # n <= 0; ANSI mode aborts on a bare sequence(1, 0) lambda index)
-    n_spans = f"(size(split(text, ' ')) + {w} - 1) div {w}"
-    spans = wm.selectExpr(
-        "doc_id",
-        "event_time",
-        f"explode(slice(sequence(0, greatest({n_spans}, 0)), 2, "
-        f"greatest({n_spans}, 0))) AS k",
-        "split(text, ' ') AS ws",
-    ).selectExpr(
-        "doc_id",
-        "event_time",
-        "cast(k - 1 AS BIGINT) AS pos",
-        f"array_join(slice(ws, (k - 1) * {w} + 1, {w}), ' ') AS span",
+    firsts = line_dedup_stream_spans(
+        stream, w=w, ts_col=ts_col, watermark=watermark
     )
-    firsts = spans.withColumn(
-        "h", F.md5("span")
-    ).dropDuplicatesWithinWatermark(["h"])
     piece = f"lpad(cast(pos AS STRING), {pad}, '0') || '|' || span"
     return (
         firsts.groupBy(F.window("event_time", reassembly_window), "doc_id")

@@ -166,3 +166,108 @@ def test_template_literal_rendering_cross_engine_fuzz(spark):
             f"SELECT {exprs[i]} AS x FROM (VALUES ('APP')) t(appname)"
         ).fetchone()[0]
         assert got_duck == want, (lit, got_duck)
+
+
+# ---------------------------------------------------------------------------
+# Generated-template fuzz: whole toml templates (random field refs
+# interleaved with hostile literals — $, \, braces, quotes, unicode),
+# asserting the compiled expr evaluates on BOTH engines to exactly what
+# Go text/template semantics (recomputed independently in Python)
+# produce, and that every template Go would reject raises ConfigError.
+# Round-2's ${...}-substitution bug and round-4's {{{-lexing divergence
+# both lived exactly here: in literal-embedding codegen.
+# ---------------------------------------------------------------------------
+
+_FUZZ_ENV = {
+    "appname": "APP",
+    "hostname": "host-1",
+    "severity": "6",
+    "msgid": "m$1",
+    "message": "a\\b 'q'",
+}
+_FUZZ_FIELDS = {
+    "Appname": "appname",
+    "Hostname": "hostname",
+    "Severity": "severity",
+    "Msgid": "msgid",
+    "Message": "message",
+}
+
+
+def _go_template_eval(tmpl: str) -> str:
+    """Independent reference: Go text/template semantics for the
+    plain-field subset. Leftmost {{ opens an action, action text runs
+    to the next }}, stray }} outside an action is literal; any action
+    that is not a plain known-field ref is a template error."""
+    out = []
+    pos = 0
+    while True:
+        i = tmpl.find("{{", pos)
+        if i < 0:
+            out.append(tmpl[pos:])
+            return "".join(out)
+        out.append(tmpl[pos:i])
+        j = tmpl.find("}}", i + 2)
+        if j < 0:
+            raise ValueError("unclosed action")
+        action = tmpl[i + 2 : j].strip()
+        if (
+            not action.startswith(".")
+            or action[1:] not in _FUZZ_FIELDS
+        ):
+            raise ValueError(f"bad action {action!r}")
+        out.append(_FUZZ_ENV[_FUZZ_FIELDS[action[1:]]])
+        pos = j + 2
+
+
+def test_generated_template_fuzz_matches_go_semantics(spark):
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lit = st.text(
+        alphabet="ab{}$\\'|._- \t%éλ ü}",
+        min_size=0,
+        max_size=8,
+    )
+    ref = st.sampled_from([f"{{{{.{f}}}}}" for f in _FUZZ_FIELDS]
+                          + ["{{ .Appname }}"])
+    segments = st.lists(st.one_of(lit, ref), min_size=0, max_size=6)
+
+    cases: list[str] = []
+
+    @settings(max_examples=260, deadline=None)
+    @given(segments)
+    def collect(segs):
+        cases.append("".join(segs))
+
+    collect()
+    assert len(cases) >= 200
+
+    compiled: list[tuple[str, str, str]] = []  # (tmpl, expr, want)
+    for tmpl in cases:
+        try:
+            want = _go_template_eval(tmpl)
+        except ValueError:
+            # Go rejects it -> the loader must be loud, never silent
+            with pytest.raises(ConfigError):
+                go_template_to_sql(tmpl)
+            continue
+        compiled.append((tmpl, go_template_to_sql(tmpl), want))
+
+    assert compiled, "fuzz corpus must contain Go-valid templates"
+    # one Spark job for all compiled cases (per-case round-trips ~1s)
+    row = spark.createDataFrame(
+        [tuple(_FUZZ_ENV.values())], list(_FUZZ_ENV)
+    ).selectExpr(
+        *(f"({e}) AS c{i}" for i, (_, e, _w) in enumerate(compiled))
+    ).collect()[0]
+    con = duckdb.connect()
+    cols = ", ".join(_FUZZ_ENV)
+    vals = ", ".join("'%s'" % v.replace("'", "''") for v in _FUZZ_ENV.values())
+    for i, (tmpl, expr, want) in enumerate(compiled):
+        assert row[f"c{i}"] == want, (tmpl, expr, row[f"c{i}"], want)
+        got_duck = con.sql(
+            f"SELECT ({expr}) AS x FROM (VALUES ({vals})) t({cols})"
+        ).fetchone()[0]
+        assert got_duck == want, (tmpl, expr, got_duck, want)

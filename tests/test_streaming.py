@@ -819,3 +819,151 @@ def test_sessionize_reactivated_user_numbering(
     )
     us = lambda d: int(d.timestamp() * 1_000_000)
     assert got == [(us(base), 1, 1), (us(base + 30 * h), second_idx, 1)], got
+
+
+def test_line_dedup_stream_end_state_matches_batch(spark, tmp_path, sf_dir):
+    # End-state equality vs the batch op on the REAL fixture corpus,
+    # streamed in 3 doc_id-range micro-batches:
+    #   (a) the surviving span MULTISET equals the batch op's kept
+    #       spans — every distinct span survives EXACTLY once, i.e.
+    #       dedup state is retained across micro-batches (without it a
+    #       batch-3 copy of a batch-1 span would survive twice);
+    #   (b) doc-level (n_kept, clean_md5) rows equal the batch op's for
+    #       every doc whose dedup outcome is order-deterministic. The
+    #       streaming op keeps the ARRIVAL-first occurrence; with
+    #       batches split by ascending doc_id that matches the batch
+    #       op's (doc_id, pos)-min EXCEPT when a span's earliest batch
+    #       holds >1 of its occurrences (intra-batch ties are
+    #       arbitrary) — those docs are excluded, computed from the
+    #       corpus itself, and must stay a small minority.
+    import collections
+    import datetime as dt
+    import hashlib
+    import time as _time
+
+    from skewer_spark.ops.corpus_ops import line_dedup_sql
+    from skewer_spark.ops.portable import to_spark
+    from skewer_spark.streaming import (
+        line_dedup_stream,
+        line_dedup_stream_spans,
+    )
+
+    # w=5, not the registered gate's w=3: the fixture's 3-word spans
+    # self-repeat so densely that most docs are order-ambiguous under
+    # ANY batch split; at w=5 there are still 277 cross/intra-doc
+    # duplicate spans (drops genuinely execute) but only ~8% of docs
+    # are ambiguous. Semantics are width-independent (line_dedup_sql
+    # docstring), so the batch twin runs at the same width.
+    W = 5
+    NB = 5
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").toPandas()
+    n_docs = len(docs)
+    ids_sorted = sorted(docs["doc_id"])
+    bounds = [ids_sorted[(i * n_docs) // NB] for i in range(1, NB)]
+
+    def batch_of(d):
+        return sum(1 for e in bounds if d >= e)
+
+    # ground truth span occurrences, mirroring the split/slice math
+    occs = collections.defaultdict(list)  # span -> [(doc_id, pos)]
+    for r in docs.itertuples(index=False):
+        ws = r.text.split(" ")
+        for pos in range((len(ws) + W - 1) // W):
+            occs[" ".join(ws[pos * W : pos * W + W])].append(
+                (int(r.doc_id), pos)
+            )
+    ambiguous: set[int] = set()
+    for span, oc in occs.items():
+        if len(oc) == 1:
+            continue
+        eb = min(batch_of(d) for d, _ in oc)
+        first_batch = [(d, p) for d, p in oc if batch_of(d) == eb]
+        if len(first_batch) > 1:
+            ambiguous.update(d for d, _ in first_batch)
+    assert len(ambiguous) < n_docs // 4, (
+        "fixture shape changed: too many order-ambiguous docs for the "
+        "doc-level comparison to be meaningful"
+    )
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    schema = "doc_id long, text string, ts timestamp_ntz"
+    sdocs = spark.createDataFrame(
+        [(int(r.doc_id), r.text, base) for r in docs.itertuples(index=False)],
+        schema,
+    )
+    for i in range(NB):
+        cond = F.lit(True)
+        if i:
+            cond = cond & (F.col("doc_id") >= bounds[i - 1])
+        if i < NB - 1:
+            cond = cond & (F.col("doc_id") < bounds[i])
+        sdocs.where(cond).coalesce(1).write.mode("overwrite") \
+            .parquet(str(indir / f"f{i}"))
+        _time.sleep(0.05)
+    # watermark-advance sentinels (flush windows; lag is one batch)
+    for j, hours in enumerate((10, 20)):
+        spark.createDataFrame(
+            [(-1 - j, f"__wm{j}__", base + dt.timedelta(hours=hours))],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(indir / f"s{j}"))
+        _time.sleep(0.05)
+
+    def run_stream(builder, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir / "*"))
+        )
+        outdir = tmp_path / f"out_{name}"
+        q = (
+            builder(stream)
+            .writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(str(outdir))
+
+    # (a) surviving span multiset == every distinct corpus span, once
+    surv = run_stream(
+        lambda s: line_dedup_stream_spans(s, w=W, watermark="4 hours"),
+        "spans",
+    ).where("doc_id >= 0").select("span").collect()
+    got_multiset = collections.Counter(r.span for r in surv)
+    assert got_multiset == collections.Counter(occs.keys()), (
+        "surviving span multiset diverged from the batch op's kept set"
+    )
+
+    # (b) doc-level equality on the order-deterministic docs
+    got_docs = {
+        r.doc_id: (r.n_kept, r.clean_md5)
+        for r in run_stream(
+            lambda s: line_dedup_stream(s, w=W, watermark="4 hours"),
+            "docs",
+        ).where("doc_id >= 0").collect()
+    }
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    batch_rows = spark.sql(to_spark(line_dedup_sql(w=W))).collect()
+    assert sum(n for n, _ in got_docs.values()) == sum(
+        r.n_kept for r in batch_rows
+    )
+    compared = 0
+    for r in batch_rows:
+        if r.doc_id in ambiguous:
+            continue
+        compared += 1
+        if r.n_kept == 0:
+            # documented divergence: an all-duplicate doc emits no row
+            assert r.doc_id not in got_docs
+        else:
+            assert got_docs.get(r.doc_id) == (r.n_kept, r.clean_md5), (
+                r.doc_id, got_docs.get(r.doc_id), (r.n_kept, r.clean_md5)
+            )
+    assert compared >= (3 * n_docs) // 4
