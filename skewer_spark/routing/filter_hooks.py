@@ -63,6 +63,24 @@ class FilterHook:
     # input columns the kernel READS beyond group_cols/mutates. Only
     # meaningful with key_cols (the narrow path below).
     reads: tuple[str, ...] = ()
+    # SKEW ESCAPE for grouped hooks: names a column such that the
+    # kernel's cross-row logic never crosses distinct values of it
+    # (its statefulness unit is FINER than group_cols — e.g. per-conv
+    # counters inside a per-appname hook). The wrapper then groups on
+    # (group_cols..., pmod(hash(salt_within_group), salt_buckets)):
+    # every unit stays whole inside one kernel call, but a hot group
+    # spreads over up to salt_buckets tasks — the grouped-hook analog
+    # of skew.salted_repartition. The per-task input bound drops from
+    # max group size to ~max(group)/salt_buckets (plus the largest
+    # single unit). Leave empty when the logic genuinely spans the
+    # whole group (rate_limit_mask's global first-K ordering): then
+    # the documented cap IS the largest group — size such groups like
+    # any single window partition (see skew.blocked_row_number for the
+    # two-phase shape if that ever becomes hot).
+    # tests/test_route_hooks.py::test_grouped_hook_hot_group_salting
+    # measures the bound under a 50%-hot group.
+    salt_within_group: str = ""
+    salt_buckets: int = 16
     # a UNIQUE row key (caller contract — unique under NULL-SAFE
     # equality: the verdict join-back uses <=>, so two rows sharing an
     # identical NULL-containing key tuple would cross-match and
@@ -151,7 +169,9 @@ def apply_filter_hook(
             )
     if narrow:
         seen: dict[str, None] = {}
-        for c in (*hook.key_cols, *hook.group_cols, *hook.reads, *hook.mutates):
+        extra = (hook.salt_within_group,) if hook.salt_within_group else ()
+        for c in (*hook.key_cols, *hook.group_cols, *extra,
+                  *hook.reads, *hook.mutates):
             seen.setdefault(c)
         work = df.select(*seen)
     else:
@@ -197,9 +217,24 @@ def apply_filter_hook(
         return res
 
     if hook.group_cols:
-        verdicts = work.groupBy(*hook.group_cols).applyInPandas(
-            lambda _key, pdf: run(pdf), out_schema
-        )
+        if hook.salt_within_group:
+            salted = work.withColumn(
+                "_hook_salt",
+                F.pmod(
+                    F.hash(F.col(hook.salt_within_group)),
+                    F.lit(hook.salt_buckets),
+                ),
+            )
+            verdicts = salted.groupBy(
+                *hook.group_cols, "_hook_salt"
+            ).applyInPandas(
+                lambda _key, pdf: run(pdf.drop(columns=["_hook_salt"])),
+                out_schema,
+            )
+        else:
+            verdicts = work.groupBy(*hook.group_cols).applyInPandas(
+                lambda _key, pdf: run(pdf), out_schema
+            )
     else:
 
         def run_batches(it):

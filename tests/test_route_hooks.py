@@ -202,3 +202,77 @@ def test_pipeline_runs_hooked_rules_end_to_end(spark, sf_dir, tmp_path):
     assert res.sink_rows["sink_limited"] <= 3 * n_appnames
     masked = lim.where(F.col("message").rlike("[0-9]")).count()
     assert masked == 0  # digit runs rewritten on every routed row
+
+
+def test_grouped_hook_hot_group_salting(spark):
+    # the grouped-hook skew hazard: group_cols on a hot key (here one
+    # appname holding 50% of all rows) funnels that whole group into
+    # ONE applyInPandas task. A kernel whose statefulness unit is
+    # finer than the group (per-conv counters) declares
+    # salt_within_group and the wrapper bounds per-task input by
+    # spreading the hot group over salt_buckets tasks while keeping
+    # every conv whole — verdicts must equal the unsalted run's
+    # exactly, and the measured max kernel-batch size must be a small
+    # fraction of the hot group.
+    import numpy as np
+
+    n, hot_share = 20000, 0.5
+    n_hot = int(n * hot_share)
+    rows = []
+    for i in range(n_hot):  # hot appname: 200 convs x 50 turns
+        rows.append(("hot", f"h{i % 200}", i // 200, 0))
+    for i in range(n - n_hot):  # the rest: 50 cold appnames
+        rows.append((f"app{i % 50}", f"c{i % 500}", i // 500, 0))
+    df = spark.createDataFrame(
+        rows, "appname string, conv_id string, turn_idx long, batch_rows long"
+    ).repartition(32)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-conv running index: passes the first 2 turns of each
+        # conv — stateful WITHIN conv, never across convs, so the
+        # hook is salt-splittable by conv_id
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        rn = pdf.groupby("conv_id").cumcount()
+        pdf["route_status"] = np.where(rn < 2, "passing", "dropped")
+        pdf["batch_rows"] = len(pdf)  # measurement: kernel input size
+        return pdf
+
+    common = dict(
+        kernel=kernel,
+        mutates=("batch_rows",),
+        group_cols=("appname",),
+        reads=("conv_id", "turn_idx"),
+    )
+    FH.register_filter_hook(FH.FilterHook(name="_conv_cap_flat", **common))
+    FH.register_filter_hook(
+        FH.FilterHook(
+            name="_conv_cap_salted",
+            salt_within_group="conv_id",
+            salt_buckets=16,
+            **common,
+        )
+    )
+    key = ("appname", "conv_id", "turn_idx")
+
+    def run(name):
+        out = FH.apply_filter_hook(df, name).select(
+            *key, FH.status_col(name), FH.mutated_col(name, "batch_rows")
+        ).collect()
+        verdicts = {tuple(r[k] for k in key): r[FH.status_col(name)]
+                    for r in out}
+        batch = max(
+            r[FH.mutated_col(name, "batch_rows")] for r in out
+            if r[FH.status_col(name)] == "passing"
+        )
+        return verdicts, batch
+
+    flat_v, flat_max = run("_conv_cap_flat")
+    salt_v, salt_max = run("_conv_cap_salted")
+    assert salt_v == flat_v  # salting never changes a verdict
+    assert len(flat_v) == n
+    # unsalted: the hot group is one task's input — the documented cap
+    assert flat_max == n_hot
+    # salted: bounded per-task input. 200 convs over 16 hash buckets
+    # -> ~12.5 convs (~625 rows) per task; allow generous imbalance
+    # but demand a real bound (< a quarter of the hot group)
+    assert salt_max <= n_hot // 4, salt_max

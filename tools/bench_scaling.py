@@ -68,6 +68,9 @@ def run_bench(cores: int, zpath: str, sf_dir: str) -> dict:
     return rec
 
 
+HAND_MARKER = "<!-- hand-maintained context below: preserved by bench_scaling.py -->"
+
+
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     large = int(sys.argv[2]) if len(sys.argv) > 2 else 32
@@ -113,8 +116,17 @@ Raw JSON:
 ```
 """
     out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the hand-maintained context sections (round-over-round
+    # table, bandwidth-wall analysis, sketch-parity rows, scale probes)
+    # below the marker — earlier rounds lost them to this overwrite and
+    # re-merged by hand
+    tail = ""
+    if os.path.exists(out_md):
+        prev = open(out_md).read()
+        if HAND_MARKER in prev:
+            tail = prev[prev.index(HAND_MARKER):]
     with open(out_md, "w") as f:
-        f.write(md)
+        f.write(md + ("\n" + tail if tail else ""))
     print(json.dumps({"efficiency": round(eff, 3), "small": thr_s, "large": thr_l}))
     print(f"wrote {out_md}")
 
