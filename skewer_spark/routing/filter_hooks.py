@@ -88,18 +88,30 @@ class FilterHook:
     # to fail fast on that instead). Non-empty enables the NARROW
     # path: only key+group+reads+mutates round-trip through Python and
     # the verdict joins back on the key, so the wide columns stay
-    # JVM-side. The input frame is localCheckpoint-ed first: the
-    # join-back references the input lineage on BOTH sides, and Spark
-    # cannot reuse an exchange across two differently-projected
-    # subtrees — without materialization the upstream (including any
-    # parse UDF) would run once per side (the r3 shape: 43.7 s at 10M
-    # rows; checkpointed r4: the parse runs once). Executor-loss
-    # caveat: local checkpoint blocks are not recomputable — the same
-    # durability class as the pipeline's staging writes. Empty -> the
+    # JVM-side. The join-back ships mutations COMPRESSED (NULL when a
+    # column is unchanged, coalesced back to the original after the
+    # join), so a kernel that rewrites few rows returns almost-empty
+    # mutation columns; consequence: a narrow-path kernel cannot
+    # mutate a value TO NULL (it reads as "unchanged" — the wide path
+    # has no such limit). The input lineage (including any parse UDF)
+    # runs on BOTH join sides — measured cheaper at 10M rows than
+    # materializing it (localCheckpoint/cache of the wide frame costs
+    # more than the second parse; BENCH/BASELINE.md r4). Empty -> the
     # whole frame passes through the kernel once (correct for any
     # schema and any non-unique keying, pays full-width Arrow
     # transfer; measured 2.5x slower e2e at 10M rows).
     key_cols: tuple[str, ...] = ()
+    # SPARSE-VERDICT escape (narrow path only): the status almost
+    # every row gets. When set, the kernel stage returns ONLY rows
+    # whose status differs from the default or that carry a real
+    # mutation, and the verdict frame BROADCASTS back onto the wide
+    # side as a left join — the wide side never shuffles, which is the
+    # difference between "adds a 10^12-row exchange" and "adds a
+    # per-executor map probe" at scale. Registrant contract: the
+    # non-default row count must be broadcastable (rate limiting
+    # passes K rows per group BY CONSTRUCTION; a 50%-pass filter must
+    # leave this empty and take the shuffled hash join instead).
+    default_status: str = ""
 
 
 _HOOKS: dict[str, FilterHook] = {}
@@ -143,15 +155,16 @@ def apply_filter_hook(
     upstream."""
     hook = get_filter_hook(name)
     narrow = bool(hook.key_cols)
-    if narrow:
-        # Materialize the input ONCE (lazy local checkpoint): the
-        # narrow verdict join-back references this frame on both join
-        # sides, and Spark re-runs an unmaterialized lineage per side
-        # (including any parse UDF upstream). The checkpoint turns the
-        # double traversal into one pass + a block read — the
-        # key-uniqueness validation below reuses it too. See
-        # FilterHook.key_cols for the durability caveat.
-        df = df.localCheckpoint(eager=False)
+    if hook.default_status and not narrow:
+        raise ValueError(
+            f"hook {name!r}: default_status requires key_cols (the "
+            "sparse-verdict path is a join-back optimization)"
+        )
+    if hook.default_status and hook.default_status not in VALID_STATUSES:
+        raise ValueError(
+            f"hook {name!r}: default_status {hook.default_status!r} "
+            f"not in {sorted(VALID_STATUSES)}"
+        )
     if narrow and validate_keys:
         dup = (
             df.groupBy(*hook.key_cols)
@@ -208,12 +221,31 @@ def apply_filter_hook(
         # route_status tri-state), can never leak downstream
         res = pdf.loc[out.index, pass_cols].copy()
         passing = (out["route_status"] == "passing").to_numpy()
-        res[status_col(name)] = out["route_status"].to_numpy()
+        statuses = out["route_status"].to_numpy()
+        res[status_col(name)] = statuses
         for c in hook.mutates:
-            # pass-only mutation: dropped/rejected rows keep originals
-            res[mutated_col(name, c)] = out[c].where(
-                passing, pdf.loc[out.index, c]
-            )
+            orig = pdf.loc[out.index, c]
+            if narrow:
+                # ship mutations compressed: NULL = unchanged (the
+                # join-back coalesces to the original), so a kernel
+                # rewriting few rows sends almost-empty columns.
+                # Pass-only mutation falls out: non-passing rows are
+                # forced to NULL -> original after coalesce.
+                same = (out[c].eq(orig) | (out[c].isna() & orig.isna()))
+                changed = passing & ~same.to_numpy(dtype=bool)
+                vals = out[c].to_numpy(dtype=object, copy=True)
+                vals[~changed] = None
+                res[mutated_col(name, c)] = vals
+            else:
+                # pass-only mutation: dropped/rejected keep originals
+                res[mutated_col(name, c)] = out[c].where(passing, orig)
+        if hook.default_status:
+            # sparse-verdict path: only non-default rows return from
+            # the kernel stage (the join-back fills the default)
+            keep = statuses != hook.default_status
+            for c in hook.mutates:
+                keep = keep | res[mutated_col(name, c)].notna().to_numpy()
+            res = res[keep]
         return res
 
     if hook.group_cols:
@@ -259,7 +291,30 @@ def apply_filter_hook(
     for c in hook.key_cols:
         eq = df[c].eqNullSafe(v[c])
         cond = eq if cond is None else cond & eq
-    return df.join(v, on=cond).drop(*(v[c] for c in hook.key_cols))
+    if hook.default_status:
+        # sparse verdicts: broadcast-left-join the few non-default
+        # rows; the wide side keeps its partitioning (no exchange)
+        joined = df.join(F.broadcast(v), on=cond, how="left")
+        status = F.coalesce(
+            v[status_col(name)], F.lit(hook.default_status)
+        )
+    else:
+        # dense verdicts: shuffled hash join, not sort-merge — the
+        # verdict side is slim and per-partition hash maps beat two
+        # 10M-row sorts on string keys (measured 43.3 -> 37.9 s e2e
+        # at 10M rows; AQE may still re-plan)
+        joined = df.join(v.hint("shuffle_hash"), on=cond)
+        status = v[status_col(name)]
+    sel = [df[c] for c in df.columns]
+    sel.append(status.alias(status_col(name)))
+    for c in hook.mutates:
+        # NULL shipped = unchanged -> restore the original JVM-side
+        sel.append(
+            F.coalesce(v[mutated_col(name, c)], df[c]).alias(
+                mutated_col(name, c)
+            )
+        )
+    return joined.select(*sel)
 
 
 def apply_hooks_for_rules(df: DataFrame, rules) -> DataFrame:
@@ -312,5 +367,8 @@ register_filter_hook(
         group_cols=("appname",),
         reads=("parse_error",),
         key_cols=("conv_id", "turn_idx"),
+        # sparse by construction: K passing rows per appname plus the
+        # rejected parse errors; everything else is 'dropped'
+        default_status="dropped",
     )
 )
