@@ -297,6 +297,80 @@ class IceLiteTable:
             return spark.createDataFrame([], StructType([]))
         return spark.read.parquet(*files)
 
+    def incremental_files(
+        self, after: str, until: str | None = None
+    ) -> list[str]:
+        """Data files of snapshots strictly AFTER ``after`` up to and
+        including ``until`` (default: current head) — the Iceberg
+        incremental-consumption read. This is how a downstream consumer
+        of a 10^12-row table processes only the day's appends instead of
+        rescanning the table: file listing is manifest-only (no data
+        scan), and the resulting read is exactly the new files.
+
+        Only append history is consumable this way: if the range
+        contains an ``overwrite`` or ``compact`` snapshot the rewritten
+        files no longer represent deltas, so this raises ValueError and
+        the consumer must fall back to a full read (Iceberg's
+        incremental scan refuses overwrite snapshots the same way)."""
+        snaps = self.snapshots()
+        ids = [s.snapshot_id for s in snaps]
+        if after not in ids:
+            raise KeyError(
+                f"snapshot {after!r} not in {self.name}'s manifest "
+                f"(history before an overwrite/compaction is expired); "
+                f"available: {ids}"
+            )
+        lo = ids.index(after) + 1
+        if until is None:
+            hi = len(snaps)
+        else:
+            if until not in ids:
+                raise KeyError(
+                    f"snapshot {until!r} not in {self.name}'s manifest; "
+                    f"available: {ids}"
+                )
+            hi = ids.index(until) + 1
+            if hi <= lo - 1:
+                raise ValueError(
+                    f"until={until!r} precedes after={after!r} in the "
+                    f"commit log"
+                )
+        window = snaps[lo:hi]
+        rewrites = [
+            s.snapshot_id for s in window if s.operation != "append"
+        ]
+        if rewrites:
+            raise ValueError(
+                f"incremental read range contains non-append snapshots "
+                f"{rewrites} — deltas are not defined across a rewrite; "
+                f"fall back to a full read"
+            )
+        files: list[str] = []
+        for s in window:
+            d = os.path.join(self.dir, "data", s.snapshot_id)
+            files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+        return files
+
+    def read_incremental(
+        self, spark: SparkSession, after: str, until: str | None = None
+    ) -> DataFrame:
+        """Rows appended strictly after snapshot ``after`` (see
+        ``incremental_files``). Empty range -> empty frame with the
+        table's schema (from the newest data file)."""
+        files = self.incremental_files(after, until)
+        if not files:
+            all_files = self.data_files()
+            if not all_files:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame([], StructType([]))
+            return spark.read.parquet(all_files[-1]).limit(0)
+        return spark.read.parquet(*files)
+
     def per_file_rows(self, snapshot_id: str | None = None) -> list[tuple[str, int]]:
         """(file, rows) per committed data file — lineage source. With
         snapshot_id, only that snapshot's files."""

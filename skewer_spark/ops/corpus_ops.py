@@ -228,6 +228,141 @@ ranked AS (
 SELECT q, n, rnk, FMT4(cos) AS cosine FROM ranked WHERE rnk <= {k}"""
 
 
+# ------------------------------------------------- semantic dedup (SemDeDup)
+# K-means over the embedding column, then within-cluster cosine pruning —
+# the SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): clusters bound
+# the candidate set, so the pairwise stage is quadratic only inside a
+# cluster and K scales with the corpus to keep clusters bounded.
+#
+# Everything is INTEGER-EXACT so the Spark implementation and the DuckDB
+# oracle agree hash-exactly with no float-tolerance escape hatch:
+#   - embeddings quantize to q = floor(x * 1e4 + 0.5) (BIGINT)
+#   - centroids are floored integer means via a positive-mod construction
+#     (both engines' % keeps the dividend's sign, so ((s % n) + n) % n is
+#     the positive remainder in both; the division is then exact)
+#   - the cosine threshold compares dot^2 * 1e4 > tau^2*1e4 * |x|^2 * |y|^2
+#     in DECIMAL(38,0) (dot^2 * 1e4 reaches ~1e20 and overflows BIGINT)
+SEM_SCALE = 10_000
+SEM_K = 4  # gate cluster count; production K scales with corpus size
+SEM_ITERS = 3  # fixed Lloyd rounds — deterministic, unrolled in the oracle
+SEM_TAU_SQ_X1E4 = 1600  # cosine^2 * 1e4; tau = 0.40 (gate; prod ~0.95)
+SEM_DIMS = 64
+
+
+def _sem_qv_cte() -> str:
+    """Quantized long-form (vec_id, i, q) — integers from here on."""
+    return f"""qv AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(CAST(ARR_GET(embedding, i) AS DOUBLE) * {SEM_SCALE} + 0.5) AS BIGINT) AS q
+  FROM (SELECT vec_id, embedding, EXPLODE(SEQ1({SEM_DIMS})) AS i FROM embeddings) e
+)"""
+
+
+def semantic_kmeans_ctes(k: int = SEM_K, iters: int = SEM_ITERS) -> str:
+    """Unrolled deterministic Lloyd iterations as CTEs. Init centroids
+    are the ``k`` lowest vec_ids' quantized vectors; each round assigns
+    by exact integer squared distance (ties -> lowest cluster id) and
+    recomputes floored-integer-mean centroids (an empty cluster keeps
+    its previous centroid). The final CTE ``a{iters}`` holds
+    (vec_id, c, dist) where dist is the squared distance to the
+    assignment round's centroids."""
+    ctes = [
+        _sem_qv_cte(),
+        f"""init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS c, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}) f)""",
+        """m0 AS (
+  SELECT init.c, qv.i, qv.q AS mu
+  FROM init JOIN qv ON qv.vec_id = init.vec_id)""",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(f"""d{t} AS (
+  SELECT qv.vec_id, m.c, SUM((qv.q - m.mu) * (qv.q - m.mu)) AS dist
+  FROM qv JOIN m{p} m ON qv.i = m.i
+  GROUP BY qv.vec_id, m.c)""")
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, c, dist FROM (
+    SELECT vec_id, c, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM d{t}) r WHERE rn = 1)""")
+        if t < iters:
+            ctes.append(f"""s{t} AS (
+  SELECT a.c, qv.i, SUM(qv.q) AS s, COUNT(*) AS n
+  FROM a{t} a JOIN qv ON qv.vec_id = a.vec_id
+  GROUP BY a.c, qv.i)""")
+            ctes.append(f"""m{t} AS (
+  SELECT c, i, IDIV(s - (((s % n) + n) % n), n) AS mu FROM s{t}
+  UNION ALL
+  SELECT p.c, p.i, p.mu FROM m{p} p
+  WHERE p.c NOT IN (SELECT c FROM s{t}))""")
+    return ",\n".join(ctes)
+
+
+def semantic_kmeans_sql(k: int = SEM_K, iters: int = SEM_ITERS) -> str:
+    """Cluster assignments after ``iters`` deterministic Lloyd rounds.
+    This unrolled form is the ORACLE; the production Spark path is
+    ``ops.semantic.semantic_kmeans`` (array-native, broadcast
+    centroids, one tiny K x dims aggregate per round) — two independent
+    mechanisms converging on the same exact integers."""
+    return f"""WITH {semantic_kmeans_ctes(k, iters)}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(c AS BIGINT) AS cluster,
+       CAST(dist AS BIGINT) AS dist
+FROM a{iters}"""
+
+
+def semantic_dedup_sql(
+    k: int = SEM_K,
+    iters: int = SEM_ITERS,
+    tau_sq_x1e4: int = SEM_TAU_SQ_X1E4,
+) -> str:
+    """SemDeDup verdicts: x is dropped when some same-cluster y with a
+    lower vec_id has cosine(x, y) > tau. The threshold compare is exact
+    (DECIMAL(38,0); dot^2 * 1e4 overflows BIGINT at unit-norm scale)."""
+    T = iters
+    return f"""WITH {semantic_kmeans_ctes(k, iters)},
+n2 AS (SELECT vec_id, SUM(q * q) AS n2 FROM qv GROUP BY vec_id),
+dots AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, SUM(xq.q * yq.q) AS dot
+  FROM a{T} x JOIN a{T} y ON x.c = y.c AND x.vec_id < y.vec_id
+  JOIN qv xq ON xq.vec_id = x.vec_id
+  JOIN qv yq ON yq.vec_id = y.vec_id AND yq.i = xq.i
+  GROUP BY x.vec_id, y.vec_id),
+dropped AS (
+  SELECT DISTINCT d.b AS vec_id
+  FROM dots d
+  JOIN n2 nx ON nx.vec_id = d.a
+  JOIN n2 ny ON ny.vec_id = d.b
+  WHERE d.dot > 0
+    AND CAST(d.dot AS DECIMAL(38,0)) * CAST(d.dot AS DECIMAL(38,0)) * 10000
+      > {tau_sq_x1e4} * CAST(nx.n2 AS DECIMAL(38,0)) * CAST(ny.n2 AS DECIMAL(38,0)))
+SELECT CAST(m.vec_id AS BIGINT) AS vec_id, CAST(m.c AS BIGINT) AS cluster,
+       (dr.vec_id IS NULL) AS kept
+FROM a{T} m LEFT JOIN dropped dr ON dr.vec_id = m.vec_id"""
+
+
+def cluster_stats_closure_sql(cap: int | None = None) -> str:
+    """Oracle for dedup observability: cluster-SIZE histogram of the
+    minhash-LSH canonical components (same capped edges + recursive
+    closure as ``canonical_closure_sql``, then two tiny aggregates).
+    ``cap=None`` -> GATE_MINHASH_CAP (defined below; late-bound)."""
+    if cap is None:
+        cap = GATE_MINHASH_CAP
+    return f"""WITH RECURSIVE {minhash_edge_ctes(cap=cap)},
+sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b AS s, a AS d FROM edges),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT w.node, y.d FROM walk w JOIN sym y ON y.s = w.lab
+),
+labels AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz"""
+
+
 # ------------------------------------------------------------ text stats
 _EN_STOP = "('the','a','of','and','to','in','is','it','for','on')"
 

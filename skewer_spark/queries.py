@@ -715,6 +715,36 @@ def _embed_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_canonical(spark, sf_dir)
 
 
+def _semantic_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops.semantic import semantic_kmeans
+
+    return semantic_kmeans(spark, sf_dir)
+
+
+def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops.semantic import semantic_dedup
+
+    return semantic_dedup(spark, sf_dir)
+
+
+def _dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: cluster-SIZE histogram of the minhash-LSH
+    canonical components — the summary a 100-TB dedup job reports
+    (how much boilerplate, how big the biggest cluster). Two tiny
+    aggregates on top of the (doc_id, cluster_id) labels."""
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.dedup_cc import dedup_canonical
+
+    labels = dedup_canonical(spark, sf_dir, cap=C.GATE_MINHASH_CAP)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
 def _canonical_oracles() -> dict[str, str]:
     """Oracle = DuckDB recursive transitive closure over the SAME capped
     edge CTEs the Spark side uses (corpus_ops), an independent CC
@@ -734,6 +764,14 @@ def _canonical_oracles() -> dict[str, str]:
         "dedup_apply": to_duck(dedup_apply_oracle_sql(cap=gate_cap)),
         "dedup_keep_best": to_duck(C.keep_best_closure_sql(cap=gate_cap)),
         "embed_canonical": to_duck(C.embed_canonical_closure_sql()),
+        "dedup_cluster_stats": to_duck(
+            C.cluster_stats_closure_sql(cap=gate_cap)
+        ),
+        # independent mechanism: unrolled recursive-CTE Lloyd rounds vs
+        # the Spark side's array-native driver loop (ops/semantic.py) —
+        # integer-exact arithmetic means they must agree hash-exactly
+        "semantic_kmeans": to_duck(C.semantic_kmeans_sql()),
+        "semantic_dedup": to_duck(C.semantic_dedup_sql()),
     }
 
 
@@ -1749,10 +1787,13 @@ ROTATION_HEAD: list[str] = [
     "ann_recall", "ann_ivf", "ann_ivf_recall", "split_assign",
     "stratified_sample", "winnow_fingerprint", "corpus_filter",
     "sessionize",
-    # -- spine veterans, re-verified every round --
+    # -- round-4 additions (never externally checked) --
+    "semantic_kmeans", "semantic_dedup", "dedup_cluster_stats",
+    # -- spine veterans, re-verified every round (the remaining r03
+    #    greens — decode_json, conv_rollup, agg_* et al — were verified
+    #    last round and sit just past the 50-row window) --
     "parse_syslog", "enrich_dims", "route_fanout", "route_mutate",
-    "decode_json", "conv_rollup", "route_status", "agg_facility",
-    "agg_severity",
+    "route_status", "conv_rollup",
 ]
 
 
@@ -1795,6 +1836,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": ops.pop("tfidf_terms"),
         "line_dedup": ops.pop("line_dedup"),
         "relp_framed": q_relp_framed,
+        # round 4: SemDeDup suite + dedup observability
+        "semantic_kmeans": _semantic_kmeans_q,
+        "semantic_dedup": _semantic_dedup_q,
+        "dedup_cluster_stats": _dedup_cluster_stats_q,
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),
