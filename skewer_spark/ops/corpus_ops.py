@@ -1488,3 +1488,189 @@ SELECT doc_id,
            ALIST())),
          x -> substr(x, {pad + 2})), ' '), '')) AS clean_md5
 FROM verdicts GROUP BY doc_id"""
+
+
+# --------------------------------------------- BM25 retrieval (top-k)
+# Keyword-search scoring over the corpus — the retrieval half of a RAG
+# / data-curation stack next to the ANN suite. The gate variant is
+# CROSS-ENGINE EXACT by construction: rational idf (no ln(), whose last
+# ulp differs across libm builds), all term statistics as BIGINTs small
+# enough that the final DOUBLE division and two-term sum are IEEE
+# correctly-rounded — and +, /, on doubles are REQUIRED to round
+# identically everywhere, so both engines produce bit-identical scores
+# (the envelope: per-term numerator < 2^53, which holds through ~50k
+# docs x 30 tokens; production BM25 at 10^12 docs uses log-idf and
+# never needs cross-engine bit equality).
+BM25_K = 10  # results per query
+
+
+def bm25_topk_sql(k: int = BM25_K) -> str:
+    """Top-k BM25 retrieval for 5 deterministic two-term queries drawn
+    from the corpus's own df ranking (global ranks 6..15 by
+    (df DESC, term ASC) — skipping the 5 most common terms keeps the
+    queries discriminative; the pairing is rank i with rank i+5).
+
+    BM25 (k1 = 6/5, b = 3/4) with rational idf (N - df + 1)/(df + 1):
+
+        score_term = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/L))
+                   = n_t / d_t   with integer
+        n_t = (N - df + 1) * tf * 22 * L
+        d_t = (df + 1) * (10*L*tf + 3*L + 9*dl*N)
+
+    (multiply numerator and denominator by 10*L/(df+1)^-1 — exact).
+    The per-doc score sums AT MOST TWO term fractions, and IEEE
+    addition of two doubles is commutative, so the aggregation is
+    shuffle-order-insensitive. Ranking is (score DESC, doc_id ASC).
+
+    Scale shape at 100 TB: tf/df/dl are the same linear map-side
+    combined aggregates tfidf_terms uses; the query-term frame is
+    5 queries x 2 terms — broadcast; the per-query ranking compiles to
+    a window over only the docs containing a query term (never the full
+    corpus), and at production k the TakeOrdered path applies. The df
+    ranking window is vocabulary-sized, not corpus-sized."""
+    return f"""
+WITH x AS (
+  SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS dl FROM x GROUP BY doc_id),
+gl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+qt AS (
+  SELECT CAST(CASE WHEN rnk <= 10 THEN rnk - 5 ELSE rnk - 10 END AS INT)
+           AS query_id,
+         term, df
+  FROM (
+    SELECT term, df,
+           row_number() OVER (ORDER BY df DESC, term ASC) AS rnk
+    FROM df
+  ) r
+  WHERE rnk BETWEEN 6 AND 15
+),
+ts AS (
+  SELECT q.query_id, t.doc_id,
+         (g.n_docs - q.df + 1) * t.tf * 22 * g.total_len AS n_t,
+         (q.df + 1) *
+           (10 * g.total_len * t.tf + 3 * g.total_len + 9 * d.dl * g.n_docs)
+           AS d_t
+  FROM qt q
+  JOIN tf t ON t.term = q.term
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN gl g
+),
+sc AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(n_t AS DOUBLE) / CAST(d_t AS DOUBLE)) AS score
+  FROM ts GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM sc
+)
+SELECT query_id, doc_id, CAST(rnk AS INT) AS rnk, FMT6(score) AS score
+FROM ranked WHERE rnk <= {k}"""
+
+
+# ------------------------------------- Bloom-pruned incremental dedup
+# The scale inversion of dedup_incremental: there the HISTORY side
+# shrank to a hash set; here the history is the 10^12-row side that
+# must be SCANNED but never shuffled, and the day's batch is the small
+# side. Build a Bloom filter over the BATCH hashes (bounded bitmap,
+# broadcast to every executor), prune the history scan to rows whose
+# text maybe-matches the batch (false positives pass, never false
+# negatives), then resolve exactly with an equi-join against only the
+# survivors — the full-history shuffle disappears. This is Spark's
+# runtime bloom-filter-join pattern made explicit and testable.
+BLOOM_M = 1 << 17  # gate bitmap bits (16 KiB); production sizes ~10 bits/key
+BLOOM_K = 4  # probes per key
+
+
+def _bloom_fixture_ctes() -> str:
+    """hist/batch CTEs shared by the oracle SQLs and ops/bloom.py: the
+    frozen corpus is source <> 'src1'; the incoming batch is source =
+    'src1' plus a re-fetch of every 9th frozen doc (ids offset by
+    B = max(doc_id)+1, derived from the data so synthetic ids never
+    collide — same convention as dedup_incremental_sql)."""
+    return """base AS (SELECT max(doc_id) + 1 AS b FROM documents),
+hist AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src1'
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src1'
+  UNION ALL
+  SELECT d.doc_id + base.b AS doc_id, d.text
+  FROM documents d CROSS JOIN base
+  WHERE d.source <> 'src1' AND d.doc_id % 9 = 0
+)"""
+
+
+def bloom_probe_macro(j: str, col: str) -> str:
+    """Probe ``j``'s bit position for ``col`` — macro-SQL shared
+    verbatim (via to_spark) with the ops/bloom.py implementation so the
+    two mechanisms can never drift on the hash family."""
+    return (
+        f"HEX2INT(substring(md5(CAST({j} AS SSTR) || '|' || {col}),"
+        f" 1, 12)) % {BLOOM_M}"
+    )
+
+
+def dedup_bloom_sql() -> str:
+    """ORACLE for ops/bloom.py's dedup_bloom: because Bloom pruning is
+    semantically invisible (no false negatives; false positives are
+    removed by the exact join), the oracle is plain exact membership —
+    the Spark side must land on identical verdicts THROUGH the
+    bitmap-pruned plan."""
+    return f"""
+WITH {_bloom_fixture_ctes()},
+hh AS (SELECT DISTINCT md5(text) AS h FROM hist)
+SELECT b.doc_id,
+       CAST(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END AS INT) AS dup_of_corpus
+FROM batch b LEFT JOIN hh s ON s.h = md5(b.text)"""
+
+
+def bloom_stats_sql(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    """ORACLE for the Bloom run's observability row: recomputes the
+    exact survivor set (history rows whose every probe position is in
+    the batch's position set) with relational position joins — a
+    mechanism with no bitmap at all — so the implementation's pruning
+    arithmetic (bit packing, shifts, broadcast) is cross-checked
+    end to end. One scalar row: history/batch sizes, survivors of the
+    prune, exact duplicate count, and how many survivors were Bloom
+    false positives."""
+    return f"""
+WITH {_bloom_fixture_ctes()},
+probes AS (SELECT EXPLODE(SEQ1({k})) AS j),
+bpos AS (
+  SELECT DISTINCT {bloom_probe_macro('p.j', 'b.text')} AS pos
+  FROM batch b CROSS JOIN probes p
+),
+hprobe AS (
+  SELECT h.doc_id, p.j, {bloom_probe_macro('p.j', 'h.text')} AS pos
+  FROM hist h CROSS JOIN probes p
+),
+surv AS (
+  SELECT hp.doc_id
+  FROM hprobe hp JOIN bpos ON bpos.pos = hp.pos
+  GROUP BY hp.doc_id HAVING count(DISTINCT hp.j) = {k}
+),
+bh AS (SELECT DISTINCT md5(text) AS h FROM batch),
+hh AS (SELECT DISTINCT md5(text) AS h FROM hist),
+sh AS (
+  SELECT s.doc_id, md5(h.text) AS h
+  FROM surv s JOIN hist h ON h.doc_id = s.doc_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM hist) AS history_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM batch) AS batch_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM surv) AS survivor_rows,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM batch b JOIN hh ON hh.h = md5(b.text)) AS exact_dup_rows,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM sh LEFT JOIN bh ON bh.h = sh.h
+   WHERE bh.h IS NULL) AS fp_survivor_rows"""

@@ -658,6 +658,7 @@ def _ops_registry() -> dict[str, str]:
             "quality_score": C.quality_score_sql(),
             "token_count": C.token_count_sql(),
             "fingerprint": C.fingerprint_sql(),
+            "bm25_topk": C.bm25_topk_sql(),
         }
     return _OPS_SQL
 
@@ -727,6 +728,18 @@ def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(spark, sf_dir)
 
 
+def _dedup_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops.bloom import dedup_bloom
+
+    return dedup_bloom(spark, sf_dir)
+
+
+def _bloom_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skewer_spark.ops.bloom import bloom_stats
+
+    return bloom_stats(spark, sf_dir)
+
+
 def _dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup observability: cluster-SIZE histogram of the minhash-LSH
     canonical components — the summary a 100-TB dedup job reports
@@ -772,6 +785,10 @@ def _canonical_oracles() -> dict[str, str]:
         # integer-exact arithmetic means they must agree hash-exactly
         "semantic_kmeans": to_duck(C.semantic_kmeans_sql()),
         "semantic_dedup": to_duck(C.semantic_dedup_sql()),
+        # independent mechanism: relational position-set membership vs
+        # the Spark side's broadcast-bitmap pruned plan (ops/bloom.py)
+        "dedup_bloom": to_duck(C.dedup_bloom_sql()),
+        "bloom_stats": to_duck(C.bloom_stats_sql()),
     }
 
 
@@ -1789,11 +1806,11 @@ ROTATION_HEAD: list[str] = [
     "sessionize",
     # -- round-4 additions (never externally checked) --
     "semantic_kmeans", "semantic_dedup", "dedup_cluster_stats",
+    "bm25_topk", "dedup_bloom", "bloom_stats",
     # -- spine veterans, re-verified every round (the remaining r03
-    #    greens — decode_json, conv_rollup, agg_* et al — were verified
-    #    last round and sit just past the 50-row window) --
-    "parse_syslog", "enrich_dims", "route_fanout", "route_mutate",
-    "route_status", "conv_rollup",
+    #    greens — decode_json, conv_rollup, route_mutate, agg_* et al —
+    #    were verified last round and sit just past the 50-row window) --
+    "parse_syslog", "enrich_dims", "route_fanout",
 ]
 
 
@@ -1840,6 +1857,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_kmeans": _semantic_kmeans_q,
         "semantic_dedup": _semantic_dedup_q,
         "dedup_cluster_stats": _dedup_cluster_stats_q,
+        # round 4: BM25 retrieval + Bloom-pruned incremental dedup
+        "bm25_topk": ops.pop("bm25_topk"),
+        "dedup_bloom": _dedup_bloom_q,
+        "bloom_stats": _bloom_stats_q,
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),
