@@ -67,30 +67,36 @@ def bloom_fixture(
     return hist, batch
 
 
-def build_bloom_bitmap(batch: DataFrame) -> np.ndarray:
-    """uint64[M/64] bitmap of the batch's probe positions. The driver
-    collect is the DISTINCT position set — bounded by BLOOM_M (the
-    filter's own size), independent of batch row count."""
+def collect_probe_positions(df: DataFrame, col: str = "text") -> np.ndarray:
+    """DISTINCT probe positions of ``df[col]`` — bounded by BLOOM_M
+    (the filter's own size), independent of row count, so the driver
+    collect is safe at any data scale."""
     probes = F.array(
-        *[F.expr(_probe_expr(j)) for j in range(1, C.BLOOM_K + 1)]
+        *[F.expr(_probe_expr(j, col)) for j in range(1, C.BLOOM_K + 1)]
     )
-    rows = (
-        batch.select(F.explode(probes).alias("pos")).distinct().collect()
-    )
-    bm = np.zeros(C.BLOOM_M // 64, dtype=np.uint64)
-    pos = np.array([r["pos"] for r in rows], dtype=np.int64)
+    rows = df.select(F.explode(probes).alias("pos")).distinct().collect()
+    return np.array([r["pos"] for r in rows], dtype=np.int64)
+
+
+def set_positions(bm: np.ndarray, pos: np.ndarray) -> None:
+    """Set the given bit positions in the uint64-packed bitmap."""
     if len(pos):
         np.bitwise_or.at(
             bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
         )
+
+
+def build_bloom_bitmap(batch: DataFrame) -> np.ndarray:
+    """uint64[M/64] bitmap of the batch's probe positions."""
+    bm = np.zeros(C.BLOOM_M // 64, dtype=np.uint64)
+    set_positions(bm, collect_probe_positions(batch))
     return bm
 
 
-def bloom_prune(spark: SparkSession, hist: DataFrame, bm: np.ndarray) -> DataFrame:
-    """History rows whose every probe position is set in the bitmap —
-    the pruned scan. Membership is one Arrow-vectorized pandas UDF over
-    JVM-computed positions (md5/conv stay in whole-stage codegen; only
-    the 16 KiB-bitmap bit test crosses to Python)."""
+def bloom_member_udf(spark: SparkSession, bm: np.ndarray):
+    """Arrow-vectorized membership test against a broadcast copy of the
+    bitmap: numpy shifts over the Arrow batch, no per-row Python.
+    Returns a pandas UDF taking BLOOM_K position columns."""
     bc = spark.sparkContext.broadcast(bm.tobytes())
 
     @pandas_udf("boolean")
@@ -104,6 +110,15 @@ def bloom_prune(spark: SparkSession, hist: DataFrame, bm: np.ndarray) -> DataFra
             )
         return pd.Series(ok)
 
+    return _member
+
+
+def bloom_prune(spark: SparkSession, hist: DataFrame, bm: np.ndarray) -> DataFrame:
+    """History rows whose every probe position is set in the bitmap —
+    the pruned scan. Membership is one Arrow-vectorized pandas UDF over
+    JVM-computed positions (md5/conv stay in whole-stage codegen; only
+    the 16 KiB-bitmap bit test crosses to Python)."""
+    _member = bloom_member_udf(spark, bm)
     pcols = [
         F.expr(_probe_expr(j)).alias(f"_p{j}")
         for j in range(1, C.BLOOM_K + 1)

@@ -707,3 +707,103 @@ def start_exactly_once_pipeline_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bloom_dedup_stream(
+    stream: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Ingest-time dedup with BOUNDED state: a cross-batch Bloom bitmap
+    (ops/bloom.py's family) instead of per-key dedup state. The state
+    story at 10^12 rows is the point — ``dedup_stream``'s
+    dropDuplicatesWithinWatermark holds one state row per distinct hash
+    inside the horizon (unbounded for a corpus feed with no natural
+    horizon), while this operator's state is BLOOM_M bits FOREVER, at
+    the price of routing Bloom false positives to a 'suspect' table for
+    exact downstream resolution (e.g. dedup_bloom's broadcast join, or
+    dedup_incremental against the committed corpus).
+
+    Per micro-batch: rows whose every probe bit is already set — or
+    that are a non-first occurrence of their hash WITHIN the batch
+    (first = min ``order_col``, deterministic) — append to
+    ``<out_dir>/suspect``; the rest are definitely-new (the filter has
+    no false negatives) and append to ``<out_dir>/unique``. Then the
+    batch's probe positions are OR-ed into the bitmap and the state is
+    persisted atomically (tmp + os.replace) under the checkpoint dir,
+    so a restarted stream resumes with the accumulated filter. Replayed
+    batches re-set the same bits (idempotent state) but re-append
+    output rows — at-least-once, like start_fanout_stream; the
+    exactly-once ledger pattern (start_exactly_once_pipeline_stream)
+    composes on top where needed.
+
+    Invariants pinned by tests/test_bloom.py: the unique table never
+    contains two rows with the same text (within or across batches),
+    and every true duplicate lands in suspect."""
+    import numpy as np
+
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.bloom import (
+        _probe_expr,
+        bloom_member_udf,
+        collect_probe_positions,
+        set_positions,
+    )
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state_path = os.path.join(checkpoint_dir, "bloom_state.npy")
+    if os.path.exists(state_path):
+        bm = np.load(state_path)
+    else:
+        bm = np.zeros(C.BLOOM_M // 64, dtype=np.uint64)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        member = bloom_member_udf(spark, bm)
+        pnames = [f"_p{j}" for j in range(1, C.BLOOM_K + 1)]
+        wide = batch_df.select(
+            "*",
+            F.md5(F.col(text_col)).alias("_h"),
+            *[
+                F.expr(_probe_expr(j, text_col)).alias(n)
+                for j, n in enumerate(pnames, start=1)
+            ],
+        ).withColumn("_maybe_seen", member(*[F.col(n) for n in pnames]))
+        firsts = wide.groupBy("_h").agg(
+            F.min(order_col).alias("_first_id")
+        )
+        verdicts = wide.join(F.broadcast(firsts), "_h").withColumn(
+            "_suspect",
+            F.col("_maybe_seen") | (F.col(order_col) > F.col("_first_id")),
+        )
+        out_cols = [
+            c for c in verdicts.columns
+            if not c.startswith("_p") and c not in
+            ("_h", "_maybe_seen", "_first_id", "_suspect")
+        ]
+        verdicts = verdicts.cache()  # two writes + one driver agg, one pass
+        try:
+            verdicts.where(~F.col("_suspect")).select(*out_cols).write.mode(
+                "append"
+            ).parquet(os.path.join(out_dir, "unique"))
+            verdicts.where(F.col("_suspect")).select(*out_cols).write.mode(
+                "append"
+            ).parquet(os.path.join(out_dir, "suspect"))
+            set_positions(
+                bm, collect_probe_positions(batch_df, col=text_col)
+            )
+        finally:
+            verdicts.unpersist()
+        tmp = state_path + f".tmp{batch_id}.npy"  # .npy: np.save appends otherwise
+        np.save(tmp, bm)
+        os.replace(tmp, state_path)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", os.path.join(checkpoint_dir, "engine")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

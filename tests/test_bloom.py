@@ -171,3 +171,74 @@ def test_bloom_plan_never_shuffles_history(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_dedup_stream_bounded_state_invariants(spark, tmp_path):
+    # stream the corpus in 3 doc_id-range micro-batches with planted
+    # duplicates; assert (a) the unique table's texts are globally
+    # distinct, (b) every true duplicate (hash seen in an earlier batch
+    # or earlier in its own batch) lands in suspect, (c) the state file
+    # is exactly BLOOM_M bits and survives for resume
+    import time as _time
+
+    import numpy as np
+
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.streaming import bloom_dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n = len(docs)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    schema = "doc_id long, text string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(indir / name))
+        _time.sleep(0.05)
+
+    third = n // 3
+    b1 = [(r.doc_id, r.text) for r in docs[:third]]
+    # batch 2: fresh docs + re-sends of 5 batch-1 texts (cross-batch dups)
+    b2 = [(r.doc_id, r.text) for r in docs[third : 2 * third]] + [
+        (10_000 + i, docs[i].text) for i in range(5)
+    ]
+    # batch 3: fresh docs + an intra-batch dup pair
+    b3 = [(r.doc_id, r.text) for r in docs[2 * third :]] + [
+        (20_000, docs[2 * third].text)
+    ]
+    write_file("f1", b1)
+    write_file("f2", b2)
+    write_file("f3", b3)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    q = bloom_dedup_stream(stream, spark, str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    uniq = spark.read.parquet(str(out / "unique")).collect()
+    sus = spark.read.parquet(str(out / "suspect")).collect()
+    assert len(uniq) + len(sus) == len(b1) + len(b2) + len(b3)
+    # (a) no false negatives -> unique texts globally distinct
+    texts = [r.text for r in uniq]
+    assert len(texts) == len(set(texts))
+    # (b) every planted duplicate is in suspect
+    sus_ids = {r.doc_id for r in sus}
+    assert {10_000 + i for i in range(5)} <= sus_ids
+    assert 20_000 in sus_ids
+    # (c) bounded, persisted state
+    bm = np.load(str(ckpt / "bloom_state.npy"))
+    assert bm.nbytes == C.BLOOM_M // 8
+    # FP tail should be a small minority of the corpus at gate M/K
+    fp = len(sus) - 6
+    assert fp < n / 4, (fp, n)
