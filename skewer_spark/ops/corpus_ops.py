@@ -1674,3 +1674,61 @@ SELECT
   (SELECT CAST(count(*) AS BIGINT)
    FROM sh LEFT JOIN bh ON bh.h = sh.h
    WHERE bh.h IS NULL) AS fp_survivor_rows"""
+
+
+# ----------------------------- exact-substring pair detection (seeds)
+# The seed stage of ExactSubstr dedup (Lee et al. 2021,
+# arXiv:2107.06499: training corpora contain verbatim repeated
+# substrings that exact-hash dedup misses). Full ExactSubstr builds a
+# suffix array; the distributed-friendly shape is SEED-AND-RESOLVE:
+# sample char k-grams CONTENT-DEFINED (keep a gram iff a hash of the
+# gram itself falls in a 1/p slice), so the SAME grams are selected at
+# any offset in any document — a shared substring of length s then
+# contains s-k+1 grams, each selected with density 1/p by content, and
+# detection probability is 1-(1-1/p)^(s-k+1) regardless of alignment
+# (fixed-stride sampling has NO such guarantee: equal substrings at
+# different offsets sample different grams). Matched pairs go to exact
+# resolution (extend around the shared seed), like Bloom survivors.
+SUBSTR_K = 16  # char gram length
+SUBSTR_P = 8  # content-defined selection density 1/p
+SUBSTR_CAP = 50  # hot-gram prune (same skew guard as contamination)
+
+
+def substr_pairs_sql(
+    k: int = SUBSTR_K, p: int = SUBSTR_P, cap: int = SUBSTR_CAP
+) -> str:
+    """Document pairs sharing >= 1 selected k-char gram, with the
+    shared-seed count — the candidate set for exact substring
+    resolution.
+
+    Scale shape at 100 TB: explode is map-only; selection drops
+    (p-1)/p of grams BEFORE the shuffle; the only shuffle key is the
+    gram string, and its hottest keys (boilerplate) are pruned at
+    ``cap`` docs first, bounding per-key pair fan-out at cap^2 — the
+    identical guard to minhash bucket capping and contamination's
+    common-shingle prune. No pairwise doc comparison anywhere."""
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         EXPLODE(XFORM(SEQ1(length(text) - {k} + 1),
+                 i -> substring(text, i, {k}))) AS gram
+  FROM documents
+),
+sel AS (
+  SELECT DISTINCT doc_id, gram FROM g
+  WHERE HEX2INT(substring(md5(gram), 1, 8)) % {p} = 0
+),
+hot AS (SELECT gram FROM sel GROUP BY gram HAVING count(*) > {cap}),
+pruned AS (
+  SELECT doc_id, gram FROM sel
+  WHERE gram NOT IN (SELECT gram FROM hot)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared_seeds
+  FROM pruned a JOIN pruned b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_shared_seeds AS BIGINT) AS n_shared_seeds
+FROM pairs"""

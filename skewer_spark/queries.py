@@ -659,6 +659,7 @@ def _ops_registry() -> dict[str, str]:
             "token_count": C.token_count_sql(),
             "fingerprint": C.fingerprint_sql(),
             "bm25_topk": C.bm25_topk_sql(),
+            "substr_pairs": C.substr_pairs_sql(),
         }
     return _OPS_SQL
 
@@ -1806,11 +1807,11 @@ ROTATION_HEAD: list[str] = [
     "sessionize",
     # -- round-4 additions (never externally checked) --
     "semantic_kmeans", "semantic_dedup", "dedup_cluster_stats",
-    "bm25_topk", "dedup_bloom", "bloom_stats",
+    "bm25_topk", "dedup_bloom", "bloom_stats", "substr_pairs",
     # -- spine veterans, re-verified every round (the remaining r03
     #    greens — decode_json, conv_rollup, route_mutate, agg_* et al —
     #    were verified last round and sit just past the 50-row window) --
-    "parse_syslog", "enrich_dims", "route_fanout",
+    "parse_syslog", "route_fanout",
 ]
 
 
@@ -1857,10 +1858,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_kmeans": _semantic_kmeans_q,
         "semantic_dedup": _semantic_dedup_q,
         "dedup_cluster_stats": _dedup_cluster_stats_q,
-        # round 4: BM25 retrieval + Bloom-pruned incremental dedup
+        # round 4: BM25 retrieval + Bloom-pruned incremental dedup +
+        # ExactSubstr seed pairs
         "bm25_topk": ops.pop("bm25_topk"),
         "dedup_bloom": _dedup_bloom_q,
         "bloom_stats": _bloom_stats_q,
+        "substr_pairs": ops.pop("substr_pairs"),
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),

@@ -242,3 +242,50 @@ def test_bloom_dedup_stream_bounded_state_invariants(spark, tmp_path):
     # FP tail should be a small minority of the corpus at gate M/K
     fp = len(sus) - 6
     assert fp < n / 4, (fp, n)
+
+
+def test_substr_pairs_matches_python_recompute(spark):
+    # full from-scratch recompute of the content-defined seed stage at
+    # sf0.001: same grams, same 1/p selection, same hot prune, same
+    # pair counts — and the content-defined property itself (a gram is
+    # selected wherever it occurs, at any offset in any doc)
+    import hashlib
+    from collections import Counter
+
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    out = {
+        (r.doc_a, r.doc_b): r.n_shared_seeds
+        for r in spark.sql(to_spark(C.substr_pairs_sql())).collect()
+    }
+
+    k, p, cap = C.SUBSTR_K, C.SUBSTR_P, C.SUBSTR_CAP
+
+    def selected(text: str) -> set[str]:
+        grams = {text[i : i + k] for i in range(len(text) - k + 1)}
+        return {
+            g
+            for g in grams
+            if int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % p == 0
+        }
+
+    sel = {
+        r.doc_id: selected(r.text)
+        for r in docs.select("doc_id", "text").collect()
+    }
+    df = Counter(g for gs in sel.values() for g in gs)
+    want: dict[tuple[int, int], int] = {}
+    ids = sorted(sel)
+    inv: dict[str, list[int]] = {}
+    for d in ids:
+        for g in sel[d]:
+            if df[g] <= cap:
+                inv.setdefault(g, []).append(d)
+    for g, ds in inv.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                want[(ds[i], ds[j])] = want.get((ds[i], ds[j]), 0) + 1
+    assert out == want and len(out) > 0
