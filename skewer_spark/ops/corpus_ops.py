@@ -1694,6 +1694,26 @@ SUBSTR_P = 8  # content-defined selection density 1/p
 SUBSTR_CAP = 50  # hot-gram prune (same skew guard as contamination)
 
 
+def _substr_seed_ctes(k: int, p: int, cap: int) -> str:
+    """g/sel/hot/pruned CTEs shared by substr_pairs and substr_resolve
+    (the content-defined selection + hot-gram prune)."""
+    return f"""g AS (
+  SELECT doc_id,
+         EXPLODE(XFORM(SEQ1(length(text) - {k} + 1),
+                 i -> substring(text, i, {k}))) AS gram
+  FROM documents
+),
+sel AS (
+  SELECT DISTINCT doc_id, gram FROM g
+  WHERE HEX2INT(substring(md5(gram), 1, 8)) % {p} = 0
+),
+hot AS (SELECT gram FROM sel GROUP BY gram HAVING count(*) > {cap}),
+pruned AS (
+  SELECT doc_id, gram FROM sel
+  WHERE gram NOT IN (SELECT gram FROM hot)
+)"""
+
+
 def substr_pairs_sql(
     k: int = SUBSTR_K, p: int = SUBSTR_P, cap: int = SUBSTR_CAP
 ) -> str:
@@ -1708,21 +1728,7 @@ def substr_pairs_sql(
     identical guard to minhash bucket capping and contamination's
     common-shingle prune. No pairwise doc comparison anywhere."""
     return f"""
-WITH g AS (
-  SELECT doc_id,
-         EXPLODE(XFORM(SEQ1(length(text) - {k} + 1),
-                 i -> substring(text, i, {k}))) AS gram
-  FROM documents
-),
-sel AS (
-  SELECT DISTINCT doc_id, gram FROM g
-  WHERE HEX2INT(substring(md5(gram), 1, 8)) % {p} = 0
-),
-hot AS (SELECT gram FROM sel GROUP BY gram HAVING count(*) > {cap}),
-pruned AS (
-  SELECT doc_id, gram FROM sel
-  WHERE gram NOT IN (SELECT gram FROM hot)
-),
+WITH {_substr_seed_ctes(k, p, cap)},
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          count(*) AS n_shared_seeds
@@ -1732,3 +1738,65 @@ pairs AS (
 )
 SELECT doc_a, doc_b, CAST(n_shared_seeds AS BIGINT) AS n_shared_seeds
 FROM pairs"""
+
+
+def _lcp_expr(x: str, y: str) -> str:
+    """Longest-common-prefix length of two string expressions, as
+    portable SQL: prefix equality at length i is monotone in i, so the
+    count of i with equal prefixes IS the lcp. O(min_len^2) char
+    compares — fine at document lengths; the production extension step
+    for very long docs is a pandas-UDF scan, same semantics."""
+    n = f"least(length({x}), length({y}))"
+    return (
+        f"ASIZE(AFILTER(XFORM(SEQ1({n}), "
+        f"i -> substring({x}, 1, i) = substring({y}, 1, i)), b -> b))"
+    )
+
+
+def substr_resolve_sql(
+    k: int = SUBSTR_K, p: int = SUBSTR_P, cap: int = SUBSTR_CAP
+) -> str:
+    """The resolution stage of ExactSubstr: for every candidate pair,
+    extend greedily around ONE deterministic shared seed (the
+    lexicographically smallest, at its FIRST occurrence in each doc)
+    and report the exact shared-substring length k + left + right.
+    Left extension compares the reversed prefixes before the seed,
+    right extension the suffixes after it — each compared character is
+    a direct equality, so the reported span is a genuine common
+    substring containing the seed (greedy, not necessarily the global
+    maximum over all occurrence pairs; the ExactSubstr cut step only
+    needs a certified span).
+
+    Scale shape: the pair frame joins back to the corpus on doc_id
+    twice (equality joins); the extension arithmetic is per-pair
+    column math — no new shuffle beyond the two joins."""
+    return f"""
+WITH {_substr_seed_ctes(k, p, cap)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared_seeds, min(a.gram) AS seed
+  FROM pruned a JOIN pruned b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+wt AS (
+  SELECT p.doc_a, p.doc_b, p.seed, p.n_shared_seeds,
+         da.text AS ta, db.text AS tb,
+         STRPOS(da.text, p.seed) AS pa,
+         STRPOS(db.text, p.seed) AS pb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+),
+ext AS (
+  SELECT doc_a, doc_b, seed, n_shared_seeds,
+         {_lcp_expr("reverse(substring(ta, 1, pa - 1))",
+                    "reverse(substring(tb, 1, pb - 1))")} AS left_ext,
+         {_lcp_expr(f"substring(ta, pa + {k})",
+                    f"substring(tb, pb + {k})")} AS right_ext
+  FROM wt
+)
+SELECT doc_a, doc_b, seed,
+       CAST(n_shared_seeds AS BIGINT) AS n_shared_seeds,
+       CAST({k} + left_ext + right_ext AS BIGINT) AS shared_len
+FROM ext"""

@@ -123,6 +123,13 @@ def to_spark(sql: str) -> str:
     sql = _expand_call(
         sql, "HEX2INT", lambda a: f"cast(conv({a}, 16, 10) AS BIGINT)"
     )
+    # STRPOS(str, sub): 1-based first occurrence, 0 if absent — DuckDB
+    # strpos has the same arg order but Spark's builtin is locate(sub,
+    # str), so the macro pins the (str, sub) order once
+    sql = _expand_call(
+        sql, "STRPOS",
+        lambda a: "locate({1}, {0})".format(*_split_top(a)),
+    )
     # ASLICE(a, i, n): n elements starting at 1-based i
     sql = _expand_call(
         sql, "ASLICE", lambda a: "slice({}, {}, {})".format(*_split_top(a))
@@ -183,6 +190,10 @@ def to_duck(sql: str) -> str:
     )
     sql = _expand_call(
         sql, "HEX2INT", lambda a: f"cast(('0x' || ({a})) AS BIGINT)"
+    )
+    sql = _expand_call(
+        sql, "STRPOS",
+        lambda a: "strpos({0}, {1})".format(*_split_top(a)),
     )
     # DuckDB list_slice's end bound is an inclusive index, not a length
     sql = _expand_call(

@@ -660,6 +660,7 @@ def _ops_registry() -> dict[str, str]:
             "fingerprint": C.fingerprint_sql(),
             "bm25_topk": C.bm25_topk_sql(),
             "substr_pairs": C.substr_pairs_sql(),
+            "substr_resolve": C.substr_resolve_sql(),
         }
     return _OPS_SQL
 
@@ -1808,10 +1809,11 @@ ROTATION_HEAD: list[str] = [
     # -- round-4 additions (never externally checked) --
     "semantic_kmeans", "semantic_dedup", "dedup_cluster_stats",
     "bm25_topk", "dedup_bloom", "bloom_stats", "substr_pairs",
-    # -- spine veterans, re-verified every round (the remaining r03
+    "substr_resolve",
+    # -- spine veteran, re-verified every round (the remaining r03
     #    greens — decode_json, conv_rollup, route_mutate, agg_* et al —
     #    were verified last round and sit just past the 50-row window) --
-    "parse_syslog", "route_fanout",
+    "parse_syslog",
 ]
 
 
@@ -1864,6 +1866,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom": _dedup_bloom_q,
         "bloom_stats": _bloom_stats_q,
         "substr_pairs": ops.pop("substr_pairs"),
+        "substr_resolve": ops.pop("substr_resolve"),
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),

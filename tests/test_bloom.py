@@ -289,3 +289,34 @@ def test_substr_pairs_matches_python_recompute(spark):
             for j in range(i + 1, len(ds)):
                 want[(ds[i], ds[j])] = want.get((ds[i], ds[j]), 0) + 1
     assert out == want and len(out) > 0
+
+
+def test_substr_resolve_spans_are_certified_common_substrings(spark):
+    # every reported (seed, shared_len) must correspond to an ACTUAL
+    # common substring of the two docs containing the seed — recompute
+    # the greedy extension in Python and verify both the length and
+    # the substring equality
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    out = spark.sql(to_spark(C.substr_resolve_sql())).collect()
+    assert out
+    k = C.SUBSTR_K
+    for r in out:
+        ta, tb = texts[r.doc_a], texts[r.doc_b]
+        pa, pb = ta.index(r.seed), tb.index(r.seed)
+        left = 0
+        while pa - left - 1 >= 0 and pb - left - 1 >= 0 and \
+                ta[pa - left - 1] == tb[pb - left - 1]:
+            left += 1
+        right = 0
+        while pa + k + right < len(ta) and pb + k + right < len(tb) and \
+                ta[pa + k + right] == tb[pb + k + right]:
+            right += 1
+        assert r.shared_len == k + left + right, (r.doc_a, r.doc_b)
+        span_a = ta[pa - left : pa + k + right]
+        span_b = tb[pb - left : pb + k + right]
+        assert span_a == span_b and r.seed in span_a
