@@ -250,3 +250,32 @@ def test_line_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "partial_" in plan          # map-side combine before shuffle
     assert "Window" not in plan        # no per-span-key serialization
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    # the pre-bucketed-corpus pattern at 100 TB: a table that is joined
+    # on the same key by every daily job (dedup verdicts, enrich,
+    # incremental anti-joins) is written ONCE bucketed by that key;
+    # every subsequent co-bucketed join then reads buckets directly —
+    # SortMergeJoin with NO Exchange on either side, i.e. the recurring
+    # shuffle of the 10^12-row side is paid once at write time
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_a_{suffix}", f"bkt_b_{suffix}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    try:
+        docs.write.bucketBy(8, "doc_id").sortBy("doc_id").mode(
+            "overwrite"
+        ).saveAsTable(ta)
+        docs.selectExpr("doc_id", "n_chars").write.bucketBy(
+            8, "doc_id"
+        ).sortBy("doc_id").mode("overwrite").saveAsTable(tb)
+        j = spark.table(ta).join(spark.table(tb).hint("merge"), "doc_id")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == docs.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
