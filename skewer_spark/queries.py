@@ -661,6 +661,7 @@ def _ops_registry() -> dict[str, str]:
             "bm25_topk": C.bm25_topk_sql(),
             "substr_pairs": C.substr_pairs_sql(),
             "substr_resolve": C.substr_resolve_sql(),
+            "ann_pq_recall": C.ann_pq_recall_sql(),
         }
     return _OPS_SQL
 
@@ -1809,11 +1810,11 @@ ROTATION_HEAD: list[str] = [
     # -- round-4 additions (never externally checked) --
     "semantic_kmeans", "semantic_dedup", "dedup_cluster_stats",
     "bm25_topk", "dedup_bloom", "bloom_stats", "substr_pairs",
-    "substr_resolve",
-    # -- spine veteran, re-verified every round (the remaining r03
-    #    greens — decode_json, conv_rollup, route_mutate, agg_* et al —
-    #    were verified last round and sit just past the 50-row window) --
-    "parse_syslog",
+    "substr_resolve", "ann_pq_recall",
+    # no veteran slots this round: all 50 go to never-driver-checked
+    # names (the r03 greens — parse_syslog, route_fanout, decode_json,
+    # conv_rollup et al — sit just past the window; entry() still
+    # smokes the parse spine every round)
 ]
 
 
@@ -1867,6 +1868,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_stats": _bloom_stats_q,
         "substr_pairs": ops.pop("substr_pairs"),
         "substr_resolve": ops.pop("substr_resolve"),
+        "ann_pq_recall": ops.pop("ann_pq_recall"),
     }
     tier3_r1_only = {
         "lang_id": ops.pop("lang_id"),

@@ -320,3 +320,19 @@ def test_substr_resolve_spans_are_certified_common_substrings(spark):
         span_a = ta[pa - left : pa + k + right]
         span_b = tb[pb - left : pb + k + right]
         assert span_a == span_b and r.seed in span_a
+
+
+def test_pq_rerank_recall_is_high(spark):
+    # PQ-ADC shortlist + exact re-rank must hold high recall on the
+    # fixture embeddings (random-ish unit vectors — the hard case);
+    # the per-query values are oracle-checked, this pins the LEVEL
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    spark.read.parquet(f"{SF}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    rows = spark.sql(to_spark(C.ann_pq_recall_sql())).collect()
+    assert rows
+    mean = sum(float(r.recall) for r in rows) / len(rows)
+    assert mean >= 0.85, mean
