@@ -371,6 +371,43 @@ class IceLiteTable:
             return spark.read.parquet(all_files[-1]).limit(0)
         return spark.read.parquet(*files)
 
+    def pruned_files(self, key_col: str, lo: str, hi: str) -> list[str]:
+        """Data files whose parquet-footer [min, max] of ``key_col``
+        overlaps [lo, hi] — Iceberg scan planning from manifest stats:
+        the file listing is decided driver-side from footers alone (no
+        data scan), so a key-range query on a 10^12-row table opens
+        only the files that can contain matches. Files without usable
+        bounds (missing column / no row-group stats) are kept
+        conservatively. Bounds are parquet STRING statistics, so the
+        key column must be string-typed (the sink tables' conv_id) —
+        lexicographic compare on stringified numerics would be wrong."""
+        out = []
+        for f, _n, mn, mx in self.per_file_stats(key_col=key_col):
+            if (mn == "" and mx == "") or not (mx < lo or mn > hi):
+                out.append(f)
+        return out
+
+    def read_pruned(
+        self, spark: SparkSession, key_col: str, lo: str, hi: str
+    ) -> DataFrame:
+        """Rows with ``key_col`` in [lo, hi], reading ONLY the files
+        whose footer bounds overlap (see ``pruned_files``); the exact
+        predicate still applies on top, so results equal a full-scan
+        filter."""
+        from pyspark.sql import functions as F
+
+        files = self.pruned_files(key_col, lo, hi)
+        if not files:
+            all_files = self.data_files()
+            if not all_files:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame([], StructType([]))
+            return spark.read.parquet(all_files[-1]).limit(0)
+        return spark.read.parquet(*files).where(
+            F.col(key_col).between(lo, hi)
+        )
+
     def per_file_rows(self, snapshot_id: str | None = None) -> list[tuple[str, int]]:
         """(file, rows) per committed data file — lineage source. With
         snapshot_id, only that snapshot's files."""

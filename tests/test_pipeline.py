@@ -537,3 +537,35 @@ def test_incremental_read_refuses_rewrite_ranges(spark, tmp_path):
     # the timeline; IceLite keeps one timeline, so after expires
     with _pytest.raises((KeyError, ValueError)):
         t.read_incremental(spark, after=s1.snapshot_id)
+
+
+def test_read_pruned_skips_files_by_footer_bounds(spark, tmp_path):
+    # Iceberg scan-planning analog: a key-range read opens only the
+    # files whose parquet-footer min/max overlap the range, and the
+    # result still equals a full-scan filter
+    from skewer_spark.icelite import IceLiteTable
+
+    t = IceLiteTable(str(tmp_path / "wh"), "tbl")
+    # three appends with disjoint conv_id ranges -> disjoint bounds
+    for i, (lo, hi) in enumerate([(100, 199), (200, 299), (300, 399)]):
+        df = spark.range(lo, hi + 1).selectExpr(
+            "format_string('c%06d', id) AS conv_id", "id AS v"
+        ).coalesce(1)
+        t.append(df, f"r{i}")
+    n_total = len(t.data_files())
+    pruned = t.pruned_files("conv_id", "c000150", "c000250")
+    assert 0 < len(pruned) < n_total, (len(pruned), n_total)
+    got = sorted(
+        r.conv_id
+        for r in t.read_pruned(spark, "conv_id", "c000150", "c000250").collect()
+    )
+    want = sorted(
+        r.conv_id
+        for r in t.read(spark)
+        .where("conv_id between 'c000150' and 'c000250'")
+        .collect()
+    )
+    assert got == want and len(got) == 101
+    # empty range prunes everything but keeps the schema
+    empty = t.read_pruned(spark, "conv_id", "zzz", "zzz9")
+    assert empty.count() == 0 and empty.columns == ["conv_id", "v"]
