@@ -775,7 +775,10 @@ def bloom_dedup_stream(
         firsts = wide.groupBy("_h").agg(
             F.min(order_col).alias("_first_id")
         )
-        verdicts = wide.join(F.broadcast(firsts), "_h").withColumn(
+        # no broadcast hint: firsts is batch-sized (one row per distinct
+        # hash in the batch) — small for a micro-batch, not for a daily
+        # bulk batch; AQE picks broadcast when it actually fits
+        verdicts = wide.join(firsts, "_h").withColumn(
             "_suspect",
             F.col("_maybe_seen") | (F.col(order_col) > F.col("_first_id")),
         )
