@@ -1930,3 +1930,62 @@ SELECT exk.qid AS q,
             / count(*)) AS recall
 FROM exk LEFT JOIN pqk p ON p.qid = exk.qid AND p.n = exk.n
 GROUP BY exk.qid"""
+
+
+# ------------------------------- Count-Min-Sketch hot-key detection
+# The third sketch in the family (GK percentiles, HLL distincts, CMS
+# heavy hitters): a D x W counter grid whose cells are md5-derived
+# positions, giving est(key) = min_j grid[j][pos_j(key)] with
+# est >= exact ALWAYS (counters only ever over-count on collisions) —
+# Cormode & Muthukrishnan 2005. State is D*W counters regardless of
+# corpus size, and the grid aggregation is map-side combinable, so
+# this is how a 10^12-row job discovers its hot keys (the input to
+# skew.py's salting decisions) with bounded memory. Registry slot:
+# the round-4 driver window is saturated at 50 never-checked names,
+# so hot_keys_cms registers in round 5; until then
+# tests/test_bloom.py::test_cms_* runs the SAME Spark-vs-DuckDB
+# comparison the gate would.
+CMS_D = 4  # hash rows
+CMS_W = 512  # counters per row
+
+
+def hot_keys_cms_sql(
+    top: int = 20, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """The exact top-``top`` terms with their CMS estimates and the
+    measured overcount — (term, cnt, est, overcount). ``overcount``
+    is structurally >= 0; how large it runs at the gate W shows the
+    collision behavior the production W must be sized against
+    (eps = e/W of total mass, here with D=4 rows)."""
+    return f"""
+WITH x AS (
+  SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, count(*) AS cnt FROM x GROUP BY term),
+probes AS (SELECT EXPLODE(SEQ1({d})) AS j),
+cells AS (
+  SELECT p.j,
+         HEX2INT(substring(md5(CAST(p.j AS SSTR) || '|' || x.term), 1, 8))
+           % {w} AS pos,
+         count(*) AS c
+  FROM x CROSS JOIN probes p
+  GROUP BY p.j, pos
+),
+est AS (
+  SELECT t.term, min(cl.c) AS est
+  FROM cnt t
+  CROSS JOIN probes p
+  JOIN cells cl
+    ON cl.j = p.j
+   AND cl.pos = HEX2INT(substring(md5(CAST(p.j AS SSTR) || '|' || t.term),
+                                  1, 8)) % {w}
+  GROUP BY t.term
+),
+ranked AS (
+  SELECT c.term, c.cnt, e.est,
+         row_number() OVER (ORDER BY c.cnt DESC, c.term ASC) AS rnk
+  FROM cnt c JOIN est e ON e.term = c.term
+)
+SELECT term, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est,
+       CAST(est - cnt AS BIGINT) AS overcount
+FROM ranked WHERE rnk <= {top}"""

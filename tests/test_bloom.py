@@ -336,3 +336,28 @@ def test_pq_rerank_recall_is_high(spark):
     assert rows
     mean = sum(float(r.recall) for r in rows) / len(rows)
     assert mean >= 0.85, mean
+
+
+def test_cms_matches_duckdb_and_never_undercounts(spark):
+    # the gate-shaped check a registry slot will run in round 5 (the
+    # round-4 driver window is saturated): identical rows from Spark
+    # and DuckDB, plus the CMS structural invariant est >= exact
+    import duckdb
+
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_duck, to_spark
+
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    got = sorted(map(tuple, spark.sql(to_spark(C.hot_keys_cms_sql())).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(to_duck(C.hot_keys_cms_sql())).fetchall())
+    )
+    assert got == want and len(got) == 20
+    assert all(r[3] >= 0 for r in got)  # overcount = est - cnt >= 0
