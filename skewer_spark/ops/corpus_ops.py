@@ -1949,6 +1949,16 @@ CMS_D = 4  # hash rows
 CMS_W = 512  # counters per row
 
 
+def cms_pos_macro(j: str, col: str, w: int = CMS_W) -> str:
+    """Row ``j``'s counter position for ``col`` — macro-SQL shared
+    verbatim (via to_spark) with ops/cms.py so the SQL op and the
+    streaming twin can never drift on the hash family."""
+    return (
+        f"HEX2INT(substring(md5(CAST({j} AS SSTR) || '|' || {col}),"
+        f" 1, 8)) % {w}"
+    )
+
+
 def hot_keys_cms_sql(
     top: int = 20, d: int = CMS_D, w: int = CMS_W
 ) -> str:
@@ -1964,9 +1974,7 @@ WITH x AS (
 cnt AS (SELECT term, count(*) AS cnt FROM x GROUP BY term),
 probes AS (SELECT EXPLODE(SEQ1({d})) AS j),
 cells AS (
-  SELECT p.j,
-         HEX2INT(substring(md5(CAST(p.j AS SSTR) || '|' || x.term), 1, 8))
-           % {w} AS pos,
+  SELECT p.j, {cms_pos_macro('p.j', 'x.term', w)} AS pos,
          count(*) AS c
   FROM x CROSS JOIN probes p
   GROUP BY p.j, pos
@@ -1977,8 +1985,7 @@ est AS (
   CROSS JOIN probes p
   JOIN cells cl
     ON cl.j = p.j
-   AND cl.pos = HEX2INT(substring(md5(CAST(p.j AS SSTR) || '|' || t.term),
-                                  1, 8)) % {w}
+   AND cl.pos = {cms_pos_macro('p.j', 't.term', w)}
   GROUP BY t.term
 ),
 ranked AS (

@@ -361,3 +361,57 @@ def test_cms_matches_duckdb_and_never_undercounts(spark):
     )
     assert got == want and len(got) == 20
     assert all(r[3] >= 0 for r in got)  # overcount = est - cnt >= 0
+
+
+def test_cms_stream_accumulates_exactly_and_estimates_upper_bound(
+    spark, tmp_path
+):
+    # the streamed grid over 3 micro-batches must EQUAL the one-pass
+    # batch grid (integer adds commute), survive on disk for resume,
+    # and estimates must upper-bound exact counts
+    import time as _time
+
+    import numpy as np
+
+    from skewer_spark.ops.cms import (
+        cms_estimate,
+        cms_grid_from_df,
+        cms_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "explode(split(text, ' ')) AS term"
+    )
+    full_grid = cms_grid_from_df(docs, "term")
+
+    rows = docs.collect()
+    third = len(rows) // 3
+    indir = tmp_path / "in"
+    indir.mkdir()
+    schema = "doc_id long, term string"
+    for i, chunk in enumerate(
+        (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    ):
+        spark.createDataFrame(
+            [(r.doc_id, r.term) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(indir / f"f{i}"))
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    ckpt = tmp_path / "ckpt"
+    q = cms_stream(stream, spark, str(ckpt), "term")
+    q.awaitTermination(120)
+
+    streamed = np.load(str(ckpt / "cms_state.npy"))
+    assert (streamed == full_grid).all()
+    # estimates upper-bound exact counts for the 10 most common terms
+    from collections import Counter
+
+    exact = Counter(r.term for r in rows)
+    top = [t for t, _ in exact.most_common(10)]
+    est = cms_estimate(streamed, top)
+    assert all(est[t] >= exact[t] for t in top), (est, exact)
