@@ -797,22 +797,21 @@ SELECT doc_id,
 FROM wn"""
 
 
-def corpus_filter_sql() -> str:
-    """Quality-filter funnel: classify every document by its FIRST
-    failing rule (too_short / too_long / repetitive / low_stopword for
-    English) or 'kept', and count per reason — the summary a filtering
-    stage reports before the kept set flows on. One pass, one tiny
-    aggregate; at scale the kept set is the same projection with a
-    WHERE reason = 'kept'."""
-    return f"""
-WITH f AS (
+def quality_cls_ctes(src: str = "documents") -> str:
+    """Shared quality-classification CTE chain ``f, cls``: per-doc
+    features then first-failing-rule reason (too_short / too_long /
+    repetitive / low_stopword for English) or 'kept'. One text macro
+    used verbatim by ``corpus_filter_sql`` AND the curation capstone
+    (ops/curation.py) so the funnel summary and the actual kept set
+    can never disagree on the rules."""
+    return f"""f AS (
   SELECT doc_id, lang,
          ASIZE(SPLIT(text, ' ')) AS n_words,
          CAST(ASIZE(AFILTER(SPLIT(text, ' '), w -> w IN {_EN_STOP})) AS DOUBLE)
            / ASIZE(SPLIT(text, ' ')) AS stop_ratio,
          CAST(ASIZE(ADISTINCT(SPLIT(text, ' '))) AS DOUBLE)
            / ASIZE(SPLIT(text, ' ')) AS distinct_ratio
-  FROM documents
+  FROM {src}
 ),
 cls AS (
   SELECT doc_id,
@@ -822,7 +821,18 @@ cls AS (
          WHEN lang = 'en' AND stop_ratio < 0.01 THEN 'low_stopword'
          ELSE 'kept' END AS reason
   FROM f
-)
+)"""
+
+
+def corpus_filter_sql() -> str:
+    """Quality-filter funnel: classify every document by its FIRST
+    failing rule (too_short / too_long / repetitive / low_stopword for
+    English) or 'kept', and count per reason — the summary a filtering
+    stage reports before the kept set flows on. One pass, one tiny
+    aggregate; at scale the kept set is the same projection with a
+    WHERE reason = 'kept'."""
+    return f"""
+WITH {quality_cls_ctes()}
 SELECT reason, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY reason"""
 
 
@@ -1395,6 +1405,15 @@ SELECT r.doc_id, CAST(r.rn AS INT) AS rank, r.term,
 FROM ranked r CROSS JOIN n WHERE r.rn <= {k}"""
 
 
+# normalization fingerprint: case-fold, strip punctuation, collapse
+# whitespace, hash — shared by dedup_normalized_sql and the curation
+# capstone's dedup stage (ops/curation.py)
+NORM_FP_EXPR = (
+    "md5(trim(RREPLACE(RREPLACE(lower(text), "
+    "'[^a-z0-9 ]', ' '), ' +', ' ')))"
+)
+
+
 def dedup_normalized_sql() -> str:
     """Normalization-collapsed dedup: case-fold, strip punctuation,
     collapse whitespace, then hash — catches the case/punctuation
@@ -1403,10 +1422,7 @@ def dedup_normalized_sql() -> str:
     Fixture: every 5th doc re-appears uppercased with trailing
     punctuation under doc_id+300000; normalization must pair each with
     its source while plain md5 would not."""
-    norm = (
-        "md5(trim(RREPLACE(RREPLACE(lower(text), "
-        "'[^a-z0-9 ]', ' '), ' +', ' ')))"
-    )
+    norm = NORM_FP_EXPR
     return f"""
 WITH nc AS (
   SELECT doc_id, text FROM documents
@@ -1942,7 +1958,8 @@ GROUP BY exk.qid"""
 # this is how a 10^12-row job discovers its hot keys (the input to
 # skew.py's salting decisions) with bounded memory. Registry slot:
 # the round-4 driver window is saturated at 50 never-checked names,
-# so hot_keys_cms registers in round 5; until then
+# so hot_keys_cms sits in the PENDING_FIRST_WINDOW registry tail
+# (first driver slot next round); meanwhile
 # tests/test_bloom.py::test_cms_* runs the SAME Spark-vs-DuckDB
 # comparison the gate would.
 CMS_D = 4  # hash rows

@@ -165,6 +165,13 @@ def to_spark(sql: str) -> str:
         "RREPLACE",
         lambda a: "regexp_replace({}, {}, {})".format(*_split_top(a)),
     )
+    # count of non-overlapping regex matches (Spark has a builtin;
+    # DuckDB spells it len(regexp_extract_all))
+    sql = _expand_call(
+        sql,
+        "RCOUNT",
+        lambda a: "regexp_count({}, {})".format(*_split_top(a)),
+    )
     return _apply_common(sql, {**_SPARK, **_SPARK_EXTRA})
 
 
@@ -219,18 +226,27 @@ def to_duck(sql: str) -> str:
         "RREPLACE",
         lambda a: "regexp_replace({}, {}, {}, 'g')".format(*_split_top(a)),
     )
+    sql = _expand_call(
+        sql,
+        "RCOUNT",
+        lambda a: "len(regexp_extract_all({}, {}))".format(*_split_top(a)),
+    )
     return _apply_common(sql, {**_DUCK, **_DUCK_EXTRA})
 
 
 def _split_top(args: str) -> list[str]:
     """Split macro args on top-level commas (nesting-aware)."""
     out, depth, cur = [], 0, []
+    in_str = False
     for ch in args:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str  # '' escapes compose as two toggles
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             out.append("".join(cur).strip())
             cur = []
         else:
@@ -255,9 +271,14 @@ def _expand_call(sql: str, name: str, render) -> str:
                 break
             out.append(sql[i:j])
             depth = 0
+            in_str = False
             k = j + len(token) - 1  # at '('
             for k in range(j + len(token) - 1, len(sql)):
-                if sql[k] == "(":
+                if sql[k] == "'":
+                    in_str = not in_str
+                elif in_str:
+                    continue  # parens inside string literals don't nest
+                elif sql[k] == "(":
                     depth += 1
                 elif sql[k] == ")":
                     depth -= 1

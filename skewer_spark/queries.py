@@ -662,6 +662,7 @@ def _ops_registry() -> dict[str, str]:
             "substr_pairs": C.substr_pairs_sql(),
             "substr_resolve": C.substr_resolve_sql(),
             "ann_pq_recall": C.ann_pq_recall_sql(),
+            "hot_keys_cms": C.hot_keys_cms_sql(),
         }
     return _OPS_SQL
 
@@ -741,6 +742,44 @@ def _bloom_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skewer_spark.ops.bloom import bloom_stats
 
     return bloom_stats(spark, sf_dir)
+
+
+def _curation_oracles() -> dict[str, str]:
+    """curation_ledger runs the SAME macro-SQL on both engines; the
+    pack output's oracle is the independent global-window restatement
+    of the blocked prefix sum (ops/curation.py)."""
+    from skewer_spark.ops.curation import (
+        curate_pack_oracle_sql,
+        curation_ledger_sql,
+    )
+    from skewer_spark.ops.portable import to_duck
+
+    return {
+        "curation_ledger": to_duck(curation_ledger_sql()),
+        "curate_pack": to_duck(curate_pack_oracle_sql()),
+    }
+
+
+def _curation_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel ledger (quality filter -> normalized
+    dedup -> PII scrub -> token packing) — the capstone composition,
+    ops/curation.py. Shared macro-SQL on both engines."""
+    from skewer_spark.ops.curation import curation_ledger_sql
+    from skewer_spark.ops.portable import to_spark
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(to_spark(curation_ledger_sql()))
+
+
+def _curate_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel output: surviving docs with scrub audit counts
+    and packed-stream positions (distributed two-phase prefix sum);
+    oracle restates the prefix sum as a plain global window."""
+    from skewer_spark.ops.curation import curate_pack
+
+    return curate_pack(spark, sf_dir)
 
 
 def _dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,6 +1622,7 @@ GROUP BY sink""",
         **_encoder_oracles(sf),
         **_ops_oracles(),
         **_canonical_oracles(),
+        **_curation_oracles(),
         "multimodal_features": _multimodal_oracle(),
         "audio_wav_features": _audio_wav_oracle(sf),
         "image_bmp_features": _image_bmp_oracle(sf),
@@ -1817,6 +1857,27 @@ ROTATION_HEAD: list[str] = [
     # smokes the parse spine every round)
 ]
 
+# Registered AFTER this round's window filled: awaiting their FIRST
+# driver slot (they lead next round's ROTATION_HEAD). Gate-shaped
+# cross-engine tests cover them meanwhile (tests/test_bloom.py CMS,
+# tests/test_curation.py), and the driver replica
+# (tools/check_correctness.py) can verify them on demand — a name
+# leaves this set the round it gets its first artifact row.
+#
+# Round-5 rotation math: 52 names will need r5 rows (the 49 r3-greens
+# not in this round's window + these 3) against a 50-slot cap. Lead
+# with the 3 pending, then the 49 r3-greens; the 2 names left over
+# should be the twin pair whose semantics another green row already
+# pins (ann_topk_numpy shares ann_topk_bruteforce's oracle;
+# value_percentiles is the exact twin of value_percentiles_approx) —
+# grant those a one-round guard exemption rather than letting a
+# never-checked name wait.
+PENDING_FIRST_WINDOW: set[str] = {
+    "hot_keys_cms",
+    "curation_ledger",
+    "curate_pack",
+}
+
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the external-verification order: the driver's
@@ -1825,6 +1886,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first, in that order; everything else follows in construction
     order). See ROTATION_HEAD for this round's rationale."""
     ops = {name: _make_ops_query(name) for name in _ops_registry()}
+    # popped BEFORE tier4's **ops spread so these land at the registry
+    # tail (PENDING_FIRST_WINDOW — awaiting their first driver slot)
+    _hot_keys_cms_q = ops.pop("hot_keys_cms")
     tier1_never_checked = {
         "asof_join": ops.pop("asof_join"),
         "value_percentiles": ops.pop("value_percentiles"),
@@ -1925,5 +1989,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **tier3_r1_only,
         **tier4_veterans,
     }
+    tier5_pending_first_window = {
+        "hot_keys_cms": _hot_keys_cms_q,
+        "curation_ledger": _curation_ledger_q,
+        "curate_pack": _curate_pack_q,
+    }
+    everything.update(tier5_pending_first_window)
     head = {name: everything.pop(name) for name in ROTATION_HEAD}
     return {**head, **everything}

@@ -1,0 +1,168 @@
+"""Gate-shaped + invariant tests for the curation capstone
+(ops/curation.py): the end-to-end funnel quality filter -> normalized
+dedup -> PII scrub -> token packing with its row-accounting ledger.
+
+curation_ledger / curate_pack sit in PENDING_FIRST_WINDOW (the round-4
+driver window was already saturated), so these tests run the SAME
+Spark-vs-DuckDB comparison the driver gate will run next round."""
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from skewer_spark.ops import curation as CU
+from skewer_spark.ops.packing import PACK_BUDGET
+from skewer_spark.ops.portable import to_duck, to_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def ledger_rows(spark, duck):
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    got = sorted(
+        map(tuple, spark.sql(to_spark(CU.curation_ledger_sql())).collect())
+    )
+    want = sorted(
+        map(tuple, duck.execute(to_duck(CU.curation_ledger_sql())).fetchall())
+    )
+    assert got == want, "ledger diverges between Spark and DuckDB"
+    return got
+
+
+@pytest.fixture(scope="module")
+def pack_rows(spark, duck):
+    got = sorted(map(tuple, CU.curate_pack(spark, SF).collect()))
+    want = sorted(
+        map(tuple, duck.execute(to_duck(CU.curate_pack_oracle_sql())).fetchall())
+    )
+    assert got == want, "pack output diverges between Spark and DuckDB"
+    return got
+
+
+def test_ledger_matches_duckdb_and_chains(ledger_rows):
+    by_idx = {r[0]: r for r in ledger_rows}
+    assert [by_idx[i][1] for i in (1, 2, 3, 4)] == [
+        "quality_filter", "dedup_normalized", "pii_scrub", "pack_sequences",
+    ]
+    # rows_out of stage N == rows_in of stage N+1: every document is
+    # accounted for exactly once
+    for i in (1, 2, 3):
+        assert by_idx[i][3] == by_idx[i + 1][2], f"stage {i} does not chain"
+    # each filtering stage actually fires on the gate corpus
+    assert by_idx[1][2] > by_idx[1][3] > 0  # quality drops some
+    assert by_idx[2][2] > by_idx[2][3] > 0  # dedup drops some
+    assert by_idx[3][4] > 0  # scrub redacts something
+    # pack stage: rows_out is the pack count for metric total tokens
+    toks = by_idx[4][4]
+    assert by_idx[4][3] == (toks + PACK_BUDGET - 1) // PACK_BUDGET
+    # metric bookkeeping: drops attributed exactly
+    assert by_idx[1][4] == by_idx[1][2] - by_idx[1][3]
+    assert by_idx[2][4] == by_idx[2][2] - by_idx[2][3]
+
+
+def test_pack_output_matches_duckdb_and_is_contiguous(pack_rows, ledger_rows):
+    # (doc_id, n_tokens, n_redactions, scrubbed_md5, start_tok,
+    #  pack_first, pack_last, offset_in_pack, packs_spanned)
+    rows = sorted(pack_rows)  # doc_id order == packing order
+    pos = 0
+    for r in rows:
+        assert r[4] == pos, f"doc {r[0]} start_tok {r[4]} != running {pos}"
+        assert r[5] == r[4] // PACK_BUDGET
+        assert r[6] == (r[4] + r[1] - 1) // PACK_BUDGET
+        assert r[7] == r[4] % PACK_BUDGET
+        assert r[8] == r[6] - r[5] + 1 >= 1
+        pos += r[1]
+    # totals agree with the ledger's pack stage
+    by_idx = {x[0]: x for x in ledger_rows}
+    assert pos == by_idx[4][4]
+    assert len(rows) == by_idx[4][2]
+
+
+def test_stage_semantics_on_variants(pack_rows):
+    ids = {r[0] for r in pack_rows}
+    by_id = {r[0]: r for r in pack_rows}
+    # the case/punct-mangled variants (+300000) must NEVER survive when
+    # their source did (identical normalization fingerprint, higher id)
+    both = [i for i in ids if i >= 300000 and i < 600000 and i - 300000 in ids]
+    assert not both, f"mangled variants survived next to sources: {both}"
+    # PII variants (+600000) survive dedup (extra words change the
+    # fingerprint) and each carries exactly 3 redactions (email+ip+host)
+    pii = [i for i in ids if i >= 600000]
+    assert pii, "no PII variant survived to the scrub stage"
+    for i in pii:
+        assert by_id[i][2] == 3, f"doc {i}: n_redactions {by_id[i][2]} != 3"
+    # originals carry zero redactions (clean word-salad corpus)
+    assert all(by_id[i][2] == 0 for i in ids if i < 300000)
+
+
+def test_run_curation_commits_idempotently(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    first = CU.run_curation(spark, SF, out, run_id="r1")
+    again = CU.run_curation(spark, SF, out, run_id="r1")  # replay no-op
+    assert first == again
+    assert set(first) == {"curated_docs", "curation_ledger"}
+    assert first["curation_ledger"] == 4
+    assert first["curated_docs"] > 0
+    from skewer_spark.icelite import IceLiteTable
+
+    for name in first:
+        assert len(IceLiteTable(out, name).snapshots()) == 1
+
+
+def test_curate_pack_plan_shape(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CU.curate_pack(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # dedup + pack run without any Python stage
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ----------------------------- macro-layer quoting regression pins
+# (the curation PII literals were the first macro args containing
+# commas/parens INSIDE string literals — '{2,}' used to split the
+# arg list and mis-balance the paren scan)
+def test_macro_args_with_commas_in_string_literals():
+    from skewer_spark.ops.portable import to_duck, to_spark
+
+    src = "RREPLACE(x, '[a-z]{2,}', 'y')"
+    assert to_spark(src) == "regexp_replace(x, '[a-z]{2,}', 'y')"
+    assert to_duck(src) == "regexp_replace(x, '[a-z]{2,}', 'y', 'g')"
+
+
+def test_macro_args_with_parens_and_escaped_quotes_in_literals():
+    from skewer_spark.ops.portable import to_duck, to_spark
+
+    src = "RCOUNT(x, '([0-9]{1,3}[.]){3}')"
+    assert to_spark(src) == "regexp_count(x, '([0-9]{1,3}[.]){3}')"
+    assert to_duck(src) == "len(regexp_extract_all(x, '([0-9]{1,3}[.]){3}'))"
+    # SQL-escaped quote inside a literal: '' must not desync the scan
+    src2 = "RREPLACE(x, 'don''t (', 'y')"
+    assert to_spark(src2) == "regexp_replace(x, 'don''t (', 'y')"
+
+
+def test_macro_quoting_roundtrips_through_both_engines(spark):
+    # the semantic check: the hostile literal survives translation and
+    # both engines agree on the replacement result
+    import duckdb
+
+    from skewer_spark.ops.portable import to_duck, to_spark
+
+    expr = "RREPLACE('aa,bb(cc', '[,(]{1,}', '-')"
+    got = spark.sql(f"SELECT {to_spark(expr)} AS v").collect()[0]["v"]
+    want = duckdb.connect().execute(f"SELECT {to_duck(expr)} AS v").fetchone()[0]
+    assert got == want == "aa-bb-cc"

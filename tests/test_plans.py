@@ -252,7 +252,7 @@ def test_line_dedup_plan_shape(spark):
     assert "Window" not in plan        # no per-span-key serialization
 
 
-def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+def test_prebucketed_corpus_joins_without_shuffle(spark, sf_dir):
     # the pre-bucketed-corpus pattern at 100 TB: a table that is joined
     # on the same key by every daily job (dedup verdicts, enrich,
     # incremental anti-joins) is written ONCE bucketed by that key;

@@ -61,8 +61,11 @@ def test_query_output_schemas_are_scalar_only(spark, sf_dir):
 def test_registry_rotation_covers_every_query():
     """No query may go two rounds without a driver-side row: each name
     is green in the newest artifact, or in the first DRIVER_CAP slots
-    (so the upcoming round's artifact covers it)."""
-    from skewer_spark.queries import build_queries
+    (so the upcoming round's artifact covers it), or is explicitly
+    PENDING_FIRST_WINDOW (registered after the window filled, awaiting
+    its first slot — allowed only if it has NEVER had an artifact row,
+    so a regression can't hide behind the pending label)."""
+    from skewer_spark.queries import PENDING_FIRST_WINDOW, build_queries
 
     arts = _latest_artifacts()
     if not arts:
@@ -75,12 +78,21 @@ def test_registry_rotation_covers_every_query():
     reg = list(build_queries())
     stale = [
         n for pos, n in enumerate(reg)
-        if pos >= DRIVER_CAP and n not in green_latest
+        if pos >= DRIVER_CAP
+        and n not in green_latest
+        and n not in PENDING_FIRST_WINDOW
     ]
     assert not stale, (
         "these queries were not green in the latest CORRECTNESS artifact "
         f"and are outside the driver's first-{DRIVER_CAP} window — move "
         f"them into ROTATION_HEAD: {stale}"
+    )
+    ever_seen = {n for art in arts for n in art}
+    not_pending = sorted(PENDING_FIRST_WINDOW & ever_seen)
+    assert not not_pending, (
+        "these names already had a driver row — they are rotation "
+        f"candidates, not pending; remove from PENDING_FIRST_WINDOW: "
+        f"{not_pending}"
     )
 
 

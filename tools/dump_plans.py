@@ -153,6 +153,18 @@ def main() -> None:
         formatted(_make_ops_query("ngram_counts")(spark, sf_dir)),
     ))
 
+    from skewer_spark.ops.curation import curate_pack
+    sections.append((
+        "Curation capstone output (round 4: filter -> dedup -> scrub -> pack)",
+        "The whole funnel is ONE plan: scan -> codegen'd quality "
+        "projection -> one digest HashAggregate (dedup winners, partial "
+        "combine) -> equi-join verdicts back -> blocked prefix-sum "
+        "windows with a broadcast of block totals. No Python stage, no "
+        "CartesianProduct; the single SinglePartition window holds block "
+        "TOTALS (rows/BLOCK rows), never documents.",
+        formatted(curate_pack(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/dump_plans.py)",
            "",
            "Regenerate: `python tools/dump_plans.py`. The same properties are",
