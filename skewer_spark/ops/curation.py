@@ -39,12 +39,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skewer_spark.ops import corpus_ops as C
-from skewer_spark.ops.packing import PACK_BUDGET, blocked_prefix_sum
+from skewer_spark.ops.packing import (
+    PACK_BUDGET,
+    blocked_prefix_sum,
+    pack_position_cols,
+)
 from skewer_spark.ops.portable import to_spark
 
 # PII patterns — backslash-free so the identical literals parse in
-# both engines (same trio as queries.q_pii_scrub, pinned there by the
-# transcripts-side oracle)
+# both engines. CANONICAL definitions: queries.q_pii_scrub (the
+# transcripts-side gated query) imports THESE, so the capstone's
+# scrub stage and the standalone op share one source of truth.
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
 PII_HOST = "host-[0-9]+"
@@ -70,8 +75,9 @@ def gate_docs_cte() -> str:
     stage — its normalization fingerprint equals its source's), and
     every 7th doc re-appears with an appended PII sentence (must
     SURVIVE dedup — extra words change the fingerprint — and then be
-    redacted by the scrub stage). Production runs replace this CTE
-    with the real table (see curate/run_curation src param)."""
+    redacted by the scrub stage). Production runs use the real table
+    untouched (real_docs_cte; curate_pack/run_curation augment
+    param)."""
     return f"""docs_src AS (
   SELECT doc_id, lang, text FROM documents
   UNION ALL
@@ -85,6 +91,15 @@ def gate_docs_cte() -> str:
               || ' via host-' || CAST(doc_id AS SSTR) AS text
   FROM documents WHERE doc_id % 7 = 0
 )"""
+
+
+def real_docs_cte() -> str:
+    """Production docs_src: the documents table untouched."""
+    return "docs_src AS (SELECT doc_id, lang, text FROM documents)"
+
+
+def _docs_cte(augment: bool) -> str:
+    return gate_docs_cte() if augment else real_docs_cte()
 
 
 def survivors_ctes(src: str = "docs_src") -> str:
@@ -121,7 +136,7 @@ tok AS (
 )"""
 
 
-def curation_ledger_sql(budget: int = PACK_BUDGET) -> str:
+def curation_ledger_sql(budget: int = PACK_BUDGET, augment: bool = True) -> str:
     """The row-accounting ledger: one row per funnel stage with
     (rows_in, rows_out, metric). metric is stage-specific — docs
     dropped for the two filtering stages, total redactions for the
@@ -130,7 +145,7 @@ def curation_ledger_sql(budget: int = PACK_BUDGET) -> str:
     rows_in of stage N+1 BY CONSTRUCTION of the shared CTE chain; the
     gate hashes the whole table cross-engine."""
     return f"""
-WITH {gate_docs_cte()},
+WITH {_docs_cte(augment)},
 {survivors_ctes()},
 raw_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs_src),
 kept_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept),
@@ -156,20 +171,11 @@ SELECT * FROM (
 ) t"""
 
 
-def _pack_cols(budget: int):
-    end = F.col("start_tok") + F.col("n_tokens") - 1
-    return [
-        F.floor(F.col("start_tok") / budget).cast("long").alias("pack_first"),
-        F.floor(end / budget).cast("long").alias("pack_last"),
-        F.pmod(F.col("start_tok"), budget).cast("int").alias("offset_in_pack"),
-        (F.floor(end / budget) - F.floor(F.col("start_tok") / budget) + 1)
-        .cast("int")
-        .alias("packs_spanned"),
-    ]
-
-
 def curate_pack(
-    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    augment: bool = True,
 ) -> DataFrame:
     """The funnel's OUTPUT: every surviving document with its scrubbed
     hash, redaction count, and scheduled place in the packed token
@@ -182,7 +188,7 @@ def curate_pack(
     )
     base = spark.sql(
         to_spark(
-            f"WITH {gate_docs_cte()},\n{survivors_ctes()}\n"
+            f"WITH {_docs_cte(augment)},\n{survivors_ctes()}\n"
             "SELECT doc_id, n_tokens, n_redactions, scrubbed_md5 FROM tok"
         )
     )
@@ -193,15 +199,17 @@ def curate_pack(
         "n_redactions",
         "scrubbed_md5",
         F.col("start_tok").cast("long").alias("start_tok"),
-        *_pack_cols(budget),
+        *pack_position_cols(budget),
     )
 
 
-def curate_pack_oracle_sql(budget: int = PACK_BUDGET) -> str:
+def curate_pack_oracle_sql(
+    budget: int = PACK_BUDGET, augment: bool = True
+) -> str:
     """Independent DuckDB restatement: identical funnel CTEs, prefix
     sum as one global window (exclusive ROWS frame)."""
     return f"""
-WITH {gate_docs_cte()},
+WITH {_docs_cte(augment)},
 {survivors_ctes()},
 c AS (
   SELECT doc_id, n_tokens, n_redactions, scrubbed_md5,
@@ -225,16 +233,19 @@ def run_curation(
     out_dir: str,
     run_id: str = "curation-1",
     budget: int = PACK_BUDGET,
+    augment: bool = False,
 ) -> dict[str, int]:
-    """Operational capstone: run the funnel over the gate corpus and
-    COMMIT both artifacts — the curated/packed document table and its
-    ledger — as IceLite tables (atomic manifest commit, idempotent by
-    run_id: a replayed run is a no-op, same exactly-once discipline as
-    the pipeline's sink writes). Returns {table: rows_committed}."""
+    """Operational capstone: run the funnel over the REAL documents
+    table (augment=False — no gate fixture variants; pass augment=True
+    only to reproduce the gate corpus) and COMMIT both artifacts — the
+    curated/packed document table and its ledger — as IceLite tables
+    (atomic manifest commit, idempotent by run_id: a replayed run is a
+    no-op, same exactly-once discipline as the pipeline's sink
+    writes). Returns {table: rows_committed}."""
     from skewer_spark.icelite import IceLiteTable
 
-    packed = curate_pack(spark, sf_dir, budget=budget)
-    ledger = spark.sql(to_spark(curation_ledger_sql(budget)))
+    packed = curate_pack(spark, sf_dir, budget=budget, augment=augment)
+    ledger = spark.sql(to_spark(curation_ledger_sql(budget, augment=augment)))
     out: dict[str, int] = {}
     for name, df in (("curated_docs", packed), ("curation_ledger", ledger)):
         t = IceLiteTable(out_dir, name)

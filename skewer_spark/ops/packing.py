@@ -94,18 +94,22 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
     )
     c = blocked_prefix_sum(t)
+    return c.select("doc_id", "n_tokens", "start_tok", *pack_position_cols(budget))
+
+
+def pack_position_cols(budget: int) -> list:
+    """The pack-boundary column math over (start_tok, n_tokens) —
+    shared by pack_sequences and the curation capstone (ops/curation)
+    so the packing convention cannot drift between them."""
     end = F.col("start_tok") + F.col("n_tokens") - 1
-    return c.select(
-        "doc_id",
-        "n_tokens",
-        "start_tok",
+    return [
         F.floor(F.col("start_tok") / budget).cast("long").alias("pack_first"),
         F.floor(end / budget).cast("long").alias("pack_last"),
         F.pmod(F.col("start_tok"), budget).cast("int").alias("offset_in_pack"),
         (F.floor(end / budget) - F.floor(F.col("start_tok") / budget) + 1)
         .cast("int")
         .alias("packs_spanned"),
-    )
+    ]
 
 
 N_SHARDS = 16

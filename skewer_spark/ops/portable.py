@@ -72,12 +72,35 @@ _DUCK_EXTRA = {
 _BARE_MACROS = {"SSTR"}  # type names appear without a call paren
 
 
+# a SQL string literal, '' self-escape included
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _sub_outside_literals(pattern: str, repl: str, sql: str) -> str:
+    """re.sub applied only OUTSIDE string literals, so a macro token
+    appearing inside a quoted literal is never rewritten."""
+    parts = _LITERAL_RE.split(sql)
+    lits = _LITERAL_RE.findall(sql)
+    out = [re.sub(pattern, repl, p) for p in parts]
+    merged = out[0]
+    for lit, part in zip(lits, out[1:]):
+        merged += lit + part
+    return merged
+
+
+def _mask_literals(sql: str) -> str:
+    """Same-length copy with string-literal CONTENTS blanked (quotes
+    kept), so token/paren scans can run position-faithfully without
+    seeing macro names, parens, or commas inside literals."""
+    return _LITERAL_RE.sub(lambda m: "'" + "\x00" * (len(m.group()) - 2) + "'", sql)
+
+
 def _apply_common(sql: str, table: dict[str, str]) -> str:
     for macro, fn in table.items():
         if macro in _BARE_MACROS:
-            sql = re.sub(rf"\b{macro}\b", fn, sql)
+            sql = _sub_outside_literals(rf"\b{macro}\b", fn, sql)
         else:
-            sql = re.sub(rf"\b{macro}\(", fn + "(", sql)
+            sql = _sub_outside_literals(rf"\b{macro}\(", fn + "(", sql)
     return sql
 
 
@@ -108,8 +131,8 @@ def to_spark(sql: str) -> str:
     sql = _expand_call(
         sql, "ASUM_D", lambda a: f"aggregate({a}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    sql = re.sub(r"\bEXPLODE\(", "explode(", sql)
-    sql = re.sub(r"\bALIST\(", "array(", sql)
+    sql = _sub_outside_literals(r"\bEXPLODE\(", "explode(", sql)
+    sql = _sub_outside_literals(r"\bALIST\(", "array(", sql)
     # HAMMING(a, b): popcount of the bitwise xor (DuckDB's ^ is POWER,
     # so the xor spelling must be per-dialect)
     sql = _expand_call(
@@ -184,8 +207,8 @@ def to_duck(sql: str) -> str:
         sql, "FMT6", lambda a: f"printf('%.6f', floor(({a}) * 1000000 + 0.5) / 1000000)"
     )
     sql = _expand_call(sql, "ASUM_D", lambda a: f"list_aggregate({a}, 'sum')")
-    sql = re.sub(r"\bEXPLODE\(", "unnest(", sql)
-    sql = re.sub(r"\bALIST\(", "list_value(", sql)
+    sql = _sub_outside_literals(r"\bEXPLODE\(", "unnest(", sql)
+    sql = _sub_outside_literals(r"\bALIST\(", "list_value(", sql)
     sql = _expand_call(
         sql, "HAMMING",
         lambda a: "bit_count(xor(cast({} AS BIGINT), cast({} AS BIGINT)))".format(
@@ -261,26 +284,24 @@ def _expand_call(sql: str, name: str, render) -> str:
     pass leaves inner occurrences in the rendered args; loop to a
     fixpoint — render outputs never contain the macro token)."""
     token = name + "("
-    while token in sql:
+    while token in _mask_literals(sql):
+        # scan the MASKED copy (same length/positions as sql): a macro
+        # token or paren inside a string literal is invisible to it
+        masked = _mask_literals(sql)
         out = []
         i = 0
         while True:
-            j = sql.find(token, i)
+            j = masked.find(token, i)
             if j < 0:
                 out.append(sql[i:])
                 break
             out.append(sql[i:j])
             depth = 0
-            in_str = False
             k = j + len(token) - 1  # at '('
-            for k in range(j + len(token) - 1, len(sql)):
-                if sql[k] == "'":
-                    in_str = not in_str
-                elif in_str:
-                    continue  # parens inside string literals don't nest
-                elif sql[k] == "(":
+            for k in range(j + len(token) - 1, len(masked)):
+                if masked[k] == "(":
                     depth += 1
-                elif sql[k] == ")":
+                elif masked[k] == ")":
                     depth -= 1
                     if depth == 0:
                         break

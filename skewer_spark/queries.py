@@ -222,9 +222,13 @@ def q_route_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.agg_route_status(parsed, routed)
 
 
-_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-_PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
-_PII_HOST = "host-[0-9]+"
+# canonical PII pattern trio lives in ops/curation.py (the capstone's
+# scrub stage shares the exact literals — one source of truth)
+from skewer_spark.ops.curation import (  # noqa: E402
+    PII_EMAIL as _PII_EMAIL,
+    PII_HOST as _PII_HOST,
+    PII_IP as _PII_IP,
+)
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1877,6 +1881,12 @@ PENDING_FIRST_WINDOW: set[str] = {
     "curation_ledger",
     "curate_pack",
 }
+# The newest CORRECTNESS round at registration time. The exemption
+# EXPIRES once a newer artifact exists: from that round on, pending
+# names must sit inside the driver window (or be green) like any
+# other name — the rotation gate enforces this, so "pending" can
+# never become "skipped forever".
+PENDING_SINCE_ROUND = 3
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

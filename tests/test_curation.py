@@ -120,6 +120,13 @@ def test_run_curation_commits_idempotently(spark, tmp_path):
 
     for name in first:
         assert len(IceLiteTable(out, name).snapshots()) == 1
+    # the operational default curates the REAL table: no gate-fixture
+    # variant ids may leak into the committed corpus
+    max_id = (
+        IceLiteTable(out, "curated_docs").read(spark).agg({"doc_id": "max"})
+        .collect()[0][0]
+    )
+    assert max_id < 300000, "gate fixture variants leaked into production run"
 
 
 def test_curate_pack_plan_shape(spark):

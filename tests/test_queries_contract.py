@@ -32,15 +32,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
 
-def _latest_artifacts() -> list[dict]:
-    """CORRECTNESS_r*.json files, newest round last."""
-    paths = sorted(
-        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
-    )
-    return [json.load(open(p)) for p in paths]
-
-
 def test_query_output_schemas_are_scalar_only(spark, sf_dir):
     """Build every registered query's DataFrame (sf0.001 — schemas are
     scale-independent) and assert no complex-typed output column."""
@@ -65,22 +56,36 @@ def test_registry_rotation_covers_every_query():
     PENDING_FIRST_WINDOW (registered after the window filled, awaiting
     its first slot — allowed only if it has NEVER had an artifact row,
     so a regression can't hide behind the pending label)."""
-    from skewer_spark.queries import PENDING_FIRST_WINDOW, build_queries
+    from skewer_spark.queries import (
+        PENDING_FIRST_WINDOW,
+        PENDING_SINCE_ROUND,
+        build_queries,
+    )
 
-    arts = _latest_artifacts()
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    arts = [json.load(open(p)) for p in paths]
     if not arts:
         pytest.skip("no CORRECTNESS artifacts yet (round 1)")
     latest = arts[-1]
+    latest_round = int(re.search(r"_r(\d+)", paths[-1]).group(1))
     green_latest = {
         n for n, row in latest.items()
         if row.get("err") is None and row.get("rows_match")
     }
+    # the pending exemption is TIME-BOUND: it lapses as soon as an
+    # artifact newer than the registration round exists
+    pending = (
+        PENDING_FIRST_WINDOW if latest_round <= PENDING_SINCE_ROUND else set()
+    )
     reg = list(build_queries())
     stale = [
         n for pos, n in enumerate(reg)
         if pos >= DRIVER_CAP
         and n not in green_latest
-        and n not in PENDING_FIRST_WINDOW
+        and n not in pending
     ]
     assert not stale, (
         "these queries were not green in the latest CORRECTNESS artifact "

@@ -6,6 +6,12 @@ over the documents table at any sf dir and reports per-leg walls plus
 the funnel's row accounting — the per-round tracking row for
 BENCH/BASELINE.md, same discipline as the canonicalization walls.
 
+Measures the GATE corpus (augment=True: documents + the deterministic
+mangled/PII variant families) so the dedup and scrub stages do real
+work and the numbers are reproducible against the gate queries;
+production sizing uses the real-table walls, which are strictly
+cheaper (fewer rows, same plan).
+
 Usage: python tools/bench_curation.py [sf_dir] [cpus]
 Prints one JSON line.
 """
