@@ -102,16 +102,24 @@ def _docs_cte(augment: bool) -> str:
     return gate_docs_cte() if augment else real_docs_cte()
 
 
-def survivors_ctes(src: str = "docs_src") -> str:
-    """The shared funnel CTE chain over ``src``:
+def _src_ctes(augment: bool, where: str | None) -> tuple[str, str]:
+    """(CTE text, source relation name): docs_src, optionally
+    restricted to a batch predicate (the day-N slice of the corpus).
+    where=None yields exactly the unrestricted text the gate pins."""
+    base = _docs_cte(augment)
+    if where is None:
+        return base, "docs_src"
+    return (
+        base
+        + f""",
+batch AS (SELECT doc_id, lang, text FROM docs_src WHERE {where})""",
+        "batch",
+    )
 
-      kept    — docs whose quality reason is 'kept'
-      normed  — kept + normalization fingerprint
-      winners — min doc_id per fingerprint (dedup canonical)
-      surv    — the surviving documents (winners' bodies)
-      tok     — scrubbed hash + redaction count + token count
 
-    Pure macro-SQL; identical text runs on Spark and DuckDB."""
+def _kept_winners_ctes(src: str) -> str:
+    """quality -> kept -> fingerprint -> per-fingerprint winner, the
+    front half shared by the full funnel and the incremental one."""
     return f"""{C.quality_cls_ctes(src)},
 kept AS (
   SELECT d.doc_id, d.text FROM {src} d
@@ -122,12 +130,12 @@ normed AS (SELECT doc_id, text, {C.NORM_FP_EXPR} AS norm_fp FROM kept),
 winners AS (
   SELECT norm_fp, CAST(min(doc_id) AS BIGINT) AS keep_id
   FROM normed GROUP BY norm_fp
-),
-surv AS (
-  SELECT n.doc_id, n.text
-  FROM normed n JOIN winners w ON n.doc_id = w.keep_id
-),
-tok AS (
+)"""
+
+
+def _tok_cte() -> str:
+    """surv -> scrubbed hash + redaction count + token count."""
+    return f"""tok AS (
   SELECT doc_id,
          md5({_SCRUB}) AS scrubbed_md5,
          {_N_RED} AS n_redactions,
@@ -136,7 +144,52 @@ tok AS (
 )"""
 
 
-def curation_ledger_sql(budget: int = PACK_BUDGET, augment: bool = True) -> str:
+def survivors_ctes(src: str = "docs_src") -> str:
+    """The shared funnel CTE chain over ``src``:
+
+      kept    — docs whose quality reason is 'kept'
+      normed  — kept + normalization fingerprint
+      winners — min doc_id per fingerprint (dedup canonical)
+      surv    — the surviving documents (winners' bodies)
+      tok     — scrubbed hash + redaction count + token count
+
+    Pure macro-SQL; identical text runs on Spark and DuckDB."""
+    return f"""{_kept_winners_ctes(src)},
+surv AS (
+  SELECT n.doc_id, n.text
+  FROM normed n JOIN winners w ON n.doc_id = w.keep_id
+),
+{_tok_cte()}"""
+
+
+def increment_ctes(src: str) -> str:
+    """Funnel CTE chain for a NEW batch curated against the COMMITTED
+    corpus: identical quality/normalization/winner stages, plus the
+    frozen-snapshot exclusion — a batch winner survives only if its
+    fingerprint is absent from ``corpus_fps`` (the committed
+    fingerprint table, registered as a temp view by curate_increment).
+    This is dedup_incremental's scale discipline applied to the whole
+    funnel: the historical side is a DISTINCT fingerprint projection
+    equi-joined against the (small) batch — historical BODIES are
+    never re-read, never re-shuffled."""
+    return f"""{_kept_winners_ctes(src)},
+fresh AS (
+  SELECT w.norm_fp, w.keep_id FROM winners w
+  LEFT JOIN corpus_fps c ON w.norm_fp = c.norm_fp
+  WHERE c.norm_fp IS NULL
+),
+surv AS (
+  SELECT n.doc_id, n.text
+  FROM normed n JOIN fresh f ON n.doc_id = f.keep_id
+),
+{_tok_cte()}"""
+
+
+def curation_ledger_sql(
+    budget: int = PACK_BUDGET,
+    augment: bool = True,
+    where: str | None = None,
+) -> str:
     """The row-accounting ledger: one row per funnel stage with
     (rows_in, rows_out, metric). metric is stage-specific — docs
     dropped for the two filtering stages, total redactions for the
@@ -144,10 +197,11 @@ def curation_ledger_sql(budget: int = PACK_BUDGET, augment: bool = True) -> str:
     of packs the token stream cuts into). rows_out of stage N equals
     rows_in of stage N+1 BY CONSTRUCTION of the shared CTE chain; the
     gate hashes the whole table cross-engine."""
+    ctes, src = _src_ctes(augment, where)
     return f"""
-WITH {_docs_cte(augment)},
-{survivors_ctes()},
-raw_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs_src),
+WITH {ctes},
+{survivors_ctes(src)},
+raw_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {src}),
 kept_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept),
 surv_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM surv),
 red_n AS (SELECT CAST(COALESCE(sum(n_redactions), 0) AS BIGINT) AS n FROM tok),
@@ -176,6 +230,7 @@ def curate_pack(
     sf_dir: str,
     budget: int = PACK_BUDGET,
     augment: bool = True,
+    where: str | None = None,
 ) -> DataFrame:
     """The funnel's OUTPUT: every surviving document with its scrubbed
     hash, redaction count, and scheduled place in the packed token
@@ -186,9 +241,10 @@ def curate_pack(
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
+    ctes, src = _src_ctes(augment, where)
     base = spark.sql(
         to_spark(
-            f"WITH {_docs_cte(augment)},\n{survivors_ctes()}\n"
+            f"WITH {ctes},\n{survivors_ctes(src)}\n"
             "SELECT doc_id, n_tokens, n_redactions, scrubbed_md5 FROM tok"
         )
     )
@@ -234,21 +290,162 @@ def run_curation(
     run_id: str = "curation-1",
     budget: int = PACK_BUDGET,
     augment: bool = False,
+    where: str | None = None,
 ) -> dict[str, int]:
     """Operational capstone: run the funnel over the REAL documents
     table (augment=False — no gate fixture variants; pass augment=True
-    only to reproduce the gate corpus) and COMMIT both artifacts — the
-    curated/packed document table and its ledger — as IceLite tables
-    (atomic manifest commit, idempotent by run_id: a replayed run is a
-    no-op, same exactly-once discipline as the pipeline's sink
-    writes). Returns {table: rows_committed}."""
+    only to reproduce the gate corpus), optionally restricted to a
+    ``where`` batch predicate, and COMMIT three artifacts as IceLite
+    tables — the curated/packed documents, the ledger, and the
+    survivor FINGERPRINTS (``curated_fps``: what curate_increment
+    needs to dedup future batches without re-reading bodies). Atomic
+    manifest commits, idempotent by run_id: a replayed run is a no-op,
+    same exactly-once discipline as the pipeline's sink writes.
+    Returns {table: rows_committed}."""
     from skewer_spark.icelite import IceLiteTable
 
-    packed = curate_pack(spark, sf_dir, budget=budget, augment=augment)
-    ledger = spark.sql(to_spark(curation_ledger_sql(budget, augment=augment)))
+    packed = curate_pack(
+        spark, sf_dir, budget=budget, augment=augment, where=where
+    )
+    ledger = spark.sql(
+        to_spark(curation_ledger_sql(budget, augment=augment, where=where))
+    )
+    ctes, src = _src_ctes(augment, where)
+    fps = spark.sql(
+        to_spark(
+            f"WITH {ctes},\n{survivors_ctes(src)}\n"
+            "SELECT norm_fp, keep_id AS doc_id FROM winners"
+        )
+    )
     out: dict[str, int] = {}
-    for name, df in (("curated_docs", packed), ("curation_ledger", ledger)):
+    for name, df in (
+        ("curated_docs", packed),
+        ("curation_ledger", ledger),
+        ("curated_fps", fps),
+    ):
         t = IceLiteTable(out_dir, name)
+        t.append(df, run_id=run_id)
+        out[name] = t.read(spark).count()
+    return out
+
+
+def curate_increment(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    run_id: str,
+    where: str,
+    budget: int = PACK_BUDGET,
+    augment: bool = False,
+) -> dict[str, int]:
+    """Day-N curation: curate a NEW batch (the ``where`` slice of the
+    corpus) against the already-committed tables in ``out_dir`` and
+    append the results. The steady-state shape of a 10^12-doc
+    pipeline — per batch the committed corpus contributes only
+
+      * its fingerprint table (``curated_fps``) — digests, not
+        bodies — for the frozen-snapshot dedup exclusion, and
+      * one column-pruned aggregate, sum(n_tokens) over
+        ``curated_docs``, so packing CONTINUES at the committed token
+        offset (new docs extend the pack stream instead of restarting
+        it).
+
+    Equivalence contract (pytest-pinned): if batch doc_ids are all
+    greater than committed doc_ids — the natural case for append-only
+    corpora — then day-1 run + day-2 increment produces EXACTLY the
+    same curated_docs table as one full run over both slices: the
+    min-doc_id winner rule and the doc_id packing order both compose
+    across the split. All three appends are idempotent by run_id, and
+    a mid-crash rerun self-heals (each table skips if its snapshot
+    committed, rewrites deterministically if not)."""
+    from skewer_spark.icelite import IceLiteTable
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    docs_t = IceLiteTable(out_dir, "curated_docs")
+    fps_t = IceLiteTable(out_dir, "curated_fps")
+    led_t = IceLiteTable(out_dir, "curation_ledger")
+
+    committed = docs_t.read(spark)
+    prior_toks = int(
+        committed.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+        ).collect()[0]["t"]
+    )
+    fps_t.read(spark).select("norm_fp").createOrReplaceTempView("corpus_fps")
+
+    ctes, src = _src_ctes(augment, where)
+    base = spark.sql(
+        to_spark(
+            f"WITH {ctes},\n{increment_ctes(src)}\n"
+            "SELECT doc_id, n_tokens, n_redactions, scrubbed_md5 FROM tok"
+        )
+    )
+    c = blocked_prefix_sum(base, order_col="doc_id", value_col="n_tokens")
+    packed = c.withColumn(
+        "start_tok",
+        (F.col("start_tok") + F.lit(prior_toks)).cast("long"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_redactions",
+        "scrubbed_md5",
+        "start_tok",
+        *pack_position_cols(budget),
+    )
+    fresh_fps = spark.sql(
+        to_spark(
+            f"WITH {ctes},\n{increment_ctes(src)}\n"
+            "SELECT norm_fp, keep_id AS doc_id FROM fresh"
+        )
+    )
+
+    # batch ledger: same 4 stages; stage 2 is the incremental dedup
+    # (drops = in-batch dups + vs-corpus dups); the pack stage reports
+    # the NEW total pack count after this batch's tokens append
+    counts = spark.sql(
+        to_spark(
+            f"WITH {ctes},\n{increment_ctes(src)}\n"
+            f"SELECT CAST((SELECT count(*) FROM {src}) AS BIGINT) AS raw_n, "
+            "CAST((SELECT count(*) FROM kept) AS BIGINT) AS kept_n, "
+            "CAST((SELECT count(*) FROM surv) AS BIGINT) AS surv_n, "
+            "CAST((SELECT COALESCE(sum(n_redactions), 0) FROM tok) AS BIGINT) AS red_n, "
+            "CAST((SELECT COALESCE(sum(n_tokens), 0) FROM tok) AS BIGINT) AS tok_n"
+        )
+    ).collect()[0]
+    total_packs = (prior_toks + counts["tok_n"] + budget - 1) // budget
+    from pyspark.sql import types as T
+
+    ledger_schema = T.StructType(
+        [
+            T.StructField("stage_idx", T.IntegerType()),
+            T.StructField("stage", T.StringType()),
+            T.StructField("rows_in", T.LongType()),
+            T.StructField("rows_out", T.LongType()),
+            T.StructField("metric", T.LongType()),
+        ]
+    )
+    ledger = spark.createDataFrame(
+        [
+            (1, "quality_filter", counts["raw_n"], counts["kept_n"],
+             counts["raw_n"] - counts["kept_n"]),
+            (2, "dedup_incremental", counts["kept_n"], counts["surv_n"],
+             counts["kept_n"] - counts["surv_n"]),
+            (3, "pii_scrub", counts["surv_n"], counts["surv_n"],
+             counts["red_n"]),
+            (4, "pack_sequences", counts["surv_n"], total_packs,
+             counts["tok_n"]),
+        ],
+        schema=ledger_schema,
+    )
+
+    out: dict[str, int] = {}
+    for name, t, df in (
+        ("curated_docs", docs_t, packed),
+        ("curation_ledger", led_t, ledger),
+        ("curated_fps", fps_t, fresh_fps),
+    ):
         t.append(df, run_id=run_id)
         out[name] = t.read(spark).count()
     return out

@@ -113,9 +113,11 @@ def test_run_curation_commits_idempotently(spark, tmp_path):
     first = CU.run_curation(spark, SF, out, run_id="r1")
     again = CU.run_curation(spark, SF, out, run_id="r1")  # replay no-op
     assert first == again
-    assert set(first) == {"curated_docs", "curation_ledger"}
+    assert set(first) == {"curated_docs", "curation_ledger", "curated_fps"}
     assert first["curation_ledger"] == 4
     assert first["curated_docs"] > 0
+    # one fingerprint per committed document (winners ARE the corpus)
+    assert first["curated_fps"] == first["curated_docs"]
     from skewer_spark.icelite import IceLiteTable
 
     for name in first:
@@ -127,6 +129,73 @@ def test_run_curation_commits_idempotently(spark, tmp_path):
         .collect()[0][0]
     )
     assert max_id < 300000, "gate fixture variants leaked into production run"
+
+
+def _table_rows(spark, out, name):
+    from skewer_spark.icelite import IceLiteTable
+
+    return sorted(map(tuple, IceLiteTable(out, name).read(spark).collect()))
+
+
+def test_increment_equals_full_run(spark, tmp_path):
+    # THE incremental contract: day-1 run + day-2 increment must equal
+    # one full run over both slices, byte for byte — min-doc_id winner
+    # selection and doc_id packing order both compose across the split
+    # when batch ids exceed committed ids (append-only corpora).
+    # augment=True so dedup/scrub do real cross-slice work: day-2
+    # carries mangled variants (+300000) of day-1 sources that ONLY
+    # the committed-fingerprint exclusion can drop.
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    CU.run_curation(spark, SF, full, run_id="all", augment=True)
+    CU.run_curation(
+        spark, SF, inc, run_id="day1", augment=True, where="doc_id < 250"
+    )
+    res2 = CU.curate_increment(
+        spark, SF, inc, run_id="day2", where="doc_id >= 250", augment=True
+    )
+    assert _table_rows(spark, inc, "curated_docs") == _table_rows(
+        spark, full, "curated_docs"
+    )
+    assert _table_rows(spark, inc, "curated_fps") == _table_rows(
+        spark, full, "curated_fps"
+    )
+    # cross-slice dedup actually fired: some day-2 docs were dropped
+    # because their fingerprint was committed on day 1
+    led = {
+        (r[0], r[1]): r
+        for r in _table_rows(spark, inc, "curation_ledger")
+        if r[1] == "dedup_incremental"
+    }
+    assert led[(2, "dedup_incremental")][4] > 0, "no vs-corpus drops"
+    # increment replay is a no-op
+    again = CU.curate_increment(
+        spark, SF, inc, run_id="day2", where="doc_id >= 250", augment=True
+    )
+    assert again == res2
+
+
+def test_increment_ledger_packs_continue(spark, tmp_path):
+    out = str(tmp_path / "cont")
+    CU.run_curation(spark, SF, out, run_id="d1", where="doc_id < 250")
+    CU.curate_increment(spark, SF, out, run_id="d2", where="doc_id >= 250")
+    rows = _table_rows(spark, out, "curation_ledger")
+    pack_rows = sorted(
+        (r for r in rows if r[1] == "pack_sequences"), key=lambda r: r[3]
+    )
+    assert len(pack_rows) == 2  # one per committed run
+    total_toks = pack_rows[0][4] + pack_rows[1][4]
+    # day-2's reported pack count (the larger) covers the CUMULATIVE
+    # token stream, not just its own batch
+    assert pack_rows[1][3] == (total_toks + PACK_BUDGET - 1) // PACK_BUDGET
+    # committed docs tile the cumulative stream contiguously across
+    # the day boundary (packing truly continued, no restart at 0)
+    docs = sorted(_table_rows(spark, out, "curated_docs"))
+    pos = 0
+    for r in docs:
+        assert r[4] == pos
+        pos += r[1]
+    assert pos == total_toks
 
 
 def test_curate_pack_plan_shape(spark):
