@@ -242,3 +242,32 @@ def test_macro_quoting_roundtrips_through_both_engines(spark):
     got = spark.sql(f"SELECT {to_spark(expr)} AS v").collect()[0]["v"]
     want = duckdb.connect().execute(f"SELECT {to_duck(expr)} AS v").fetchone()[0]
     assert got == want == "aa-bb-cc"
+
+
+def test_macro_quoting_fuzz_cross_engine(spark):
+    # hypothesis fuzz over hostile literal content: any mix of commas,
+    # parens, braces, macro names, and doubled quotes inside a string
+    # literal must survive translation UNTOUCHED on both engines (the
+    # replacement string is matched verbatim via a no-op regex subject)
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from skewer_spark.ops.portable import to_duck, to_spark
+
+    con = duckdb.connect()
+    cases: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet="ab,(){}.SPLIT IDIV'%*+", min_size=0, max_size=14))
+    def collect(lit):
+        cases.append(lit)
+
+    collect()
+    for lit in cases:
+        sql_lit = lit.replace("'", "''")  # SQL-escape for embedding
+        # replacement-side: the literal must come back verbatim
+        expr = f"RREPLACE('xx', 'xx', '{sql_lit}')"
+        got = spark.sql(f"SELECT {to_spark(expr)} AS v").collect()[0]["v"]
+        want = con.execute(f"SELECT {to_duck(expr)} AS v").fetchone()[0]
+        assert got == want == lit, f"literal mangled: {lit!r} -> {got!r}/{want!r}"
