@@ -287,6 +287,31 @@ class IceLiteTable:
             )
         return files
 
+    def read_excluding_run(self, spark: SparkSession, run_id: str) -> DataFrame:
+        """Read the table WITHOUT the snapshot committed by ``run_id``
+        (no-op if that run never committed). The rerun-safety read: a
+        job rerun after a partial failure derives its inputs from the
+        state as of OTHER runs, so its own earlier partial commit can
+        never feed back into its recomputation."""
+        snaps = [s for s in self.snapshots() if s.run_id != run_id]
+        if not self.snapshots():
+            raise FileNotFoundError(
+                f"IceLite table {self.name} has no committed snapshots"
+            )
+        files: list[str] = []
+        for s in snaps:
+            d = os.path.join(self.dir, "data", s.snapshot_id)
+            files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+        if not files:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType([]))
+        return spark.read.parquet(*files)
+
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame:
         if not self.snapshots():
             raise FileNotFoundError(f"IceLite table {self.name} has no committed snapshots")

@@ -283,6 +283,31 @@ SELECT doc_id, n_tokens, n_redactions, scrubbed_md5, start_tok,
 FROM c"""
 
 
+def _check_budget(out_dir: str, budget: int) -> None:
+    """Persist the pack budget on first use; refuse a different one
+    later — pack columns tiled at mixed boundaries would silently
+    corrupt the committed table."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "curation_meta.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            committed = json.load(f)["budget"]
+        if committed != budget:
+            raise ValueError(
+                f"budget {budget} != committed budget {committed} "
+                f"(pinned in {path}); pack boundaries must be uniform "
+                "across runs of one warehouse"
+            )
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"budget": budget}, f)
+    os.replace(tmp, path)
+
+
 def run_curation(
     spark: SparkSession,
     sf_dir: str,
@@ -301,22 +326,51 @@ def run_curation(
     needs to dedup future batches without re-reading bodies). Atomic
     manifest commits, idempotent by run_id: a replayed run is a no-op,
     same exactly-once discipline as the pipeline's sink writes.
-    Returns {table: rows_committed}."""
+    The committed ledger carries a ``run_id`` column (appended after
+    the gate-pinned SQL) so per-run rows are attributable and
+    curate_increment can derive the committed token offset from the
+    ledger alone. The pack ``budget`` is persisted to
+    ``<out_dir>/curation_meta.json`` on the first run; later runs and
+    increments refuse a different budget (mixed-boundary pack columns
+    would silently corrupt the table). Returns
+    {table: rows_committed}."""
     from skewer_spark.icelite import IceLiteTable
 
-    packed = curate_pack(
-        spark, sf_dir, budget=budget, augment=augment, where=where
-    )
-    ledger = spark.sql(
-        to_spark(curation_ledger_sql(budget, augment=augment, where=where))
+    _check_budget(out_dir, budget)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
     )
     ctes, src = _src_ctes(augment, where)
-    fps = spark.sql(
+    # ONE funnel execution: the narrow (digests + ints, no text)
+    # survivor frame is materialized once and feeds the packed table,
+    # the fingerprint table, and the prefix sum's two legs. At real
+    # scale stage this frame to parquet instead (packing.py docstring);
+    # localCheckpoint is the single-host spelling of the same move.
+    base = spark.sql(
         to_spark(
             f"WITH {ctes},\n{survivors_ctes(src)}\n"
-            "SELECT norm_fp, keep_id AS doc_id FROM winners"
+            "SELECT t.doc_id, t.n_tokens, t.n_redactions, t.scrubbed_md5,"
+            " w.norm_fp FROM tok t JOIN winners w ON t.doc_id = w.keep_id"
         )
+    ).localCheckpoint()
+    c = blocked_prefix_sum(
+        base.drop("norm_fp"), order_col="doc_id", value_col="n_tokens"
     )
+    packed = c.select(
+        "doc_id",
+        "n_tokens",
+        "n_redactions",
+        "scrubbed_md5",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        *pack_position_cols(budget),
+    )
+    fps = base.select("norm_fp", "doc_id")
+    # the ledger is the gate-pinned SQL (the compliance artifact must
+    # equal the registered query), run_id-stamped for attribution —
+    # its funnel re-execution is the price of that equality
+    ledger = spark.sql(
+        to_spark(curation_ledger_sql(budget, augment=augment, where=where))
+    ).withColumn("run_id", F.lit(run_id))
     out: dict[str, int] = {}
     for name, df in (
         ("curated_docs", packed),
@@ -355,11 +409,19 @@ def curate_increment(
     corpora — then day-1 run + day-2 increment produces EXACTLY the
     same curated_docs table as one full run over both slices: the
     min-doc_id winner rule and the doc_id packing order both compose
-    across the split. All three appends are idempotent by run_id, and
-    a mid-crash rerun self-heals (each table skips if its snapshot
-    committed, rewrites deterministically if not)."""
+    across the split. The precondition is ENFORCED (ValueError when
+    the batch overlaps committed ids) rather than assumed.
+
+    Crash-rerun contract: all three appends are idempotent by run_id,
+    and every derived quantity is computed from state that EXCLUDES
+    this run (the committed offset comes from ledger rows with
+    run_id != this one, never from curated_docs — which on a rerun
+    after a partial commit would already contain this batch), so a
+    rerun after any partial failure commits exactly the rows the
+    uninterrupted run would have."""
     from skewer_spark.icelite import IceLiteTable
 
+    _check_budget(out_dir, budget)
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
@@ -367,22 +429,58 @@ def curate_increment(
     fps_t = IceLiteTable(out_dir, "curated_fps")
     led_t = IceLiteTable(out_dir, "curation_ledger")
 
-    committed = docs_t.read(spark)
+    # ALL committed-state reads exclude this run's own snapshots
+    # (rerun-safe: after a partial failure curated_docs/curated_fps
+    # may already hold this batch — feeding them back would exclude
+    # the whole batch as "duplicates" and double-count its tokens)
     prior_toks = int(
-        committed.agg(
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
-        ).collect()[0]["t"]
+        led_t.read_excluding_run(spark, run_id)
+        .where(F.col("stage") == "pack_sequences")
+        .agg(F.coalesce(F.sum("metric"), F.lit(0)).alias("t"))
+        .collect()[0]["t"]
     )
-    fps_t.read(spark).select("norm_fp").createOrReplaceTempView("corpus_fps")
+    fps_t.read_excluding_run(spark, run_id).select(
+        "norm_fp"
+    ).createOrReplaceTempView("corpus_fps")
 
     ctes, src = _src_ctes(augment, where)
+    # front half only (no scrub regexes, no packing): batch size,
+    # quality survivors, and the id bound for the precondition guard
+    front = spark.sql(
+        to_spark(
+            f"WITH {ctes},\n{_kept_winners_ctes(src)}\n"
+            f"SELECT CAST((SELECT count(*) FROM {src}) AS BIGINT) AS raw_n,"
+            " CAST((SELECT count(*) FROM kept) AS BIGINT) AS kept_n,"
+            f" CAST((SELECT min(doc_id) FROM {src}) AS BIGINT) AS min_id"
+        )
+    ).collect()[0]
+    if run_id not in docs_t.committed_runs() and front["raw_n"] > 0:
+        max_committed = docs_t.read(spark).agg(F.max("doc_id")).collect()[0][0]
+        if max_committed is not None and front["min_id"] <= max_committed:
+            raise ValueError(
+                f"batch overlaps committed ids (batch min {front['min_id']}"
+                f" <= committed max {max_committed}): the min-doc_id winner"
+                " rule and packing order would silently diverge from a"
+                " full run — curate overlapping slices in one run instead"
+            )
+
+    # ONE full-funnel execution, materialized narrow (see run_curation)
     base = spark.sql(
         to_spark(
             f"WITH {ctes},\n{increment_ctes(src)}\n"
-            "SELECT doc_id, n_tokens, n_redactions, scrubbed_md5 FROM tok"
+            "SELECT t.doc_id, t.n_tokens, t.n_redactions, t.scrubbed_md5,"
+            " f.norm_fp FROM tok t JOIN fresh f ON t.doc_id = f.keep_id"
         )
+    ).localCheckpoint()
+    aggs = base.agg(
+        F.count(F.lit(1)).cast("long").alias("surv_n"),
+        F.coalesce(F.sum("n_redactions"), F.lit(0)).cast("long").alias("red_n"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tok_n"),
+    ).collect()[0]
+
+    c = blocked_prefix_sum(
+        base.drop("norm_fp"), order_col="doc_id", value_col="n_tokens"
     )
-    c = blocked_prefix_sum(base, order_col="doc_id", value_col="n_tokens")
     packed = c.withColumn(
         "start_tok",
         (F.col("start_tok") + F.lit(prior_toks)).cast("long"),
@@ -394,27 +492,12 @@ def curate_increment(
         "start_tok",
         *pack_position_cols(budget),
     )
-    fresh_fps = spark.sql(
-        to_spark(
-            f"WITH {ctes},\n{increment_ctes(src)}\n"
-            "SELECT norm_fp, keep_id AS doc_id FROM fresh"
-        )
-    )
+    fresh_fps = base.select("norm_fp", "doc_id")
 
     # batch ledger: same 4 stages; stage 2 is the incremental dedup
     # (drops = in-batch dups + vs-corpus dups); the pack stage reports
     # the NEW total pack count after this batch's tokens append
-    counts = spark.sql(
-        to_spark(
-            f"WITH {ctes},\n{increment_ctes(src)}\n"
-            f"SELECT CAST((SELECT count(*) FROM {src}) AS BIGINT) AS raw_n, "
-            "CAST((SELECT count(*) FROM kept) AS BIGINT) AS kept_n, "
-            "CAST((SELECT count(*) FROM surv) AS BIGINT) AS surv_n, "
-            "CAST((SELECT COALESCE(sum(n_redactions), 0) FROM tok) AS BIGINT) AS red_n, "
-            "CAST((SELECT COALESCE(sum(n_tokens), 0) FROM tok) AS BIGINT) AS tok_n"
-        )
-    ).collect()[0]
-    total_packs = (prior_toks + counts["tok_n"] + budget - 1) // budget
+    total_packs = (prior_toks + aggs["tok_n"] + budget - 1) // budget
     from pyspark.sql import types as T
 
     ledger_schema = T.StructType(
@@ -424,18 +507,19 @@ def curate_increment(
             T.StructField("rows_in", T.LongType()),
             T.StructField("rows_out", T.LongType()),
             T.StructField("metric", T.LongType()),
+            T.StructField("run_id", T.StringType()),
         ]
     )
     ledger = spark.createDataFrame(
         [
-            (1, "quality_filter", counts["raw_n"], counts["kept_n"],
-             counts["raw_n"] - counts["kept_n"]),
-            (2, "dedup_incremental", counts["kept_n"], counts["surv_n"],
-             counts["kept_n"] - counts["surv_n"]),
-            (3, "pii_scrub", counts["surv_n"], counts["surv_n"],
-             counts["red_n"]),
-            (4, "pack_sequences", counts["surv_n"], total_packs,
-             counts["tok_n"]),
+            (1, "quality_filter", front["raw_n"], front["kept_n"],
+             front["raw_n"] - front["kept_n"], run_id),
+            (2, "dedup_incremental", front["kept_n"], aggs["surv_n"],
+             front["kept_n"] - aggs["surv_n"], run_id),
+            (3, "pii_scrub", aggs["surv_n"], aggs["surv_n"],
+             aggs["red_n"], run_id),
+            (4, "pack_sequences", aggs["surv_n"], total_packs,
+             aggs["tok_n"], run_id),
         ],
         schema=ledger_schema,
     )

@@ -186,7 +186,7 @@ def to_spark(sql: str) -> str:
     sql = _expand_call(
         sql,
         "RREPLACE",
-        lambda a: "regexp_replace({}, {}, {})".format(*_split_top(a)),
+        lambda a: "regexp_replace({}, {}, {})".format(*_rrepl_args(a)),
     )
     # count of non-overlapping regex matches (Spark has a builtin;
     # DuckDB spells it len(regexp_extract_all))
@@ -247,7 +247,7 @@ def to_duck(sql: str) -> str:
     sql = _expand_call(
         sql,
         "RREPLACE",
-        lambda a: "regexp_replace({}, {}, {}, 'g')".format(*_split_top(a)),
+        lambda a: "regexp_replace({}, {}, {}, 'g')".format(*_rrepl_args(a)),
     )
     sql = _expand_call(
         sql,
@@ -255,6 +255,22 @@ def to_duck(sql: str) -> str:
         lambda a: "len(regexp_extract_all({}, {}))".format(*_split_top(a)),
     )
     return _apply_common(sql, {**_DUCK, **_DUCK_EXTRA})
+
+
+def _rrepl_args(args: str) -> list[str]:
+    """RREPLACE args with the replacement literal validated: '$' and
+    backslash have DIVERGENT replacement semantics (Java regex group
+    refs / escapes vs RE2's backslash refs), so a literal replacement
+    containing either would silently mean different things per engine.
+    Refuse LOUDLY at translation time instead."""
+    a = _split_top(args)
+    if len(a) == 3 and a[2].startswith("'") and re.search(r"[$\\]", a[2]):
+        raise ValueError(
+            f"RREPLACE replacement {a[2]} contains $ or backslash — "
+            "group-reference/escape semantics diverge between Spark "
+            "(Java regex) and DuckDB (RE2); use a different placeholder"
+        )
+    return a
 
 
 def _split_top(args: str) -> list[str]:

@@ -271,3 +271,57 @@ def test_macro_quoting_fuzz_cross_engine(spark):
         got = spark.sql(f"SELECT {to_spark(expr)} AS v").collect()[0]["v"]
         want = con.execute(f"SELECT {to_duck(expr)} AS v").fetchone()[0]
         assert got == want == lit, f"literal mangled: {lit!r} -> {got!r}/{want!r}"
+
+
+def test_rreplace_rejects_divergent_replacement_literals():
+    # '$' and backslash mean different things in Java-regex vs RE2
+    # replacements — the macro must refuse them loudly, per engine
+    with pytest.raises(ValueError, match="diverge"):
+        to_spark("RREPLACE(x, 'a', '<USD$>')")
+    with pytest.raises(ValueError, match="diverge"):
+        to_duck("RREPLACE(x, 'a', '$1')")
+    # '$' in the PATTERN (end anchor) stays legal
+    assert "regexp_replace" in to_spark("RREPLACE(x, 'a$', 'b')")
+
+
+def test_increment_guards_budget_and_overlap(spark, tmp_path):
+    out = str(tmp_path / "guards")
+    CU.run_curation(spark, SF, out, run_id="d1", where="doc_id < 250")
+    # a different pack budget would tile inconsistent pack columns
+    with pytest.raises(ValueError, match="budget"):
+        CU.curate_increment(
+            spark, SF, out, run_id="d2", where="doc_id >= 250", budget=1024
+        )
+    # an overlapping batch slice violates the equivalence precondition
+    with pytest.raises(ValueError, match="overlaps committed"):
+        CU.curate_increment(
+            spark, SF, out, run_id="d2", where="doc_id >= 200"
+        )
+
+
+def test_increment_rerun_after_partial_commit_is_exact(spark, tmp_path):
+    # crash simulation: day-2 commits curated_docs and curated_fps but
+    # the ledger append is lost. The rerun must commit the SAME ledger
+    # row the uninterrupted run would have — i.e. prior tokens must
+    # come from ledger rows of OTHER runs, never from curated_docs
+    # (which already holds day-2's rows on the rerun).
+    from skewer_spark.icelite import IceLiteTable
+
+    out = str(tmp_path / "crash")
+    CU.run_curation(spark, SF, out, run_id="d1", where="doc_id < 250")
+    CU.curate_increment(spark, SF, out, run_id="d2", where="doc_id >= 250")
+    led_t = IceLiteTable(out, "curation_ledger")
+    want = sorted(map(tuple, led_t.read(spark).collect()))
+    # lose the day-2 ledger snapshot (manifest surgery = the crash)
+    import shutil
+
+    keep, dropped = [], []
+    for s in led_t._read_manifest():
+        (keep if s["run_id"] != "d2" else dropped).append(s)
+    led_t._commit_manifest(keep)
+    for s in dropped:
+        shutil.rmtree(f"{led_t.dir}/data/{s['snapshot_id']}", ignore_errors=True)
+    assert len(led_t.read(spark).collect()) == 4  # only day-1 rows left
+    CU.curate_increment(spark, SF, out, run_id="d2", where="doc_id >= 250")
+    got = sorted(map(tuple, led_t.read(spark).collect()))
+    assert got == want, "rerun after partial commit rewrote a different ledger"

@@ -37,7 +37,9 @@ def main() -> None:
     ap.add_argument("--where", default=None,
                     help="SQL predicate selecting the batch slice")
     ap.add_argument("--increment", action="store_true")
-    ap.add_argument("--budget", type=int, default=None)
+    ap.add_argument("--budget", type=int, default=None,
+                    help="tokens per pack (default: PACK_BUDGET; pinned "
+                    "per warehouse on first run)")
     ap.add_argument("--gate-fixture", action="store_true",
                     help="augment with the deterministic gate variants "
                     "(tests/benchmarks only — never production)")
@@ -53,7 +55,9 @@ def main() -> None:
     )
     from skewer_spark.session import get_spark
 
-    budget = args.budget or PACK_BUDGET
+    budget = PACK_BUDGET if args.budget is None else args.budget
+    if budget <= 0:
+        ap.error(f"--budget must be positive, got {budget}")
     spark = get_spark(
         app_name="skewer-curate",
         master=f"local[{args.cpus}]",
@@ -71,12 +75,16 @@ def main() -> None:
         )
     from skewer_spark.icelite import IceLiteTable
 
-    ledger = [
-        r.asDict()
-        for r in IceLiteTable(args.out, "curation_ledger")
-        .read(spark)
-        .collect()
-    ]
+    ledger = sorted(
+        (
+            r.asDict()
+            for r in IceLiteTable(args.out, "curation_ledger")
+            .read(spark)
+            .where(f"run_id = '{args.run_id}'")
+            .collect()
+        ),
+        key=lambda d: d["stage_idx"],
+    )
     spark.stop()
     print(json.dumps({"mode": "increment" if args.increment else "full",
                       "run_id": args.run_id, "tables": counts,
