@@ -2013,3 +2013,78 @@ ranked AS (
 SELECT term, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est,
        CAST(est - cnt AS BIGINT) AS overcount
 FROM ranked WHERE rnk <= {top}"""
+
+
+# --------------------------------- DSIR importance-weighted selection
+# Data Selection via Importance Resampling (Xie et al. 2023): hash
+# word n-grams into B buckets, estimate a TARGET-domain and a RAW
+# bucket distribution, weight every raw document by how target-like
+# its buckets are, select the above-average docs. The method behind
+# "make the web corpus look like the high-quality domain" selection.
+DSIR_B = 256  # gate bucket count; production ~10k buckets, same plan
+
+
+def dsir_weights_sql(b: int = DSIR_B) -> str:
+    """Per-document DSIR importance score and selection flag, target
+    domain = lang 'en' (select the docs whose hashed-ngram profile
+    looks English). INTEGER-EXACT cross-engine variant: the canonical
+    formulation sums log(p_b/q_b) per feature, but ln() drifts in the
+    last ulp across libm implementations (the same reason bm25_topk
+    uses rational idf), so this op scores with the scaled LINEAR
+    probability ratio s_b = floor(1e6 * (t_b+1)(A+B) / ((c_b+1)(T+B)))
+    — an integer, so the per-doc sum is order-insensitive and both
+    engines agree hash-exactly. Selection is the length-normalized
+    above-average rule via integer cross-multiplication (never a float
+    division): doc mean ratio >= corpus mean ratio
+    <=> score * N_feats_total >= n_feats * score_total.
+
+    Scale shape: ONE shuffle builds the (bucket, raw, target) counts
+    (conditional aggregate, map-side combined, <= B result rows); the
+    B-row ratio table broadcasts; doc scoring is one doc_id groupBy.
+    The feats CTE is referenced twice (distribution + scoring) — Spark
+    inlines CTEs, so at production scale stage feats to parquet first
+    (same note as tfidf_terms). Integer headroom: products stay under
+    2^63 for corpora up to ~1e9 hashed features per the gate's 1e6
+    scale factor; at 10^12 features swap the BIGINTs for
+    DECIMAL(38,0), same plan. Fixture: the corpus mixes 10 langs, so
+    the en/non-en selection rates must separate (pytest-asserted)."""
+    return f"""
+WITH w AS (SELECT doc_id, lang, SPLIT(text, ' ') AS words FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         HEX2INT(substring(md5(g), 1, 8)) % {b} AS bucket
+  FROM (
+    SELECT doc_id, lang, EXPLODE(words) AS g FROM w
+    UNION ALL
+    SELECT doc_id, lang,
+           EXPLODE(XFORM(SEQ1(ASIZE(words) - 1),
+                   i -> ARR_GET(words, i) || ' ' || ARR_GET(words, i + 1)))
+             AS g
+    FROM w
+  ) x
+),
+dist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM feats GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS a_n, CAST(sum(ct) AS BIGINT) AS t_n
+  FROM dist
+),
+ratio AS (
+  SELECT bucket,
+         IDIV(1000000 * (ct + 1) * (a_n + {b}), (c + 1) * (t_n + {b})) AS s
+  FROM dist CROSS JOIN tot
+),
+score AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(rt.s) AS BIGINT) AS score
+  FROM feats f JOIN ratio rt ON f.bucket = rt.bucket
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_feats, score,
+       (score * (SELECT CAST(sum(n_feats) AS BIGINT) FROM score)
+          >= n_feats * (SELECT CAST(sum(score) AS BIGINT) FROM score))
+         AS selected
+FROM score"""

@@ -667,6 +667,7 @@ def _ops_registry() -> dict[str, str]:
             "substr_resolve": C.substr_resolve_sql(),
             "ann_pq_recall": C.ann_pq_recall_sql(),
             "hot_keys_cms": C.hot_keys_cms_sql(),
+            "dsir_weights": C.dsir_weights_sql(),
         }
     return _OPS_SQL
 
@@ -1868,18 +1869,21 @@ ROTATION_HEAD: list[str] = [
 # (tools/check_correctness.py) can verify them on demand — a name
 # leaves this set the round it gets its first artifact row.
 #
-# Round-5 rotation math: 52 names will need r5 rows (the 49 r3-greens
-# not in this round's window + these 3) against a 50-slot cap. Lead
-# with the 3 pending, then the 49 r3-greens; the 2 names left over
-# should be the twin pair whose semantics another green row already
-# pins (ann_topk_numpy shares ann_topk_bruteforce's oracle;
-# value_percentiles is the exact twin of value_percentiles_approx) —
-# grant those a one-round guard exemption rather than letting a
-# never-checked name wait.
+# Round-5 rotation math: 53 names will need r5 rows (the 49 r3-greens
+# not in this round's window + these 4) against a 50-slot cap. Lead
+# with the 4 pending, then the 49 r3-greens; the 3 names left over
+# should be twins whose semantics another green row already pins
+# (ann_topk_numpy shares ann_topk_bruteforce's oracle;
+# value_percentiles is the exact twin of value_percentiles_approx;
+# dedup_simhash_pairs is re-verified transitively by
+# dedup_simhash_canonical, whose closure is built on the same pair
+# CTEs) — grant those a one-round guard exemption rather than letting
+# a never-checked name wait.
 PENDING_FIRST_WINDOW: set[str] = {
     "hot_keys_cms",
     "curation_ledger",
     "curate_pack",
+    "dsir_weights",
 }
 # The newest CORRECTNESS round at registration time. The exemption
 # EXPIRES once a newer artifact exists: from that round on, pending
@@ -1899,6 +1903,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # popped BEFORE tier4's **ops spread so these land at the registry
     # tail (PENDING_FIRST_WINDOW — awaiting their first driver slot)
     _hot_keys_cms_q = ops.pop("hot_keys_cms")
+    _dsir_weights_q = ops.pop("dsir_weights")
     tier1_never_checked = {
         "asof_join": ops.pop("asof_join"),
         "value_percentiles": ops.pop("value_percentiles"),
@@ -2003,6 +2008,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys_cms": _hot_keys_cms_q,
         "curation_ledger": _curation_ledger_q,
         "curate_pack": _curate_pack_q,
+        "dsir_weights": _dsir_weights_q,
     }
     everything.update(tier5_pending_first_window)
     head = {name: everything.pop(name) for name in ROTATION_HEAD}

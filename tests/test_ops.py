@@ -594,3 +594,64 @@ def test_line_dedup_gate_exercises_both_branches(spark, sf_dir):
     out = run(spark, "line_dedup")
     assert (out["n_kept"] < out["n_spans"]).any()
     assert (out["n_kept"] > 0).any()
+
+
+def test_dsir_matches_from_scratch_python(spark):
+    # recompute the DSIR hashed-ngram importance pipeline in plain
+    # Python integers (bucket hashing, add-1 smoothed scaled ratios,
+    # per-doc scores, cross-multiplied selection) — everything is
+    # integer-exact, so every field must match EXACTLY
+    import hashlib
+
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    out = {
+        r.doc_id: r for r in spark.sql(to_spark(C.dsir_weights_sql())).collect()
+    }
+    assert out
+
+    B = C.DSIR_B
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    feats: dict[int, list[int]] = {}
+    langs: dict[int, str] = {}
+    for r in docs.select("doc_id", "lang", "text").collect():
+        ws = r.text.split(" ")
+        gs = ws + [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+        feats[r.doc_id] = [bucket(g) for g in gs]
+        langs[r.doc_id] = r.lang
+    c: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for d, bs in feats.items():
+        for bk in bs:
+            c[bk] = c.get(bk, 0) + 1
+            if langs[d] == "en":
+                ct[bk] = ct.get(bk, 0) + 1
+    a_n, t_n = sum(c.values()), sum(ct.values())
+    s = {
+        bk: (1_000_000 * (ct.get(bk, 0) + 1) * (a_n + B))
+        // ((c[bk] + 1) * (t_n + B))
+        for bk in c
+    }
+    score = {d: sum(s[bk] for bk in bs) for d, bs in feats.items()}
+    n_feats = {d: len(bs) for d, bs in feats.items()}
+    tot_feats, tot_score = sum(n_feats.values()), sum(score.values())
+    sel_rates = {"en": [0, 0], "other": [0, 0]}
+    for d in feats:
+        r = out[d]
+        assert (r.n_feats, r.score) == (n_feats[d], score[d]), f"doc {d}"
+        want_sel = score[d] * tot_feats >= n_feats[d] * tot_score
+        assert r.selected == want_sel, f"doc {d} selection"
+        k = "en" if langs[d] == "en" else "other"
+        sel_rates[k][0] += int(want_sel)
+        sel_rates[k][1] += 1
+    # the point of the op: target-domain (en) docs are selected at a
+    # clearly higher rate than out-of-domain docs
+    en = sel_rates["en"][0] / sel_rates["en"][1]
+    other = sel_rates["other"][0] / max(sel_rates["other"][1], 1)
+    assert en > other + 0.2, f"no domain separation: en {en} other {other}"
