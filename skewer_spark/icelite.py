@@ -292,12 +292,27 @@ class IceLiteTable:
         (no-op if that run never committed). The rerun-safety read: a
         job rerun after a partial failure derives its inputs from the
         state as of OTHER runs, so its own earlier partial commit can
-        never feed back into its recomputation."""
-        snaps = [s for s in self.snapshots() if s.run_id != run_id]
-        if not self.snapshots():
+        never feed back into its recomputation.
+
+        Refuses after a rewrite has absorbed the run: once compact()/
+        overwrite folds ``run_id`` into a new snapshot (recorded in
+        ``parents``), its rows can no longer be separated out — failing
+        loudly beats silently feeding them back."""
+        all_snaps = self.snapshots()
+        if not all_snaps:
             raise FileNotFoundError(
                 f"IceLite table {self.name} has no committed snapshots"
             )
+        absorbed = [
+            s.snapshot_id for s in all_snaps if run_id in (s.parents or [])
+        ]
+        if absorbed:
+            raise ValueError(
+                f"run {run_id!r} was absorbed into rewritten snapshot(s) "
+                f"{absorbed} of {self.name} — its rows cannot be excluded "
+                "post-compaction"
+            )
+        snaps = [s for s in all_snaps if s.run_id != run_id]
         files: list[str] = []
         for s in snaps:
             d = os.path.join(self.dir, "data", s.snapshot_id)
@@ -307,6 +322,12 @@ class IceLiteTable:
                 if f.endswith(".parquet")
             )
         if not files:
+            # preserve the TABLE schema (read_incremental's pattern) so
+            # downstream column references see an empty table, not a
+            # zero-column frame
+            any_files = self.data_files()
+            if any_files:
+                return spark.read.parquet(any_files[-1]).limit(0)
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType([]))

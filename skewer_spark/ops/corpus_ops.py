@@ -2043,11 +2043,16 @@ def dsir_weights_sql(b: int = DSIR_B) -> str:
     B-row ratio table broadcasts; doc scoring is one doc_id groupBy.
     The feats CTE is referenced twice (distribution + scoring) — Spark
     inlines CTEs, so at production scale stage feats to parquet first
-    (same note as tfidf_terms). Integer headroom: products stay under
-    2^63 for corpora up to ~1e9 hashed features per the gate's 1e6
-    scale factor; at 10^12 features swap the BIGINTs for
-    DECIMAL(38,0), same plan. Fixture: the corpus mixes 10 langs, so
-    the en/non-en selection rates must separate (pytest-asserted)."""
+    (same note as tfidf_terms). Integer headroom at the 1e6 scale
+    factor: the ratio product 1e6*(ct+1)*(A+B) is bounded by
+    ~1e6*A^2/B with balanced buckets, staying under 2^63 only to
+    A ~ 5e7 total hashed features (worst-case one hot bucket: A ~
+    3e6); Spark's default non-ANSI BIGINT arithmetic WRAPS silently
+    past that, so production corpora must lower the scale factor
+    (1e3 keeps ~1.5e9 balanced features exact) or swap the products
+    to DECIMAL(38,0) — same plan either way. Fixture: the corpus
+    mixes 10 langs, so the en/non-en selection rates must separate
+    (pytest-asserted)."""
     return f"""
 WITH w AS (SELECT doc_id, lang, SPLIT(text, ' ') AS words FROM documents),
 feats AS (

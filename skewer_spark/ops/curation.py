@@ -283,29 +283,62 @@ SELECT doc_id, n_tokens, n_redactions, scrubbed_md5, start_tok,
 FROM c"""
 
 
-def _check_budget(out_dir: str, budget: int) -> None:
-    """Persist the pack budget on first use; refuse a different one
-    later — pack columns tiled at mixed boundaries would silently
-    corrupt the committed table."""
+def _meta_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "curation_meta.json")
+
+
+def _read_meta(out_dir: str) -> dict:
+    import json
+    import os
+
+    path = _meta_path(out_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_meta(out_dir: str, meta: dict) -> None:
     import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "curation_meta.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            committed = json.load(f)["budget"]
-        if committed != budget:
+    tmp = _meta_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(out_dir))
+
+
+def _check_budget(out_dir: str, budget: int) -> None:
+    """Persist the pack budget on first use; refuse a different one
+    later — pack columns tiled at mixed boundaries would silently
+    corrupt the committed table."""
+    meta = _read_meta(out_dir)
+    if "budget" in meta:
+        if meta["budget"] != budget:
             raise ValueError(
-                f"budget {budget} != committed budget {committed} "
-                f"(pinned in {path}); pack boundaries must be uniform "
-                "across runs of one warehouse"
+                f"budget {budget} != committed budget {meta['budget']} "
+                f"(pinned in {_meta_path(out_dir)}); pack boundaries must "
+                "be uniform across runs of one warehouse"
             )
         return
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"budget": budget}, f)
-    os.replace(tmp, path)
+    meta["budget"] = budget
+    _write_meta(out_dir, meta)
+
+
+def _record_raw_bound(out_dir: str, batch_max_id: int | None) -> None:
+    """Track the highest RAW doc_id any committed batch has covered —
+    the id bound the overlap guard compares against (the curated max
+    is NOT usable: a batch whose trailing docs were all filtered out
+    would leave a hole the guard could not see)."""
+    if batch_max_id is None:
+        return
+    meta = _read_meta(out_dir)
+    if batch_max_id > meta.get("max_raw_id", -1):
+        meta["max_raw_id"] = int(batch_max_id)
+        _write_meta(out_dir, meta)
 
 
 def run_curation(
@@ -337,6 +370,18 @@ def run_curation(
     from skewer_spark.icelite import IceLiteTable
 
     _check_budget(out_dir, budget)
+    # full mode restarts pack tiling at token 0 and dedups only within
+    # its own slice — appending it into a warehouse that already holds
+    # OTHER runs would silently corrupt both; that job is
+    # curate_increment's (a replay of this run's own id stays a no-op)
+    docs_t = IceLiteTable(out_dir, "curated_docs")
+    prior_runs = docs_t.committed_runs() if docs_t.snapshots() else set()
+    if prior_runs and run_id not in prior_runs:
+        raise ValueError(
+            f"warehouse {out_dir} already holds run(s) {sorted(prior_runs)}"
+            " — full-mode run_curation would restart pack tiling at 0;"
+            " use curate_increment for follow-on batches"
+        )
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
@@ -371,6 +416,10 @@ def run_curation(
     ledger = spark.sql(
         to_spark(curation_ledger_sql(budget, augment=augment, where=where))
     ).withColumn("run_id", F.lit(run_id))
+    raw_max = spark.sql(
+        to_spark(f"WITH {ctes}\nSELECT max(doc_id) AS m FROM {src}")
+    ).collect()[0]["m"]
+    _record_raw_bound(out_dir, raw_max)  # before appends: see increment
     out: dict[str, int] = {}
     for name, df in (
         ("curated_docs", packed),
@@ -429,6 +478,22 @@ def curate_increment(
     fps_t = IceLiteTable(out_dir, "curated_fps")
     led_t = IceLiteTable(out_dir, "curation_ledger")
 
+    # cross-table consistency: every OTHER run committed in
+    # curated_docs must have its ledger row — a run that crashed
+    # between its docs and ledger appends left the warehouse
+    # half-committed, and starting a NEW batch on top would tile new
+    # tokens over the orphaned run's range (its tokens are invisible
+    # to the ledger-derived offset). Rerun the crashed run_id first.
+    docs_runs = docs_t.committed_runs() if docs_t.snapshots() else set()
+    led_runs = led_t.committed_runs() if led_t.snapshots() else set()
+    orphaned = docs_runs - led_runs - {run_id}
+    if orphaned:
+        raise ValueError(
+            f"run(s) {sorted(orphaned)} committed curated_docs but no "
+            "ledger row (crashed mid-commit) — rerun those run_ids to "
+            "heal the warehouse before starting a new batch"
+        )
+
     # ALL committed-state reads exclude this run's own snapshots
     # (rerun-safe: after a partial failure curated_docs/curated_fps
     # may already hold this batch — feeding them back would exclude
@@ -451,17 +516,26 @@ def curate_increment(
             f"WITH {ctes},\n{_kept_winners_ctes(src)}\n"
             f"SELECT CAST((SELECT count(*) FROM {src}) AS BIGINT) AS raw_n,"
             " CAST((SELECT count(*) FROM kept) AS BIGINT) AS kept_n,"
-            f" CAST((SELECT min(doc_id) FROM {src}) AS BIGINT) AS min_id"
+            f" CAST((SELECT min(doc_id) FROM {src}) AS BIGINT) AS min_id,"
+            f" CAST((SELECT max(doc_id) FROM {src}) AS BIGINT) AS max_id"
         )
     ).collect()[0]
     if run_id not in docs_t.committed_runs() and front["raw_n"] > 0:
-        max_committed = docs_t.read(spark).agg(F.max("doc_id")).collect()[0][0]
-        if max_committed is not None and front["min_id"] <= max_committed:
+        # guard on the RAW id bound each committed batch covered
+        # (curation_meta.json) — the curated max is not usable: a
+        # prior batch whose trailing docs were all filtered out would
+        # leave a hole the guard could not see. Curated max is the
+        # legacy fallback for warehouses predating the meta field.
+        bound = _read_meta(out_dir).get("max_raw_id")
+        if bound is None:
+            bound = docs_t.read(spark).agg(F.max("doc_id")).collect()[0][0]
+        if bound is not None and front["min_id"] <= bound:
             raise ValueError(
-                f"batch overlaps committed ids (batch min {front['min_id']}"
-                f" <= committed max {max_committed}): the min-doc_id winner"
-                " rule and packing order would silently diverge from a"
-                " full run — curate overlapping slices in one run instead"
+                f"batch overlaps committed raw ids (batch min"
+                f" {front['min_id']} <= committed bound {bound}): the"
+                " min-doc_id winner rule and packing order would silently"
+                " diverge from a full run — curate overlapping slices in"
+                " one run instead"
             )
 
     # ONE full-funnel execution, materialized narrow (see run_curation)
@@ -524,6 +598,10 @@ def curate_increment(
         schema=ledger_schema,
     )
 
+    # bound FIRST, appends after: a crash in between leaves a bound
+    # that over-refuses (safe); the reverse order could let the next
+    # batch overlap this one's raw range unseen
+    _record_raw_bound(out_dir, front["max_id"])
     out: dict[str, int] = {}
     for name, t, df in (
         ("curated_docs", docs_t, packed),

@@ -325,3 +325,72 @@ def test_increment_rerun_after_partial_commit_is_exact(spark, tmp_path):
     CU.curate_increment(spark, SF, out, run_id="d2", where="doc_id >= 250")
     got = sorted(map(tuple, led_t.read(spark).collect()))
     assert got == want, "rerun after partial commit rewrote a different ledger"
+
+
+def test_full_mode_refuses_nonempty_warehouse(spark, tmp_path):
+    out = str(tmp_path / "fullguard")
+    CU.run_curation(spark, SF, out, run_id="d1", where="doc_id < 250")
+    # a forgotten --increment must not restart pack tiling at 0
+    with pytest.raises(ValueError, match="full-mode"):
+        CU.run_curation(spark, SF, out, run_id="d2", where="doc_id >= 250")
+    # replaying the SAME run_id stays a legal no-op
+    CU.run_curation(spark, SF, out, run_id="d1", where="doc_id < 250")
+
+
+def test_overlap_guard_uses_raw_bound_not_curated_max(spark, tmp_path):
+    # doc 14 fails the quality filter at sf0.001, so a day-1 slice
+    # ending at 14 commits curated max 13 — the curated-max guard
+    # would wave an overlapping 'doc_id >= 14' batch through; the
+    # RAW bound (curation_meta.json) must refuse it
+    out = str(tmp_path / "rawbound")
+    CU.run_curation(spark, SF, out, run_id="d1", where="doc_id <= 14")
+    from skewer_spark.icelite import IceLiteTable
+
+    max_curated = (
+        IceLiteTable(out, "curated_docs").read(spark)
+        .agg({"doc_id": "max"}).collect()[0][0]
+    )
+    assert max_curated < 14  # the scenario premise: trailing doc dropped
+    with pytest.raises(ValueError, match="overlaps committed raw ids"):
+        CU.curate_increment(
+            spark, SF, out, run_id="d2", where="doc_id >= 14"
+        )
+    # the non-overlapping continuation is accepted
+    CU.curate_increment(spark, SF, out, run_id="d2", where="doc_id >= 15")
+
+
+def test_increment_refuses_orphaned_half_committed_run(spark, tmp_path):
+    # a run that committed curated_docs but lost its ledger append
+    # makes its tokens invisible to the ledger-derived offset; a NEW
+    # batch must refuse until the crashed run is rerun
+    from skewer_spark.icelite import IceLiteTable
+
+    out = str(tmp_path / "orphan")
+    CU.run_curation(spark, SF, out, run_id="d1", where="doc_id < 200")
+    CU.curate_increment(spark, SF, out, run_id="d2", where="doc_id >= 200 AND doc_id < 400")
+    led_t = IceLiteTable(out, "curation_ledger")
+    import shutil
+
+    keep = [s for s in led_t._read_manifest() if s["run_id"] != "d2"]
+    led_t._commit_manifest(keep)
+    with pytest.raises(ValueError, match="crashed mid-commit"):
+        CU.curate_increment(spark, SF, out, run_id="d3", where="doc_id >= 400")
+    # healing path: rerun the crashed run, then d3 proceeds
+    CU.curate_increment(spark, SF, out, run_id="d2", where="doc_id >= 200 AND doc_id < 400")
+    CU.curate_increment(spark, SF, out, run_id="d3", where="doc_id >= 400")
+
+
+def test_read_excluding_run_preserves_schema_and_refuses_compacted(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from skewer_spark.icelite import IceLiteTable
+
+    t = IceLiteTable(str(tmp_path), "tbl")
+    t.append(spark.createDataFrame([Row(a=1, b="x")]), run_id="r1")
+    # excluding the only run still yields the TABLE schema, empty
+    df = t.read_excluding_run(spark, "r1")
+    assert df.columns == ["a", "b"] and df.count() == 0
+    # post-compaction the run's rows cannot be separated — refuse
+    assert t.compact(spark, min_files=1) is not None
+    with pytest.raises(ValueError, match="absorbed"):
+        t.read_excluding_run(spark, "r1")

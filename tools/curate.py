@@ -75,12 +75,14 @@ def main() -> None:
         )
     from skewer_spark.icelite import IceLiteTable
 
+    from pyspark.sql import functions as F
+
     ledger = sorted(
         (
             r.asDict()
             for r in IceLiteTable(args.out, "curation_ledger")
             .read(spark)
-            .where(f"run_id = '{args.run_id}'")
+            .where(F.col("run_id") == args.run_id)  # no SQL interpolation
             .collect()
         ),
         key=lambda d: d["stage_idx"],
