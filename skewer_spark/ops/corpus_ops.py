@@ -2087,9 +2087,12 @@ score AS (
          CAST(sum(rt.s) AS BIGINT) AS score
   FROM feats f JOIN ratio rt ON f.bucket = rt.bucket
   GROUP BY f.doc_id
+),
+sel AS (
+  SELECT CAST(sum(n_feats) AS BIGINT) AS fn,
+         CAST(sum(score) AS BIGINT) AS fs
+  FROM score
 )
 SELECT doc_id, n_feats, score,
-       (score * (SELECT CAST(sum(n_feats) AS BIGINT) FROM score)
-          >= n_feats * (SELECT CAST(sum(score) AS BIGINT) FROM score))
-         AS selected
-FROM score"""
+       (score * sel.fn >= n_feats * sel.fs) AS selected
+FROM score CROSS JOIN sel"""

@@ -153,6 +153,16 @@ def main() -> None:
         formatted(_make_ops_query("ngram_counts")(spark, sf_dir)),
     ))
 
+    sections.append((
+        "DSIR importance weights (round 4)",
+        "One conditional-aggregate exchange builds BOTH the raw and "
+        "target bucket distributions (<= B rows out, map-side "
+        "combined); the B-row ratio table returns by BroadcastHashJoin; "
+        "doc scoring is one doc_id HashAggregate. Integer-only "
+        "arithmetic end to end — no ln(), no float sums.",
+        formatted(_make_ops_query("dsir_weights")(spark, sf_dir)),
+    ))
+
     from skewer_spark.ops.curation import curate_pack
     sections.append((
         "Curation capstone output (round 4: filter -> dedup -> scrub -> pack)",
