@@ -170,6 +170,21 @@ def main() -> None:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    # 4. curation capstone over the documents table (round-4 surface):
+    # the full funnel — quality filter -> normalized dedup -> PII
+    # scrub -> token packing — as ONE plan (ops/curation.py), timed on
+    # the gate-augmented corpus so dedup/scrub do real work. Tracked
+    # so a funnel-plan regression shows up in BENCH_r*.json.
+    from skewer_spark.ops.curation import curate_pack
+
+    timed(
+        "curation",
+        lambda: curate_pack(spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
     total = timings["e2e_write"]
     print(
         json.dumps(
