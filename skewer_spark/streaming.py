@@ -810,3 +810,72 @@ def bloom_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curation_stream(
+    stream: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Ingest-time twin of the curation funnel (ops/curation.py):
+    quality filter -> normalized dedup -> PII scrub applied to
+    documents AS THEY ARRIVE, so the batch finalization (token
+    packing over the accumulated survivors) starts from an
+    already-curated table instead of re-funneling the day's raw feed.
+
+    Per micro-batch the batch slice runs the SAME macro-SQL CTE chain
+    as ``curate_increment`` (``curation.increment_ctes`` — quality
+    rules, fingerprint, per-fingerprint winner, frozen-fingerprint
+    exclusion, scrub), with the cross-batch dedup state being the
+    accumulated FINGERPRINT table under the checkpoint dir: 32-byte
+    digests on disk, read per batch and appended per batch — never
+    executor memory (the dropDuplicatesWithinWatermark alternative
+    holds one state row per distinct hash in memory with no natural
+    horizon on a corpus feed; the Bloom variant ``bloom_dedup_stream``
+    composes where even the digest scan is too much). Survivors append
+    to ``<out_dir>/curated`` with scrubbed hash, redaction count, and
+    token count — the exact ``tok`` schema the packer consumes.
+
+    Semantics pinned by tests: with ordered arrival (batch N's doc_ids
+    above batch N-1's — the append-only corpus case), the accumulated
+    survivor set EQUALS the batch funnel's ``tok`` output on the same
+    corpus. At-least-once on replay, like the other foreachBatch
+    writers; the exactly-once ledger pattern composes on top."""
+    from skewer_spark.ops.curation import increment_ctes
+    from skewer_spark.ops.portable import to_spark
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    fps_dir = os.path.join(checkpoint_dir, "fps")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_df.createOrReplaceTempView("curation_stream_batch")
+        if os.path.isdir(fps_dir):
+            s.read.parquet(fps_dir).select("norm_fp").createOrReplaceTempView(
+                "corpus_fps"
+            )
+        else:
+            s.sql("SELECT '' AS norm_fp WHERE FALSE").createOrReplaceTempView(
+                "corpus_fps"
+            )
+        base = s.sql(
+            to_spark(
+                f"WITH {increment_ctes('curation_stream_batch')}\n"
+                "SELECT t.doc_id, t.n_tokens, t.n_redactions,"
+                " t.scrubbed_md5, f.norm_fp"
+                " FROM tok t JOIN fresh f ON t.doc_id = f.keep_id"
+            )
+        ).localCheckpoint()  # one funnel execution feeds both writes
+        base.drop("norm_fp").write.mode("append").parquet(
+            os.path.join(out_dir, "curated")
+        )
+        base.select("norm_fp", "doc_id").write.mode("append").parquet(fps_dir)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", os.path.join(checkpoint_dir, "engine")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

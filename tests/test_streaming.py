@@ -967,3 +967,83 @@ def test_line_dedup_stream_end_state_matches_batch(spark, tmp_path, sf_dir):
                 r.doc_id, got_docs.get(r.doc_id), (r.n_kept, r.clean_md5)
             )
     assert compared >= (3 * n_docs) // 4
+
+
+def test_curation_stream_end_state_matches_batch(spark, tmp_path):
+    # ingest-time curation twin: streaming the documents corpus in
+    # ordered slices through curation_stream must accumulate EXACTLY
+    # the batch funnel's tok output (quality + dedup + scrub agree,
+    # cross-batch dedup included), so the packing finalization starts
+    # from the same survivors either way
+    import time as _time
+
+    from skewer_spark.ops.curation import real_docs_cte, survivors_ctes
+    from skewer_spark.ops.portable import to_spark
+    from skewer_spark.streaming import curation_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "lang", "text"]
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    # three ordered slices + a duplicate-bearing tail: doc 10's text
+    # re-appears under a higher id in a LATER slice (cross-batch dup
+    # that only the persisted fingerprint state can drop)
+    dup = docs.where("doc_id = 10").selectExpr(
+        "doc_id + 9000 AS doc_id", "lang", "text"
+    )
+    slices = [
+        docs.where("doc_id < 150").select(*cols),
+        docs.where("doc_id >= 150 AND doc_id < 300").select(*cols),
+        docs.where("doc_id >= 300").select(*cols).union(dup),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(str(indir / f"f{i}"))
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    q = curation_stream(
+        stream, spark, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(tmp_path / "out" / "curated"))
+            .select("doc_id", "n_tokens", "n_redactions", "scrubbed_md5")
+            .collect(),
+        )
+    )
+    # batch expectation over the SAME corpus (original + the dup row)
+    docs.select(*cols).union(dup).createOrReplaceTempView("documents")
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                to_spark(
+                    f"WITH {real_docs_cte()},\n{survivors_ctes()}\n"
+                    "SELECT doc_id, n_tokens, n_redactions, scrubbed_md5"
+                    " FROM tok"
+                )
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the planted cross-batch duplicate did NOT survive
+    assert all(r[0] != 9010 for r in got)
+    # restart on the same checkpoint: no new files -> no new rows
+    stream2 = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    q2 = curation_stream(
+        stream2, spark, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(60)
+    n_after = spark.read.parquet(str(tmp_path / "out" / "curated")).count()
+    assert n_after == len(got)
