@@ -814,10 +814,10 @@ def bloom_dedup_stream(
 
 def curation_stream(
     stream: DataFrame,
-    spark: SparkSession,
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int = 64,
 ):
     """Ingest-time twin of the curation funnel (ops/curation.py):
     quality filter -> normalized dedup -> PII scrub applied to
@@ -830,36 +830,83 @@ def curation_stream(
     rules, fingerprint, per-fingerprint winner, frozen-fingerprint
     exclusion, scrub), with the cross-batch dedup state being the
     accumulated FINGERPRINT table under the checkpoint dir: 32-byte
-    digests on disk, read per batch and appended per batch — never
-    executor memory (the dropDuplicatesWithinWatermark alternative
-    holds one state row per distinct hash in memory with no natural
-    horizon on a corpus feed; the Bloom variant ``bloom_dedup_stream``
-    composes where even the digest scan is too much). Survivors append
+    digests read per batch with a PINNED schema and appended per batch
+    (one file per batch) — never executor memory (the
+    dropDuplicatesWithinWatermark alternative holds one state row per
+    distinct hash in memory with no natural horizon on a corpus feed;
+    the Bloom variant ``bloom_dedup_stream`` composes where even the
+    digest scan is too much). State reads resolve through Spark's
+    filesystem layer, so a remote checkpoint works for the state
+    itself; the periodic fps COMPACTION (every ``compact_every``
+    batches: append one coalesced copy, then drop the old files —
+    idempotent, because duplicate fingerprints cannot multiply
+    survivors, so a crash between the two steps only leaves extra
+    rows for the next compaction) deletes via the local filesystem
+    and is skipped on non-local paths — run offline compaction there.
+
+    ORDERED-ARRIVAL GUARD: the pinned streaming==batch equality needs
+    every batch's doc_ids above all earlier batches' (the append-only
+    corpus case, same precondition ``curate_increment`` enforces).
+    The max RAW doc_id seen is persisted per batch under
+    ``<checkpoint>/bounds`` BEFORE the batch's writes (a crash
+    over-refuses, never under-refuses), and an out-of-order batch
+    FAILS the query rather than silently diverging. Survivors append
     to ``<out_dir>/curated`` with scrubbed hash, redaction count, and
     token count — the exact ``tok`` schema the packer consumes.
-
-    Semantics pinned by tests: with ordered arrival (batch N's doc_ids
-    above batch N-1's — the append-only corpus case), the accumulated
-    survivor set EQUALS the batch funnel's ``tok`` output on the same
-    corpus. At-least-once on replay, like the other foreachBatch
-    writers; the exactly-once ledger pattern composes on top."""
+    At-least-once on replay of the OUTPUT rows, like the other
+    foreachBatch writers; the exactly-once ledger pattern composes on
+    top."""
     from skewer_spark.ops.curation import increment_ctes
     from skewer_spark.ops.portable import to_spark
 
-    os.makedirs(checkpoint_dir, exist_ok=True)
     fps_dir = os.path.join(checkpoint_dir, "fps")
+    bounds_dir = os.path.join(checkpoint_dir, "bounds")
+    FPS_SCHEMA = "norm_fp string, doc_id long"
+
+    def _read_state(s: SparkSession, path: str, schema: str) -> DataFrame:
+        try:
+            return s.read.schema(schema).parquet(path)
+        except Exception:  # missing dir / no committed files yet
+            return s.createDataFrame([], schema)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        ext = batch_df.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if ext["lo"] is None:
+            return  # empty batch
+        bounds = _read_state(s, bounds_dir, "max_raw_id long, batch long")
+        row = bounds.agg(
+            F.max(F.when(F.col("batch") != batch_id, F.col("max_raw_id")))
+            .alias("prior_hi"),
+            F.max(F.when(F.col("batch") == batch_id, F.col("max_raw_id")))
+            .alias("own"),
+        ).collect()[0]
+        # a crash-replayed batch already wrote its bound — recognized
+        # by (batch_id, hi) matching — and must pass the guard it
+        # itself raised the bar for
+        replay = row["own"] is not None and row["own"] == ext["hi"]
+        if not replay and row["prior_hi"] is not None \
+                and ext["lo"] <= row["prior_hi"]:
+            raise ValueError(
+                f"out-of-order batch {batch_id}: min doc_id {ext['lo']} <="
+                f" seen bound {row['prior_hi']} — the min-doc_id winner"
+                " rule would silently diverge from the batch funnel;"
+                " route late slices through curate_increment/run_curation"
+            )
+        if not replay:
+            # bound FIRST (see curation._record_raw_bound: over-refuse
+            # on crash, never under-refuse)
+            s.createDataFrame(
+                [(int(ext["hi"]), int(batch_id))],
+                "max_raw_id long, batch long",
+            ).coalesce(1).write.mode("append").parquet(bounds_dir)
+
         batch_df.createOrReplaceTempView("curation_stream_batch")
-        if os.path.isdir(fps_dir):
-            s.read.parquet(fps_dir).select("norm_fp").createOrReplaceTempView(
-                "corpus_fps"
-            )
-        else:
-            s.sql("SELECT '' AS norm_fp WHERE FALSE").createOrReplaceTempView(
-                "corpus_fps"
-            )
+        _read_state(s, fps_dir, FPS_SCHEMA).select(
+            "norm_fp"
+        ).createOrReplaceTempView("corpus_fps")
         base = s.sql(
             to_spark(
                 f"WITH {increment_ctes('curation_stream_batch')}\n"
@@ -871,7 +918,20 @@ def curation_stream(
         base.drop("norm_fp").write.mode("append").parquet(
             os.path.join(out_dir, "curated")
         )
-        base.select("norm_fp", "doc_id").write.mode("append").parquet(fps_dir)
+        base.select("norm_fp", "doc_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(fps_dir)
+
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            fps = _read_state(s, fps_dir, FPS_SCHEMA)
+            old = [f for f in fps.inputFiles() if f.startswith("file:")]
+            if old and len(old) > 1:
+                fps.coalesce(1).write.mode("append").parquet(fps_dir)
+                for f in old:  # crash here leaves harmless duplicates
+                    try:
+                        os.remove(f[len("file:"):])
+                    except OSError:
+                        pass
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", os.path.join(checkpoint_dir, "engine")

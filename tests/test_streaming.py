@@ -1006,7 +1006,7 @@ def test_curation_stream_end_state_matches_batch(spark, tmp_path):
         .parquet(str(indir / "f*"))
     )
     q = curation_stream(
-        stream, spark, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
     )
     q.awaitTermination(180)
 
@@ -1033,8 +1033,12 @@ def test_curation_stream_end_state_matches_batch(spark, tmp_path):
         )
     )
     assert got == want
-    # the planted cross-batch duplicate did NOT survive
+    # the planted cross-batch duplicate did NOT survive — and its
+    # SOURCE did (pins the fixture assumption: if doc 10 were ever
+    # quality-dropped, the dup's absence would stop proving the
+    # persisted-fingerprint exclusion fired)
     assert all(r[0] != 9010 for r in got)
+    assert any(r[0] == 10 for r in got)
     # restart on the same checkpoint: no new files -> no new rows
     stream2 = (
         spark.readStream.schema("doc_id long, lang string, text string")
@@ -1042,8 +1046,96 @@ def test_curation_stream_end_state_matches_batch(spark, tmp_path):
         .parquet(str(indir / "f*"))
     )
     q2 = curation_stream(
-        stream2, spark, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream2, str(tmp_path / "out"), str(tmp_path / "ckpt")
     )
     q2.awaitTermination(60)
     n_after = spark.read.parquet(str(tmp_path / "out" / "curated")).count()
     assert n_after == len(got)
+
+
+def test_curation_stream_refuses_out_of_order_batch(spark, tmp_path):
+    # the ordered-arrival precondition is ENFORCED (the same guard the
+    # batch twin curate_increment raises), not assumed: a late slice
+    # with ids below the persisted bound fails the query loudly
+    import time as _time
+
+    from pyspark.errors import StreamingQueryException
+
+    from skewer_spark.streaming import curation_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "lang", "text"]
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    docs.where("doc_id >= 250").select(*cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(indir / "f0"))
+    _time.sleep(0.05)
+    docs.where("doc_id < 250").select(*cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(indir / "f1"))  # arrives late, below the bound
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    q = curation_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    with pytest.raises(StreamingQueryException, match="out-of-order"):
+        q.awaitTermination(180)
+
+
+def test_curation_stream_fps_compaction_preserves_state(spark, tmp_path):
+    # compact_every=2: the fingerprint state folds into one file yet
+    # keeps excluding earlier batches' duplicates afterwards (the
+    # append-then-delete order means a crash only leaves harmless
+    # duplicate digests, never lost ones)
+    import os
+    import time as _time
+
+    from skewer_spark.streaming import curation_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "lang", "text"]
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    dup = docs.where("doc_id = 20").selectExpr(
+        "doc_id + 9000 AS doc_id", "lang", "text"
+    )
+    parts = [
+        docs.where("doc_id < 100").select(*cols),
+        docs.where("doc_id >= 100 AND doc_id < 200").select(*cols),
+        docs.where("doc_id >= 200 AND doc_id < 300").select(*cols),
+        docs.where("doc_id >= 300").select(*cols).union(dup),
+    ]
+    for i, sl in enumerate(parts):
+        sl.coalesce(1).write.mode("overwrite").parquet(str(indir / f"f{i}"))
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    q = curation_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out" / "curated"))
+    ids = {r[0] for r in out.select("doc_id").collect()}
+    assert 9020 not in ids and 20 in ids  # post-compaction dedup fired
+    # state actually folded: fewer fps files than batches
+    fps_files = [
+        f for f in os.listdir(str(tmp_path / "ckpt" / "fps"))
+        if f.endswith(".parquet")
+    ]
+    assert len(fps_files) < 4
+    # digest set intact despite the fold (no lost fingerprints)
+    n_fps = (
+        spark.read.schema("norm_fp string, doc_id long")
+        .parquet(str(tmp_path / "ckpt" / "fps"))
+        .select("norm_fp").distinct().count()
+    )
+    assert n_fps == out.count()
