@@ -137,22 +137,27 @@ def _table_rows(spark, out, name):
     return sorted(map(tuple, IceLiteTable(out, name).read(spark).collect()))
 
 
-def test_increment_equals_full_run(spark, tmp_path):
+@pytest.mark.parametrize("split", [60, 250, 430])
+def test_increment_equals_full_run(spark, tmp_path, split):
     # THE incremental contract: day-1 run + day-2 increment must equal
     # one full run over both slices, byte for byte — min-doc_id winner
     # selection and doc_id packing order both compose across the split
     # when batch ids exceed committed ids (append-only corpora).
     # augment=True so dedup/scrub do real cross-slice work: day-2
     # carries mangled variants (+300000) of day-1 sources that ONLY
-    # the committed-fingerprint exclusion can drop.
+    # the committed-fingerprint exclusion can drop. Parametrized split
+    # points cover a tiny day-1, a balanced split, and a tiny day-2
+    # (the pack-boundary and dedup distributions differ at each).
     full = str(tmp_path / "full")
     inc = str(tmp_path / "inc")
     CU.run_curation(spark, SF, full, run_id="all", augment=True)
     CU.run_curation(
-        spark, SF, inc, run_id="day1", augment=True, where="doc_id < 250"
+        spark, SF, inc, run_id="day1", augment=True,
+        where=f"doc_id < {split}",
     )
     res2 = CU.curate_increment(
-        spark, SF, inc, run_id="day2", where="doc_id >= 250", augment=True
+        spark, SF, inc, run_id="day2", where=f"doc_id >= {split}",
+        augment=True,
     )
     assert _table_rows(spark, inc, "curated_docs") == _table_rows(
         spark, full, "curated_docs"
@@ -170,7 +175,8 @@ def test_increment_equals_full_run(spark, tmp_path):
     assert led[(2, "dedup_incremental")][4] > 0, "no vs-corpus drops"
     # increment replay is a no-op
     again = CU.curate_increment(
-        spark, SF, inc, run_id="day2", where="doc_id >= 250", augment=True
+        spark, SF, inc, run_id="day2", where=f"doc_id >= {split}",
+        augment=True,
     )
     assert again == res2
 
