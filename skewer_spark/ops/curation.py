@@ -328,17 +328,51 @@ def _check_budget(out_dir: str, budget: int) -> None:
     _write_meta(out_dir, meta)
 
 
-def _record_raw_bound(out_dir: str, batch_max_id: int | None) -> None:
+def _record_raw_bound(
+    out_dir: str, batch_max_id: int | None, run_id: str
+) -> None:
     """Track the highest RAW doc_id any committed batch has covered —
     the id bound the overlap guard compares against (the curated max
     is NOT usable: a batch whose trailing docs were all filtered out
-    would leave a hole the guard could not see)."""
+    would leave a hole the guard could not see). The bound is recorded
+    PER RUN (``raw_bounds[run_id]``), not just as a global max: the
+    guard must ignore the bound a run itself wrote, or a crash between
+    this write and the first table append would make the rerun of the
+    SAME run_id refuse its own raw range forever (ADVICE r4 #1 — the
+    rerun's min_id <= its own recorded max_id always). ``max_raw_id``
+    is kept as the legacy aggregate for warehouses predating the
+    per-run field."""
     if batch_max_id is None:
         return
     meta = _read_meta(out_dir)
-    if batch_max_id > meta.get("max_raw_id", -1):
-        meta["max_raw_id"] = int(batch_max_id)
-        _write_meta(out_dir, meta)
+    if "raw_bounds" not in meta and "max_raw_id" in meta:
+        # migrating a legacy warehouse: its unattributed aggregate is
+        # some OTHER run's coverage — keep it as a synthetic entry so
+        # the exclusion arithmetic never forgets committed legacy runs
+        meta["raw_bounds"] = {"__legacy__": meta["max_raw_id"]}
+    bounds = meta.setdefault("raw_bounds", {})
+    if bounds.get(run_id) == int(batch_max_id):
+        return
+    bounds[run_id] = int(batch_max_id)
+    meta["max_raw_id"] = max(meta.get("max_raw_id", -1), int(batch_max_id))
+    _write_meta(out_dir, meta)
+
+
+def _committed_bound_excluding(out_dir: str, run_id: str) -> int | None:
+    """The highest raw doc_id recorded by any OTHER run — what the
+    overlap guard compares a new batch against. Mirrors
+    curation_stream's replay recognition: a bound this run itself
+    wrote (then crashed before appending) must not block its rerun.
+    Returns None when no other run has recorded a bound; legacy
+    warehouses (meta has max_raw_id but no raw_bounds attribution)
+    fall back to the unattributed aggregate — over-refusal on a
+    crashed legacy rerun is the safe direction."""
+    meta = _read_meta(out_dir)
+    bounds = meta.get("raw_bounds")
+    if bounds is None:
+        return meta.get("max_raw_id")
+    other = [v for k, v in bounds.items() if k != run_id]
+    return max(other) if other else None
 
 
 def run_curation(
@@ -419,7 +453,7 @@ def run_curation(
     raw_max = spark.sql(
         to_spark(f"WITH {ctes}\nSELECT max(doc_id) AS m FROM {src}")
     ).collect()[0]["m"]
-    _record_raw_bound(out_dir, raw_max)  # before appends: see increment
+    _record_raw_bound(out_dir, raw_max, run_id)  # before appends
     out: dict[str, int] = {}
     for name, df in (
         ("curated_docs", packed),
@@ -470,13 +504,26 @@ def curate_increment(
     uninterrupted run would have."""
     from skewer_spark.icelite import IceLiteTable
 
+    docs_t = IceLiteTable(out_dir, "curated_docs")
+    fps_t = IceLiteTable(out_dir, "curated_fps")
+    led_t = IceLiteTable(out_dir, "curation_ledger")
+    # precondition BEFORE _check_budget pins the budget into
+    # curation_meta.json (ADVICE r4 #4): an increment needs a committed
+    # corpus to curate against — on a fresh warehouse the failure used
+    # to surface as read_excluding_run's FileNotFoundError after the
+    # meta write side effect. (A half-committed prior run — docs but
+    # no ledger — falls through to the orphaned-run check below, which
+    # names the run_id to rerun.)
+    if not docs_t.snapshots() and not led_t.snapshots():
+        raise ValueError(
+            f"increment requires a prior full run in this warehouse "
+            f"({out_dir} has no committed curated_docs/curation_ledger "
+            "snapshots) — run run_curation first"
+        )
     _check_budget(out_dir, budget)
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
-    docs_t = IceLiteTable(out_dir, "curated_docs")
-    fps_t = IceLiteTable(out_dir, "curated_fps")
-    led_t = IceLiteTable(out_dir, "curation_ledger")
 
     # cross-table consistency: every OTHER run committed in
     # curated_docs must have its ledger row — a run that crashed
@@ -524,10 +571,13 @@ def curate_increment(
         # guard on the RAW id bound each committed batch covered
         # (curation_meta.json) — the curated max is not usable: a
         # prior batch whose trailing docs were all filtered out would
-        # leave a hole the guard could not see. Curated max is the
-        # legacy fallback for warehouses predating the meta field.
-        bound = _read_meta(out_dir).get("max_raw_id")
-        if bound is None:
+        # leave a hole the guard could not see. The bound EXCLUDES
+        # this run's own record so a rerun after a crash between the
+        # bound write and the first append passes its own guard
+        # (ADVICE r4 #1). Curated max is the legacy fallback for
+        # warehouses predating the meta field entirely.
+        bound = _committed_bound_excluding(out_dir, run_id)
+        if bound is None and "raw_bounds" not in _read_meta(out_dir):
             bound = docs_t.read(spark).agg(F.max("doc_id")).collect()[0][0]
         if bound is not None and front["min_id"] <= bound:
             raise ValueError(
@@ -601,7 +651,7 @@ def curate_increment(
     # bound FIRST, appends after: a crash in between leaves a bound
     # that over-refuses (safe); the reverse order could let the next
     # batch overlap this one's raw range unseen
-    _record_raw_bound(out_dir, front["max_id"])
+    _record_raw_bound(out_dir, front["max_id"], run_id)
     out: dict[str, int] = {}
     for name, t, df in (
         ("curated_docs", docs_t, packed),

@@ -741,9 +741,15 @@ def bloom_dedup_stream(
     exactly-once ledger pattern (start_exactly_once_pipeline_stream)
     composes on top where needed.
 
-    Invariants pinned by tests/test_bloom.py: the unique table never
-    contains two rows with the same text (within or across batches),
-    and every true duplicate lands in suspect."""
+    Invariants pinned by tests/test_bloom.py, scoped to CLEAN runs
+    (no crash-replayed batches — the at-least-once caveat above): the
+    unique table never contains two rows with the same text (within
+    or across batches), and every true duplicate lands in suspect.
+    Under replay the bitmap state stays exact (idempotent bit sets)
+    but a batch replayed after a crash between the unique write and
+    the bitmap persist re-appends its rows to unique — dedup the
+    unique table on read, or compose the exactly-once ledger pattern,
+    where byte-exact replays matter."""
     import numpy as np
 
     from skewer_spark.ops import corpus_ops as C
@@ -864,10 +870,19 @@ def curation_stream(
     FPS_SCHEMA = "norm_fp string, doc_id long"
 
     def _read_state(s: SparkSession, path: str, schema: str) -> DataFrame:
+        # ONLY a genuinely-missing path (no committed files yet) maps
+        # to empty state; any other analysis-time failure (remote-FS
+        # listing error, permissions) must FAIL the batch — an empty
+        # corpus_fps on a read error would silently skip cross-batch
+        # dedup and commit duplicates as survivors (ADVICE r4 #2)
+        from pyspark.errors import AnalysisException
+
         try:
             return s.read.schema(schema).parquet(path)
-        except Exception:  # missing dir / no committed files yet
-            return s.createDataFrame([], schema)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return s.createDataFrame([], schema)
+            raise
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession

@@ -400,3 +400,61 @@ def test_read_excluding_run_preserves_schema_and_refuses_compacted(spark, tmp_pa
     assert t.compact(spark, min_files=1) is not None
     with pytest.raises(ValueError, match="absorbed"):
         t.read_excluding_run(spark, "r1")
+
+
+def test_increment_rerun_after_bound_write_crash(spark, tmp_path):
+    # ADVICE r4 #1: a crash between the raw-bound write and the first
+    # table append must not brick the SAME run_id's rerun — the guard
+    # compares against bounds recorded by OTHER runs only
+    out = str(tmp_path / "boundcrash")
+    ctrl = str(tmp_path / "boundctrl")
+    from skewer_spark.icelite import IceLiteTable
+
+    for w in (out, ctrl):
+        CU.run_curation(spark, SF, w, run_id="d1", where="doc_id < 250")
+    # simulate d2 crashing right after its bound write: the bound is
+    # in curation_meta.json but no table holds a d2 row
+    CU._record_raw_bound(out, 499, "d2")
+    assert not IceLiteTable(out, "curated_docs").committed_runs() - {"d1"}
+    got = CU.curate_increment(
+        spark, SF, out, run_id="d2", where="doc_id >= 250 AND doc_id < 500"
+    )
+    want = CU.curate_increment(
+        spark, SF, ctrl, run_id="d2", where="doc_id >= 250 AND doc_id < 500"
+    )
+    assert got == want
+    a = sorted(map(tuple, IceLiteTable(out, "curated_docs").read(spark).collect()))
+    b = sorted(map(tuple, IceLiteTable(ctrl, "curated_docs").read(spark).collect()))
+    assert a == b, "rerun after bound-write crash diverged from clean run"
+    # a DIFFERENT run overlapping d2's recorded range is still refused
+    with pytest.raises(ValueError, match="overlaps committed raw ids"):
+        CU.curate_increment(spark, SF, out, run_id="d3", where="doc_id >= 400")
+
+
+def test_increment_fresh_warehouse_precondition(spark, tmp_path):
+    # ADVICE r4 #4: a clear error BEFORE any meta side effect
+    import os
+
+    out = str(tmp_path / "fresh")
+    with pytest.raises(ValueError, match="prior full run"):
+        CU.curate_increment(spark, SF, out, run_id="d1", where="doc_id >= 0")
+    assert not os.path.exists(CU._meta_path(out)), (
+        "failed precondition must not pin a budget into curation_meta.json"
+    )
+
+
+def test_raw_bound_legacy_meta_migration(spark, tmp_path):
+    # a warehouse written before per-run bound attribution (meta holds
+    # only the unattributed max_raw_id) must keep refusing overlaps
+    # with its legacy range after a new-code run migrates the meta
+    out = str(tmp_path / "legacy")
+    CU.run_curation(spark, SF, out, run_id="d1", where="doc_id < 250")
+    meta = CU._read_meta(out)
+    legacy_max = meta["raw_bounds"]["d1"]
+    CU._write_meta(out, {"budget": meta["budget"], "max_raw_id": legacy_max})
+    # new-code increment over a fresh slice migrates raw_bounds...
+    CU.curate_increment(spark, SF, out, run_id="d2", where="doc_id >= 250 AND doc_id < 400")
+    assert CU._read_meta(out)["raw_bounds"]["__legacy__"] == legacy_max
+    # ...and a batch overlapping the LEGACY range is still refused
+    with pytest.raises(ValueError, match="overlaps committed raw ids"):
+        CU.curate_increment(spark, SF, out, run_id="d3", where="doc_id >= 200")
