@@ -51,4 +51,30 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _silence_bounded_window_warnings(spark)
+    return spark
+
+
+def _silence_bounded_window_warnings(spark: SparkSession) -> None:
+    """Drop WindowExec's 'No Partition Defined ... single partition'
+    WARN to ERROR level (VERDICT r4 nit #4): every unpartitioned window
+    that survives in this repo's production plans runs over BOUNDED
+    relations by construction — packing's phase-b cumulative window
+    over ~rows/2^20 block TOTALS (ops/packing.py blocked_prefix_sum,
+    recursable if even those outgrow one task), skew.py's blocked
+    row_number phase b, and constant-size CTEs in the gate queries
+    (k-means init rows, PQ codebook ids). The warning is therefore
+    always a false alarm here, and at bench volume it floods the tail
+    badly enough to hide real signals. Genuine unbounded-window
+    regressions are caught structurally instead, by the plan gates
+    (tests/test_plans.py, test_curate_pack_plan_shape) — a log line
+    was never the enforcement mechanism."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 runtime: keep the (harmless) warning

@@ -458,3 +458,145 @@ def test_raw_bound_legacy_meta_migration(spark, tmp_path):
     # ...and a batch overlapping the LEGACY range is still refused
     with pytest.raises(ValueError, match="overlaps committed raw ids"):
         CU.curate_increment(spark, SF, out, run_id="d3", where="doc_id >= 200")
+
+
+# ------------------------- ledger-invariant property fuzz (VERDICT r4 #7)
+# The chain contract (stage N rows_out == stage N+1 rows_in; every drop
+# attributed to exactly one stage) and the pack-contiguity contract were
+# pinned on fixtures; here hypothesis generates hostile corpora — empty
+# corpora, 0-word and whitespace docs, unicode/quote words, PII tokens,
+# all-duplicate slices, slices where every stage drops to zero — and the
+# invariants are asserted structurally. The fuzz engine is DuckDB (the
+# macro-SQL text is identical cross-engine BY CONSTRUCTION of
+# ops/portable and that equality is driver-gate-pinned at sf0.01;
+# per-example Spark jobs would make 200 examples minutes-slow), plus a
+# canned hostile-corpus Spark==DuckDB parity test below.
+
+_FUZZ_WORDS = [
+    "the", "and", "alpha", "beta", "gamma", "delta", "zzz",
+    "user7@example.com", "10.0.0.1", "host-42",          # PII: all three
+    "Alpha,", "ALPHA", "naïve", "x'y", "!!!", "",        # case/punct/quote
+]
+_FUZZ_BUDGET = 7  # tiny so docs span packs constantly
+
+
+def _fuzz_run(corpus):
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    if corpus:
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", corpus)
+    led = con.execute(
+        to_duck(CU.curation_ledger_sql(budget=_FUZZ_BUDGET, augment=False))
+    ).df()
+    pack = con.execute(
+        to_duck(CU.curate_pack_oracle_sql(budget=_FUZZ_BUDGET, augment=False))
+    ).df()
+    con.close()
+    return led, pack
+
+
+def _assert_funnel_invariants(corpus, led, pack):
+    b = _FUZZ_BUDGET
+    led = led.sort_values("stage_idx").reset_index(drop=True)
+    assert list(led["stage"]) == [
+        "quality_filter", "dedup_normalized", "pii_scrub", "pack_sequences"
+    ]
+    # chain: stage N rows_out == stage N+1 rows_in
+    assert led["rows_in"][0] == len(corpus)
+    for i in range(3):
+        assert led["rows_out"][i] == led["rows_in"][i + 1], (i, led)
+    # every drop attributed exactly once (scrub and pack drop nothing)
+    assert led["metric"][0] == led["rows_in"][0] - led["rows_out"][0]
+    assert led["metric"][1] == led["rows_in"][1] - led["rows_out"][1]
+    assert led["rows_out"][2] == led["rows_in"][2]
+    assert (
+        led["rows_in"][0] - led["rows_out"][2]
+        == led["metric"][0] + led["metric"][1]
+    )
+    # pack stage: rows_out == ceil(total_tokens / budget)
+    toks = int(led["metric"][3])
+    assert led["rows_out"][3] == (toks + b - 1) // b
+    # pack table: one row per survivor, contiguous token tiling
+    assert len(pack) == led["rows_in"][3]
+    p = pack.sort_values("doc_id").reset_index(drop=True)
+    expect_start = 0
+    for r in p.itertuples():
+        assert r.n_tokens >= 1
+        assert r.start_tok == expect_start, "token tiling has a gap/overlap"
+        expect_start += r.n_tokens
+        end = r.start_tok + r.n_tokens - 1
+        assert r.pack_first == r.start_tok // b
+        assert r.pack_last == end // b
+        assert r.offset_in_pack == r.start_tok % b
+        assert r.packs_spanned == r.pack_last - r.pack_first + 1
+    assert expect_start == toks, "pack tokens != ledger token metric"
+
+
+def test_ledger_invariants_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.sampled_from(_FUZZ_WORDS), min_size=0, max_size=15
+    ).map(" ".join)
+
+    @st.composite
+    def corpora(draw):
+        base = draw(st.lists(texts, min_size=0, max_size=20))
+        docs = list(base)
+        # duplicate amplification: verbatim copies and the gate's
+        # case/punct mangle (same normalization-fingerprint family)
+        for t in base:
+            mode = draw(st.integers(0, 3))
+            if mode == 1:
+                docs.append(t)
+            elif mode == 2:
+                docs.append(t.upper() + " !!!")
+        return [
+            (i, draw(st.sampled_from(["en", "de", "xx"])), t)
+            for i, t in enumerate(docs)
+        ]
+
+    @settings(max_examples=220, deadline=None)
+    @given(corpora())
+    def run(corpus):
+        led, pack = _fuzz_run(corpus)
+        _assert_funnel_invariants(corpus, led, pack)
+
+    run()
+
+
+def test_funnel_hostile_corpus_matches_duckdb(spark):
+    # the canned hard cases from the fuzz family, run CROSS-ENGINE:
+    # Spark and DuckDB must agree row-for-row on ledger AND pack
+    cases = [
+        [],                                                  # empty corpus
+        [(0, "en", ""), (1, "en", "   "), (2, "xx", "!!!")],  # all filtered
+        [(i, "en", "the and alpha beta gamma zzz") for i in range(6)]
+        + [(9, "en", "THE AND ALPHA BETA GAMMA ZZZ !!!")],   # all-dup slice
+        [(0, "en", "the and user7@example.com 10.0.0.1 host-42 x'y naïve"),
+         (1, "de", "alpha beta gamma delta zzz the"),
+         (2, "en", "the the the the the the")],              # PII + repetitive
+    ]
+    for corpus in cases:
+        sdf = spark.createDataFrame(
+            corpus or [(0, "en", "x")],
+            "doc_id long, lang string, text string",
+        )
+        if not corpus:
+            sdf = sdf.where("doc_id < 0")
+        sdf.createOrReplaceTempView("documents")
+        got_led = sorted(map(tuple, spark.sql(
+            to_spark(CU.curation_ledger_sql(budget=_FUZZ_BUDGET, augment=False))
+        ).collect()))
+        got_pack = sorted(map(tuple, spark.sql(
+            to_spark(CU.curate_pack_oracle_sql(budget=_FUZZ_BUDGET, augment=False))
+        ).collect()))
+        led, pack = _fuzz_run(corpus)
+        want_led = sorted(map(tuple, led.itertuples(index=False, name=None)))
+        want_pack = sorted(map(tuple, pack.itertuples(index=False, name=None)))
+        assert got_led == want_led, f"ledger diverges on {corpus!r}"
+        assert got_pack == want_pack, f"pack diverges on {corpus!r}"
+        _assert_funnel_invariants(corpus, led, pack)
