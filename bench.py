@@ -185,6 +185,24 @@ def main() -> None:
         .save(),
     )
 
+    # 5. curation at bench volume (round-5 surface, VERDICT r4 #3): the
+    # same funnel over SKEWER_BENCH_DOC_REPEAT deterministic copies of
+    # the documents corpus (per-copy-tagged so dedup can't collapse
+    # them) — enough work that the 2-vs-8-core pair measures the
+    # funnel's scaling, not fixed overheads. The sf-sized 'curation'
+    # leg above stays for round-over-round comparability.
+    from skewer_spark.datagen import ensure_documents_repeat
+
+    doc_repeat = int(os.environ.get("SKEWER_BENCH_DOC_REPEAT", "20"))
+    rep_dir = ensure_documents_repeat(sf_dir, doc_repeat)
+    timed(
+        f"curation_x{doc_repeat}",
+        lambda: curate_pack(spark, rep_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
     total = timings["e2e_write"]
     print(
         json.dumps(

@@ -158,6 +158,55 @@ def ensure_rawlines(sf_dir: str, force: bool = False) -> str:
     return path
 
 
+DOC_REPEAT_SPAN = 10_000_000  # doc_id offset per copy; gate augmentation
+# adds +300k/+600k variants, so copies never collide
+
+
+def ensure_documents_repeat(
+    sf_dir: str, repeat: int, force: bool = False
+) -> str:
+    """Materialize a bench-scale documents corpus: ``repeat``
+    deterministic copies of sf_dir's documents table, each copy's
+    doc_ids shifted by i * DOC_REPEAT_SPAN and its text tagged with a
+    per-copy token (' repN') so normalization fingerprints stay unique
+    across copies — a plain replication would be 100% cross-copy
+    duplicates and the dedup stage would collapse the corpus back to
+    one copy's survivors. Returns a DIRECTORY containing
+    ``documents.parquet`` (itself a directory of ~16k-row part files
+    so the scan yields enough splits to saturate every core), shaped
+    so run_curation/curate_increment/curate_pack can take it as their
+    ``sf_dir`` unchanged. Pure function of the input table — no RNG,
+    no wall clock."""
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(REPO_DATA_DIR, f"{sfname}_docsx{repeat}")
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path) and not force:
+        return out_dir
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    copies = []
+    for i in range(repeat):
+        c = docs.copy()
+        c["doc_id"] = c["doc_id"] + i * DOC_REPEAT_SPAN
+        c["text"] = c["text"] + f" rep{i}"
+        c["n_chars"] = c["text"].str.len()
+        copies.append(c)
+    out = pd.concat(copies, ignore_index=True)
+    table = pa.Table.from_pandas(out, preserve_index=False)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    chunk = 16384
+    for nf, start in enumerate(range(0, table.num_rows, chunk)):
+        pq.write_table(
+            table.slice(start, chunk),
+            os.path.join(tmp, f"part-{nf:05d}.parquet"),
+            compression="snappy",
+        )
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+    return out_dir
+
+
 def ensure_transcripts(sf_dir: str, force: bool = False, repeat: int = 1) -> str:
     """Materialize transcripts parquet for sf_dir (idempotent).
 

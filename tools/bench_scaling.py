@@ -84,6 +84,26 @@ def main() -> None:
     ratio = large / small
     eff = thr_l / (ratio * thr_s)
 
+    # curation funnel leg (VERDICT r4 #3): wall-based efficiency —
+    # throughput ~ 1/wall, so E = wall_small / (ratio * wall_large)
+    cur_key = next(
+        (k for k in r_small["queries"] if k.startswith("curation_x")), None
+    )
+    cur_row = cur_eff_line = ""
+    if cur_key and cur_key in r_large["queries"]:
+        cw_s, cw_l = r_small["queries"][cur_key], r_large["queries"][cur_key]
+        cur_eff = cw_s / (ratio * cw_l)
+        cur_row = (
+            f"| curation funnel ({cur_key}) | walls | {cw_s} s (small) | "
+            f"{cw_l} s (large) | — | — |\n"
+        )
+        cur_eff_line = (
+            f"\nCuration-funnel scaling: E = {cw_s} / ({ratio:.0f} x {cw_l}) "
+            f"= **{cur_eff:.3f}** (same >= 0.8 target; the funnel is one "
+            "Catalyst plan — quality filter -> dedup -> scrub -> blocked "
+            "prefix-sum packing).\n"
+        )
+
     md = f"""# BENCH/BASELINE — scaling-efficiency results
 
 Measured {time.strftime('%Y-%m-%d %H:%M:%S')} on one machine (sandbox proxy
@@ -98,11 +118,11 @@ Input: {sf_dir} transcripts x{os.environ.get('SKEWER_BENCH_REPEAT', '10')}
 |---|---|---|---|---|---|
 | small | local[{small}] | {r_small['value']} | {thr_s:,.0f} | {r_small['queries']['parse']} | {r_small['queries']['route_fanout']} |
 | large | local[{large}] | {r_large['value']} | {thr_l:,.0f} | {r_large['queries']['parse']} | {r_large['queries']['route_fanout']} |
-
+{cur_row}
 **Scaling efficiency E = T_{large} / ({ratio:.0f} x T_{small}) =
 {thr_l:,.0f} / ({ratio:.0f} x {thr_s:,.0f}) = {eff:.3f}**
 (target >= 0.8 per BASELINE.json)
-
+{cur_eff_line}
 Config per run: shuffle.partitions = max(cores, 8), AQE on (coalesce +
 skewJoin), Arrow batch 10000, salt buckets 16 (pipeline default off in
 bench spine — skew is neutralized at the scan because parse/route are
