@@ -47,6 +47,13 @@ def main() -> None:
         ("lsh_multitable", C.ann_recall_sql()),
         ("ivf", C.ann_ivf_recall_sql()),
         ("pq_rerank", C.ann_pq_recall_sql()),
+        # round 5: the clustered hard case (blobbed embeddings, 3k
+        # shortlist) and its shortlist-50 control on the same blobs
+        ("pq_rerank_clustered", C.ann_pq_recall_clustered_sql()),
+        (
+            "pq_rerank_clustered_sl50",
+            C.ann_pq_recall_clustered_sql(shortlist=C.PQ_SHORTLIST),
+        ),
     ):
         t0 = time.time()
         rows = spark.sql(to_spark(sql)).collect()
