@@ -124,3 +124,38 @@ def test_rotation_head_names_exist():
     assert not unknown, f"ROTATION_HEAD names not in registry: {unknown}"
     assert len(ROTATION_HEAD) == len(set(ROTATION_HEAD)), "duplicate names"
     assert len(ROTATION_HEAD) <= DRIVER_CAP
+
+
+def test_twin_exempt_names_have_live_pins():
+    """TWIN_EXEMPT names sit out the driver window on the claim that
+    another query transitively pins their semantics — enforce the
+    claim: each exempted name's pinning twin must itself be in the
+    current window or green in the latest artifact, and an exempted
+    name must actually be outside the window (else the exemption is
+    moot and should be deleted)."""
+    from skewer_spark.queries import TWIN_EXEMPT, build_queries
+
+    pins = {
+        "value_percentiles": "value_percentiles_approx",
+        "dedup_simhash_canonical": "dedup_simhash_pairs",
+        "dedup_apply": "dedup_canonical",
+        "embed_canonical": "embed_neardup",
+    }
+    assert set(pins) == TWIN_EXEMPT, "keep the pin map in sync"
+    reg = list(build_queries())
+    assert TWIN_EXEMPT <= set(reg)
+    window = set(reg[:DRIVER_CAP])
+    assert not (TWIN_EXEMPT & window), "exempt name inside the window"
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not paths:
+        pytest.skip("no CORRECTNESS artifacts yet")
+    latest = json.load(open(paths[-1]))
+    green = {
+        n for n, row in latest.items()
+        if row.get("err") is None and row.get("rows_match")
+    }
+    dead = {n: t for n, t in pins.items() if t not in window | green}
+    assert not dead, f"pinning twin neither in-window nor green: {dead}"
