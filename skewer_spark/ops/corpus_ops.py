@@ -797,6 +797,41 @@ SELECT doc_id,
 FROM wn"""
 
 
+# The quality features and the rule CASE, as standalone macro-SQL
+# fragments. quality_cls_ctes composes them into the two-CTE relational
+# form (DuckDB-friendly oracle text); quality_case_inline substitutes
+# the feature expressions straight into the CASE so the Spark-side
+# curation funnel (ops/curation.py) can classify in the SAME projection
+# that scans the text — one pass, no self-join back on doc_id. Both
+# forms are built from these fragments, so the rules cannot drift.
+_QF_N_WORDS = "ASIZE(SPLIT(text, ' '))"
+_QF_STOP_RATIO = (
+    f"CAST(ASIZE(AFILTER(SPLIT(text, ' '), w -> w IN {_EN_STOP})) AS DOUBLE)"
+    f"\n           / ASIZE(SPLIT(text, ' '))"
+)
+_QF_DISTINCT_RATIO = (
+    "CAST(ASIZE(ADISTINCT(SPLIT(text, ' '))) AS DOUBLE)"
+    "\n           / ASIZE(SPLIT(text, ' '))"
+)
+
+
+def _quality_case(n_words: str, distinct_ratio: str, stop_ratio: str) -> str:
+    return f"""CASE WHEN {n_words} < 5 THEN 'too_short'
+         WHEN {n_words} > 5000 THEN 'too_long'
+         WHEN {distinct_ratio} < 0.30 THEN 'repetitive'
+         WHEN lang = 'en' AND {stop_ratio} < 0.01 THEN 'low_stopword'
+         ELSE 'kept' END"""
+
+
+def quality_case_inline() -> str:
+    """The rule CASE with the feature expressions inlined — evaluable
+    in the same SELECT that reads ``text`` (no intermediate CTE), the
+    shape the single-pass curation funnel needs. Same fragments as
+    quality_cls_ctes, so identical verdicts by construction (pinned by
+    tests/test_curation.py::test_single_pass_funnel_matches_macro)."""
+    return _quality_case(_QF_N_WORDS, _QF_DISTINCT_RATIO, _QF_STOP_RATIO)
+
+
 def quality_cls_ctes(src: str = "documents") -> str:
     """Shared quality-classification CTE chain ``f, cls``: per-doc
     features then first-failing-rule reason (too_short / too_long /
@@ -806,20 +841,14 @@ def quality_cls_ctes(src: str = "documents") -> str:
     can never disagree on the rules."""
     return f"""f AS (
   SELECT doc_id, lang,
-         ASIZE(SPLIT(text, ' ')) AS n_words,
-         CAST(ASIZE(AFILTER(SPLIT(text, ' '), w -> w IN {_EN_STOP})) AS DOUBLE)
-           / ASIZE(SPLIT(text, ' ')) AS stop_ratio,
-         CAST(ASIZE(ADISTINCT(SPLIT(text, ' '))) AS DOUBLE)
-           / ASIZE(SPLIT(text, ' ')) AS distinct_ratio
+         {_QF_N_WORDS} AS n_words,
+         {_QF_STOP_RATIO} AS stop_ratio,
+         {_QF_DISTINCT_RATIO} AS distinct_ratio
   FROM {src}
 ),
 cls AS (
   SELECT doc_id,
-    CASE WHEN n_words < 5 THEN 'too_short'
-         WHEN n_words > 5000 THEN 'too_long'
-         WHEN distinct_ratio < 0.30 THEN 'repetitive'
-         WHEN lang = 'en' AND stop_ratio < 0.01 THEN 'low_stopword'
-         ELSE 'kept' END AS reason
+    {_quality_case("n_words", "distinct_ratio", "stop_ratio")} AS reason
   FROM f
 )"""
 

@@ -162,6 +162,67 @@ surv AS (
 {_tok_cte()}"""
 
 
+def funnel_tok_df(
+    spark: SparkSession,
+    sf_dir: str | None,
+    augment: bool = True,
+    where: str | None = None,
+    keep_fp: bool = False,
+) -> DataFrame:
+    """SINGLE-PASS Spark-side evaluation of the survivors funnel — the
+    scale form of ``survivors_ctes`` (same verdicts, pinned by
+    tests/test_curation.py::test_single_pass_funnel_matches_macro and
+    the cross-engine gate, which now compares two INDEPENDENT
+    formulations: this one on Spark vs the relational restatement on
+    DuckDB).
+
+    Why not run the shared macro text on Spark too: the relational
+    form re-reads the corpus once per CTE reference (cls joins back on
+    doc_id, winners joins back on keep_id), so the scan + the
+    array/regex feature expressions — the DRAM-heaviest work in the
+    whole capstone — execute 3-4x per row. Measured at 2.7 M docs that
+    recomputation dominates the funnel wall AND collapses its 2-vs-8
+    core scaling (the duplicated array churn saturates memory
+    bandwidth before it saturates cores). This form instead:
+
+      one scan -> one projection computing the quality CASE
+      (corpus_ops.quality_case_inline — same fragments as the macro),
+      norm_fp, scrubbed_md5, n_redactions, n_tokens -> filter kept ->
+      ONE hash aggregate: min_by(value, doc_id) per fingerprint.
+
+    Bodies are never shuffled (only 32-byte digests + ints), there is
+    no self-join at all, and every per-row expression evaluates
+    exactly once. The scrub trio is computed for kept-but-duplicate
+    docs whose values are then discarded by min_by — a bounded waste
+    (the duplicate fraction) traded for never traversing the scan
+    twice; at 10^12 docs that trade wins by the width of the text
+    column. min_by is deterministic here because doc_id is unique."""
+    if sf_dir is not None:
+        spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).createOrReplaceTempView("documents")
+    ctes, src = _src_ctes(augment, where)
+    fp_col = ",\n       norm_fp" if keep_fp else ""
+    return spark.sql(
+        to_spark(
+            f"""WITH {ctes},
+kt AS (
+  SELECT doc_id, {C.NORM_FP_EXPR} AS norm_fp,
+         md5({_SCRUB}) AS scrubbed_md5,
+         {_N_RED} AS n_redactions,
+         CAST(ASIZE(SPLIT({_SCRUB}, ' ')) AS BIGINT) AS n_tokens
+  FROM {src}
+  WHERE ({C.quality_case_inline()}) = 'kept'
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       min_by(n_tokens, doc_id) AS n_tokens,
+       min_by(n_redactions, doc_id) AS n_redactions,
+       min_by(scrubbed_md5, doc_id) AS scrubbed_md5{fp_col}
+FROM kt GROUP BY norm_fp"""
+        )
+    )
+
+
 def increment_ctes(src: str) -> str:
     """Funnel CTE chain for a NEW batch curated against the COMMITTED
     corpus: identical quality/normalization/winner stages, plus the
@@ -234,20 +295,28 @@ def curate_pack(
 ) -> DataFrame:
     """The funnel's OUTPUT: every surviving document with its scrubbed
     hash, redaction count, and scheduled place in the packed token
-    stream. Spark side = the shared CTE chain (Catalyst SQL) feeding
-    the DISTRIBUTED two-phase prefix sum (packing.blocked_prefix_sum —
-    no single-partition global window); the oracle restates the prefix
-    sum as the plain global window DuckDB can afford at gate scale."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents"
-    )
-    ctes, src = _src_ctes(augment, where)
-    base = spark.sql(
-        to_spark(
-            f"WITH {ctes},\n{survivors_ctes(src)}\n"
-            "SELECT doc_id, n_tokens, n_redactions, scrubbed_md5 FROM tok"
-        )
-    )
+    stream. Spark side = the single-pass funnel (funnel_tok_df — one
+    scan, one narrow aggregate, bodies never shuffled) feeding the
+    DISTRIBUTED two-phase prefix sum (packing.blocked_prefix_sum — no
+    single-partition global window); the oracle independently restates
+    the funnel relationally (winners join) and the prefix sum as the
+    plain global window DuckDB can afford at gate scale.
+
+    The funnel output is MATERIALIZED (localCheckpoint) before the
+    prefix sum: the sum's window leg and block-totals leg are
+    differently-pruned projections of the same input, so Catalyst
+    cannot reuse the funnel's aggregate exchange between them
+    (verified: without the cut the plan holds TWO FileScans — the
+    whole scan+regex funnel executes twice). Cutting lineage here is
+    exactly packing.py's documented trade: the two prefix-sum
+    traversals then re-read ~4 narrow materialized columns, not two
+    tokenizations. Plan-gated (test_curate_pack_plan_shape: zero
+    FileScans downstream of the cut). At real scale stage the narrow
+    frame to parquet instead; localCheckpoint is the single-host
+    spelling of the same move (same note as run_curation)."""
+    base = funnel_tok_df(
+        spark, sf_dir, augment=augment, where=where
+    ).localCheckpoint()
     c = blocked_prefix_sum(base, order_col="doc_id", value_col="n_tokens")
     return c.select(
         "doc_id",
@@ -420,17 +489,14 @@ def run_curation(
         "documents"
     )
     ctes, src = _src_ctes(augment, where)
-    # ONE funnel execution: the narrow (digests + ints, no text)
+    # ONE funnel execution, in the single-pass form (funnel_tok_df —
+    # one scan, no self-joins): the narrow (digests + ints, no text)
     # survivor frame is materialized once and feeds the packed table,
     # the fingerprint table, and the prefix sum's two legs. At real
     # scale stage this frame to parquet instead (packing.py docstring);
     # localCheckpoint is the single-host spelling of the same move.
-    base = spark.sql(
-        to_spark(
-            f"WITH {ctes},\n{survivors_ctes(src)}\n"
-            "SELECT t.doc_id, t.n_tokens, t.n_redactions, t.scrubbed_md5,"
-            " w.norm_fp FROM tok t JOIN winners w ON t.doc_id = w.keep_id"
-        )
+    base = funnel_tok_df(
+        spark, None, augment=augment, where=where, keep_fp=True
     ).localCheckpoint()
     c = blocked_prefix_sum(
         base.drop("norm_fp"), order_col="doc_id", value_col="n_tokens"

@@ -212,6 +212,50 @@ def test_curate_pack_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # dedup + pack run without any Python stage
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the funnel is materialized BEFORE the prefix sum (curate_pack
+    # docstring): the sum's two legs must re-read the narrow
+    # checkpointed frame, never the parquet corpus — without the cut
+    # the whole scan+regex funnel executes twice (two FileScans)
+    assert "FileScan" not in plan, "prefix-sum leg re-reads the corpus"
+
+
+def test_single_pass_funnel_matches_macro(spark):
+    """funnel_tok_df (one scan, one aggregate, quality CASE inlined via
+    corpus_ops.quality_case_inline) must produce exactly the macro
+    chain's survivors — same docs, same fingerprints, same scrubbed
+    hashes and token counts."""
+    from skewer_spark.ops.portable import to_spark
+
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    ctes, src = CU._src_ctes(True, None)
+    macro = spark.sql(
+        to_spark(
+            f"WITH {ctes},\n{CU.survivors_ctes(src)}\n"
+            "SELECT t.doc_id, t.n_tokens, t.n_redactions, t.scrubbed_md5,"
+            " w.norm_fp FROM tok t JOIN winners w ON t.doc_id = w.keep_id"
+        )
+    )
+    fast = CU.funnel_tok_df(spark, SF, keep_fp=True)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, macro.collect())
+    )
+
+
+def test_single_pass_funnel_plan_is_one_scan_no_joins(spark):
+    """The production funnel (augment=False, so no gate-fixture union)
+    must be: ONE corpus scan -> filter -> project -> aggregate on the
+    32-byte fingerprint. No self-join back on doc_id (the macro form's
+    shape), no Python stage, and the aggregate map-side combines
+    (partial_ before the exchange) so only digests+ints ever shuffle."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CU.funnel_tok_df(spark, SF, augment=False))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_min_by" in plan, "dedup aggregate lost map-side combine"
 
 
 # ----------------------------- macro-layer quoting regression pins
