@@ -189,11 +189,15 @@ def main() -> None:
     # same funnel over SKEWER_BENCH_DOC_REPEAT deterministic copies of
     # the documents corpus (per-copy-tagged so dedup can't collapse
     # them) — enough work that the 2-vs-8-core pair measures the
-    # funnel's scaling, not fixed overheads. The sf-sized 'curation'
-    # leg above stays for round-over-round comparability.
+    # funnel's scaling, not fixed overheads. x200 (not the original
+    # x20): the Arrow funnel kernel cut per-doc cost ~6x, so at x20
+    # the wall was mostly the non-scaling tail (codegen compile,
+    # localCheckpoint, the bounded prefix-sum stages) and the measured
+    # E said nothing about the funnel. The sf-sized 'curation' leg
+    # above stays for round-over-round comparability.
     from skewer_spark.datagen import ensure_documents_repeat
 
-    doc_repeat = int(os.environ.get("SKEWER_BENCH_DOC_REPEAT", "20"))
+    doc_repeat = int(os.environ.get("SKEWER_BENCH_DOC_REPEAT", "200"))
     rep_dir = ensure_documents_repeat(sf_dir, doc_repeat)
     timed(
         f"curation_x{doc_repeat}",

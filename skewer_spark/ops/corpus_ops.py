@@ -364,7 +364,11 @@ FROM sizes GROUP BY sz"""
 
 
 # ------------------------------------------------------------ text stats
-_EN_STOP = "('the','a','of','and','to','in','is','it','for','on')"
+# rendered from the curation kernel's canonical tuple so the SQL
+# fragments and the Arrow funnel kernel cannot disagree on the list
+from skewer_spark.ops.curation_kernel import STOP_WORDS as _STOP_WORDS
+
+_EN_STOP = "(" + ",".join(f"'{w}'" for w in _STOP_WORDS) + ")"
 
 
 def lang_id_sql() -> str:
@@ -816,10 +820,14 @@ _QF_DISTINCT_RATIO = (
 
 
 def _quality_case(n_words: str, distinct_ratio: str, stop_ratio: str) -> str:
-    return f"""CASE WHEN {n_words} < 5 THEN 'too_short'
-         WHEN {n_words} > 5000 THEN 'too_long'
-         WHEN {distinct_ratio} < 0.30 THEN 'repetitive'
-         WHEN lang = 'en' AND {stop_ratio} < 0.01 THEN 'low_stopword'
+    # thresholds rendered from the curation kernel's canonical
+    # constants — one source of truth with the Arrow funnel kernel
+    from skewer_spark.ops import curation_kernel as K
+
+    return f"""CASE WHEN {n_words} < {K.MIN_WORDS} THEN 'too_short'
+         WHEN {n_words} > {K.MAX_WORDS} THEN 'too_long'
+         WHEN {distinct_ratio} < {K.MIN_DISTINCT_RATIO:.2f} THEN 'repetitive'
+         WHEN lang = 'en' AND {stop_ratio} < {K.MIN_STOP_RATIO:.2f} THEN 'low_stopword'
          ELSE 'kept' END"""
 
 

@@ -39,6 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skewer_spark.ops import corpus_ops as C
+from skewer_spark.ops.curation_kernel import (
+    FUNNEL_SCHEMA_DDL,
+    PII_EMAIL,
+    PII_HOST,
+    PII_IP,
+    funnel_kernel,
+)
 from skewer_spark.ops.packing import (
     PACK_BUDGET,
     blocked_prefix_sum,
@@ -47,12 +54,10 @@ from skewer_spark.ops.packing import (
 from skewer_spark.ops.portable import to_spark
 
 # PII patterns — backslash-free so the identical literals parse in
-# both engines. CANONICAL definitions: queries.q_pii_scrub (the
-# transcripts-side gated query) imports THESE, so the capstone's
-# scrub stage and the standalone op share one source of truth.
-PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
-PII_HOST = "host-[0-9]+"
+# both engines. CANONICAL definitions live in curation_kernel (the
+# Arrow funnel kernel uses them under RE2); re-exported here (imported
+# above) so queries.q_pii_scrub, the macro-SQL funnel text, and the
+# kernel are all built from one source of truth.
 
 _SCRUB = (
     f"RREPLACE(RREPLACE(RREPLACE(text, "
@@ -182,44 +187,72 @@ def funnel_tok_df(
     array/regex feature expressions — the DRAM-heaviest work in the
     whole capstone — execute 3-4x per row. Measured at 2.7 M docs that
     recomputation dominates the funnel wall AND collapses its 2-vs-8
-    core scaling (the duplicated array churn saturates memory
-    bandwidth before it saturates cores). This form instead:
+    core scaling. This form instead:
 
-      one scan -> one projection computing the quality CASE
-      (corpus_ops.quality_case_inline — same fragments as the macro),
-      norm_fp, scrubbed_md5, n_redactions, n_tokens -> filter kept ->
-      ONE hash aggregate: min_by(value, doc_id) per fingerprint.
+      one scan -> ONE Arrow-vectorized stage (mapInArrow,
+      curation_kernel.funnel_kernel: quality CASE + normalization +
+      PII scrub under RE2/numpy, non-kept rows dropped in-kernel) ->
+      narrow JVM projection (md5 of the normalized and scrubbed
+      texts) -> ONE hash aggregate: min_by(value, doc_id) per
+      fingerprint.
 
-    Bodies are never shuffled (only 32-byte digests + ints), there is
-    no self-join at all, and every per-row expression evaluates
-    exactly once. The scrub trio is computed for kept-but-duplicate
-    docs whose values are then discarded by min_by — a bounded waste
-    (the duplicate fraction) traded for never traversing the scan
-    twice; at 10^12 docs that trade wins by the width of the text
-    column. min_by is deterministic here because doc_id is unique."""
+    Why a Python stage in a repo that treats UDFs as the slow path:
+    measured cost, not taste — the funnel's normalization class
+    ``[^a-z0-9 ]`` costs ~265 us-core/doc under the JVM's
+    java.util.regex scan loop vs ~2 us/doc under Arrow's RE2 (see
+    curation_kernel module docstring; same finding that made Arrow/RE2
+    the parse spine's default kernel). The kernel is RecordBatch ->
+    RecordBatch (no pandas), and everything downstream is JVM: bodies
+    are never shuffled (only 32-byte digests + ints), there is no
+    self-join at all, and every per-row expression evaluates exactly
+    once. The scrub runs for kept-but-duplicate docs whose values are
+    then discarded by min_by — a bounded waste (the duplicate
+    fraction) traded for never traversing the scan twice. min_by is
+    deterministic here because doc_id is unique."""
     if sf_dir is not None:
         spark.read.parquet(
             f"{sf_dir}/documents.parquet"
         ).createOrReplaceTempView("documents")
     ctes, src = _src_ctes(augment, where)
-    fp_col = ",\n       norm_fp" if keep_fp else ""
-    return spark.sql(
-        to_spark(
-            f"""WITH {ctes},
-kt AS (
-  SELECT doc_id, {C.NORM_FP_EXPR} AS norm_fp,
-         md5({_SCRUB}) AS scrubbed_md5,
-         {_N_RED} AS n_redactions,
-         CAST(ASIZE(SPLIT({_SCRUB}, ' ')) AS BIGINT) AS n_tokens
-  FROM {src}
-  WHERE ({C.quality_case_inline()}) = 'kept'
-)
-SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
-       min_by(n_tokens, doc_id) AS n_tokens,
-       min_by(n_redactions, doc_id) AS n_redactions,
-       min_by(scrubbed_md5, doc_id) AS scrubbed_md5{fp_col}
-FROM kt GROUP BY norm_fp"""
+    src_df = spark.sql(
+        to_spark(f"WITH {ctes} SELECT doc_id, lang, text FROM {src}")
+    )
+    return funnel_over(src_df, keep_fp=keep_fp)
+
+
+def funnel_over(
+    src_df: DataFrame, keep_fp: bool = False, with_counts: bool = False
+) -> DataFrame:
+    """The kernel funnel over an arbitrary (doc_id, lang, text) frame —
+    the shared core of funnel_tok_df, curate_increment, and the
+    streaming twin. ``with_counts`` adds ``fp_rows`` (kept docs per
+    fingerprint, i.e. 1 + duplicates collapsed), which lets callers
+    derive the ledger's quality-stage count (sum(fp_rows)) from the
+    funnel output instead of re-running the funnel."""
+    kt = src_df.mapInArrow(funnel_kernel, FUNNEL_SCHEMA_DDL)
+    aggs = [
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(n_tokens, doc_id)").alias("n_tokens"),
+        F.expr("min_by(n_redactions, doc_id)").alias("n_redactions"),
+        F.expr("min_by(scrubbed_md5, doc_id)").alias("scrubbed_md5"),
+    ]
+    cols = ["doc_id", "n_tokens", "n_redactions", "scrubbed_md5"]
+    if with_counts:
+        aggs.append(F.count(F.lit(1)).cast("long").alias("fp_rows"))
+        cols.append("fp_rows")
+    if keep_fp:
+        cols.append("norm_fp")
+    return (
+        kt.select(
+            "doc_id",
+            F.md5("norm_text").alias("norm_fp"),
+            F.md5("scrub_text").alias("scrubbed_md5"),
+            "n_redactions",
+            "n_tokens",
         )
+        .groupBy("norm_fp")
+        .agg(*aggs)
+        .select(*cols)
     )
 
 
@@ -444,6 +477,60 @@ def _committed_bound_excluding(out_dir: str, run_id: str) -> int | None:
     return max(other) if other else None
 
 
+def _ledger_from_base(
+    spark: SparkSession,
+    base: DataFrame,
+    raw_n: int,
+    budget: int,
+    run_id: str,
+    prior_toks: int,
+    dedup_stage: str,
+    kept_n: int | None = None,
+) -> DataFrame:
+    """The 4-stage row-accounting ledger derived from a MATERIALIZED
+    funnel output (one tiny aggregate over the checkpointed narrow
+    frame — no funnel re-execution). kept_n defaults to sum(fp_rows)
+    (full-run case: every quality keeper is in some fingerprint
+    group); the increment passes it explicitly because its base has
+    already dropped vs-corpus duplicate groups entirely."""
+    from pyspark.sql import types as T
+
+    agg_cols = [
+        F.count(F.lit(1)).cast("long").alias("surv_n"),
+        F.coalesce(F.sum("n_redactions"), F.lit(0)).cast("long").alias("red_n"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tok_n"),
+    ]
+    if kept_n is None:
+        agg_cols.append(
+            F.coalesce(F.sum("fp_rows"), F.lit(0)).cast("long").alias("kept_n")
+        )
+    aggs = base.agg(*agg_cols).collect()[0]
+    k = int(kept_n if kept_n is not None else aggs["kept_n"])
+    raw_n = int(raw_n)
+    total_packs = (prior_toks + aggs["tok_n"] + budget - 1) // budget
+    schema = T.StructType(
+        [
+            T.StructField("stage_idx", T.IntegerType()),
+            T.StructField("stage", T.StringType()),
+            T.StructField("rows_in", T.LongType()),
+            T.StructField("rows_out", T.LongType()),
+            T.StructField("metric", T.LongType()),
+            T.StructField("run_id", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (1, "quality_filter", raw_n, k, raw_n - k, run_id),
+            (2, dedup_stage, k, aggs["surv_n"], k - aggs["surv_n"], run_id),
+            (3, "pii_scrub", aggs["surv_n"], aggs["surv_n"],
+             aggs["red_n"], run_id),
+            (4, "pack_sequences", aggs["surv_n"], total_packs,
+             aggs["tok_n"], run_id),
+        ],
+        schema=schema,
+    )
+
+
 def run_curation(
     spark: SparkSession,
     sf_dir: str,
@@ -462,10 +549,12 @@ def run_curation(
     needs to dedup future batches without re-reading bodies). Atomic
     manifest commits, idempotent by run_id: a replayed run is a no-op,
     same exactly-once discipline as the pipeline's sink writes.
-    The committed ledger carries a ``run_id`` column (appended after
-    the gate-pinned SQL) so per-run rows are attributable and
-    curate_increment can derive the committed token offset from the
-    ledger alone. The pack ``budget`` is persisted to
+    The committed ledger carries a ``run_id`` column so per-run rows
+    are attributable and curate_increment can derive the committed
+    token offset from the ledger alone; its values are derived from
+    the one materialized funnel output and pinned equal to the
+    gate-registered ``curation_ledger_sql``
+    (test_run_curation_ledger_matches_gate_sql). The pack ``budget`` is persisted to
     ``<out_dir>/curation_meta.json`` on the first run; later runs and
     increments refuse a different budget (mixed-boundary pack columns
     would silently corrupt the table). Returns
@@ -489,17 +578,24 @@ def run_curation(
         "documents"
     )
     ctes, src = _src_ctes(augment, where)
-    # ONE funnel execution, in the single-pass form (funnel_tok_df —
-    # one scan, no self-joins): the narrow (digests + ints, no text)
-    # survivor frame is materialized once and feeds the packed table,
-    # the fingerprint table, and the prefix sum's two legs. At real
-    # scale stage this frame to parquet instead (packing.py docstring);
-    # localCheckpoint is the single-host spelling of the same move.
-    base = funnel_tok_df(
-        spark, None, augment=augment, where=where, keep_fp=True
-    ).localCheckpoint()
+    # ONE funnel execution, in the single-pass kernel form: the narrow
+    # (digests + ints, no text) survivor frame is materialized once
+    # and feeds the packed table, the fingerprint table, the prefix
+    # sum's two legs, AND the ledger (with_counts carries the
+    # quality-stage survivor count through the dedup aggregate, so the
+    # ledger no longer re-runs the funnel — it used to re-execute the
+    # whole macro chain, doubling the run's scan+regex work). At real
+    # scale stage this frame to parquet instead (packing.py
+    # docstring); localCheckpoint is the single-host spelling of the
+    # same move.
+    src_df = spark.sql(
+        to_spark(f"WITH {ctes} SELECT doc_id, lang, text FROM {src}")
+    )
+    base = funnel_over(src_df, keep_fp=True, with_counts=True).localCheckpoint()
     c = blocked_prefix_sum(
-        base.drop("norm_fp"), order_col="doc_id", value_col="n_tokens"
+        base.drop("norm_fp", "fp_rows"),
+        order_col="doc_id",
+        value_col="n_tokens",
     )
     packed = c.select(
         "doc_id",
@@ -510,15 +606,27 @@ def run_curation(
         *pack_position_cols(budget),
     )
     fps = base.select("norm_fp", "doc_id")
-    # the ledger is the gate-pinned SQL (the compliance artifact must
-    # equal the registered query), run_id-stamped for attribution —
-    # its funnel re-execution is the price of that equality
-    ledger = spark.sql(
-        to_spark(curation_ledger_sql(budget, augment=augment, where=where))
-    ).withColumn("run_id", F.lit(run_id))
-    raw_max = spark.sql(
-        to_spark(f"WITH {ctes}\nSELECT max(doc_id) AS m FROM {src}")
-    ).collect()[0]["m"]
+    # ledger from the materialized funnel + one cheap raw scan; equal
+    # by construction to the gate-pinned curation_ledger_sql (the
+    # kernel==macro equality is pinned by test_single_pass_funnel_
+    # matches_macro, and test_run_curation_ledger_matches_gate_sql
+    # pins this derivation against the registered SQL end-to-end)
+    raw = spark.sql(
+        to_spark(
+            f"WITH {ctes}\nSELECT CAST(count(*) AS BIGINT) AS n,"
+            f" max(doc_id) AS m FROM {src}"
+        )
+    ).collect()[0]
+    raw_max = raw["m"]
+    ledger = _ledger_from_base(
+        spark,
+        base,
+        raw_n=raw["n"],
+        budget=budget,
+        run_id=run_id,
+        prior_toks=0,
+        dedup_stage="dedup_normalized",
+    )
     _record_raw_bound(out_dir, raw_max, run_id)  # before appends
     out: dict[str, int] = {}
     for name, df in (
@@ -617,20 +725,18 @@ def curate_increment(
         .agg(F.coalesce(F.sum("metric"), F.lit(0)).alias("t"))
         .collect()[0]["t"]
     )
-    fps_t.read_excluding_run(spark, run_id).select(
-        "norm_fp"
-    ).createOrReplaceTempView("corpus_fps")
+    corpus_fps = fps_t.read_excluding_run(spark, run_id).select("norm_fp")
 
     ctes, src = _src_ctes(augment, where)
-    # front half only (no scrub regexes, no packing): batch size,
-    # quality survivors, and the id bound for the precondition guard
+    # raw batch stats only (count + id bounds, no funnel work): the
+    # quality-keeper count now rides the funnel output's fp_rows
+    # instead of a separate quality-CTE pass over the batch
     front = spark.sql(
         to_spark(
-            f"WITH {ctes},\n{_kept_winners_ctes(src)}\n"
-            f"SELECT CAST((SELECT count(*) FROM {src}) AS BIGINT) AS raw_n,"
-            " CAST((SELECT count(*) FROM kept) AS BIGINT) AS kept_n,"
-            f" CAST((SELECT min(doc_id) FROM {src}) AS BIGINT) AS min_id,"
-            f" CAST((SELECT max(doc_id) FROM {src}) AS BIGINT) AS max_id"
+            f"WITH {ctes}\n"
+            f"SELECT CAST(count(*) AS BIGINT) AS raw_n,"
+            " CAST(min(doc_id) AS BIGINT) AS min_id,"
+            f" CAST(max(doc_id) AS BIGINT) AS max_id FROM {src}"
         )
     ).collect()[0]
     if run_id not in docs_t.committed_runs() and front["raw_n"] > 0:
@@ -654,19 +760,29 @@ def curate_increment(
                 " one run instead"
             )
 
-    # ONE full-funnel execution, materialized narrow (see run_curation)
-    base = spark.sql(
-        to_spark(
-            f"WITH {ctes},\n{increment_ctes(src)}\n"
-            "SELECT t.doc_id, t.n_tokens, t.n_redactions, t.scrubbed_md5,"
-            " f.norm_fp FROM tok t JOIN fresh f ON t.doc_id = f.keep_id"
-        )
+    # ONE full-funnel execution (kernel form), materialized narrow
+    # (see run_curation), then the frozen-snapshot exclusion as a
+    # LEFT ANTI join against the committed fingerprints — digests
+    # only, historical bodies never read. The pre-exclusion frame is
+    # materialized first so kept_n (sum of per-fingerprint group
+    # sizes) is read off it without re-running the funnel.
+    src_df = spark.sql(
+        to_spark(f"WITH {ctes} SELECT doc_id, lang, text FROM {src}")
+    )
+    fun = funnel_over(
+        src_df, keep_fp=True, with_counts=True
     ).localCheckpoint()
-    aggs = base.agg(
-        F.count(F.lit(1)).cast("long").alias("surv_n"),
-        F.coalesce(F.sum("n_redactions"), F.lit(0)).cast("long").alias("red_n"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tok_n"),
-    ).collect()[0]
+    kept_n = int(
+        fun.agg(
+            F.coalesce(F.sum("fp_rows"), F.lit(0)).cast("long").alias("k")
+        ).collect()[0]["k"]
+    )
+    base = (
+        fun.join(corpus_fps, on="norm_fp", how="left_anti")
+        .drop("fp_rows")
+        .select("doc_id", "n_tokens", "n_redactions", "scrubbed_md5", "norm_fp")
+        .localCheckpoint()
+    )
 
     c = blocked_prefix_sum(
         base.drop("norm_fp"), order_col="doc_id", value_col="n_tokens"
@@ -687,31 +803,15 @@ def curate_increment(
     # batch ledger: same 4 stages; stage 2 is the incremental dedup
     # (drops = in-batch dups + vs-corpus dups); the pack stage reports
     # the NEW total pack count after this batch's tokens append
-    total_packs = (prior_toks + aggs["tok_n"] + budget - 1) // budget
-    from pyspark.sql import types as T
-
-    ledger_schema = T.StructType(
-        [
-            T.StructField("stage_idx", T.IntegerType()),
-            T.StructField("stage", T.StringType()),
-            T.StructField("rows_in", T.LongType()),
-            T.StructField("rows_out", T.LongType()),
-            T.StructField("metric", T.LongType()),
-            T.StructField("run_id", T.StringType()),
-        ]
-    )
-    ledger = spark.createDataFrame(
-        [
-            (1, "quality_filter", front["raw_n"], front["kept_n"],
-             front["raw_n"] - front["kept_n"], run_id),
-            (2, "dedup_incremental", front["kept_n"], aggs["surv_n"],
-             front["kept_n"] - aggs["surv_n"], run_id),
-            (3, "pii_scrub", aggs["surv_n"], aggs["surv_n"],
-             aggs["red_n"], run_id),
-            (4, "pack_sequences", aggs["surv_n"], total_packs,
-             aggs["tok_n"], run_id),
-        ],
-        schema=ledger_schema,
+    ledger = _ledger_from_base(
+        spark,
+        base,
+        raw_n=front["raw_n"],
+        budget=budget,
+        run_id=run_id,
+        prior_toks=prior_toks,
+        dedup_stage="dedup_incremental",
+        kept_n=kept_n,
     )
 
     # bound FIRST, appends after: a crash in between leaves a bound

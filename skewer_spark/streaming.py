@@ -831,10 +831,11 @@ def curation_stream(
     packing over the accumulated survivors) starts from an
     already-curated table instead of re-funneling the day's raw feed.
 
-    Per micro-batch the batch slice runs the SAME macro-SQL CTE chain
-    as ``curate_increment`` (``curation.increment_ctes`` — quality
-    rules, fingerprint, per-fingerprint winner, frozen-fingerprint
-    exclusion, scrub), with the cross-batch dedup state being the
+    Per micro-batch the batch slice runs the SAME kernel funnel as
+    ``curate_increment`` (``curation.funnel_over`` — the Arrow/RE2
+    quality+normalize+scrub kernel and the min_by dedup aggregate —
+    then the frozen-fingerprint exclusion as a left-anti join), with
+    the cross-batch dedup state being the
     accumulated FINGERPRINT table under the checkpoint dir: 32-byte
     digests read per batch with a PINNED schema and appended per batch
     (one file per batch) — never executor memory (the
@@ -862,8 +863,7 @@ def curation_stream(
     At-least-once on replay of the OUTPUT rows, like the other
     foreachBatch writers; the exactly-once ledger pattern composes on
     top."""
-    from skewer_spark.ops.curation import increment_ctes
-    from skewer_spark.ops.portable import to_spark
+    from skewer_spark.ops.curation import funnel_over
 
     fps_dir = os.path.join(checkpoint_dir, "fps")
     bounds_dir = os.path.join(checkpoint_dir, "bounds")
@@ -918,18 +918,18 @@ def curation_stream(
                 "max_raw_id long, batch long",
             ).coalesce(1).write.mode("append").parquet(bounds_dir)
 
-        batch_df.createOrReplaceTempView("curation_stream_batch")
-        _read_state(s, fps_dir, FPS_SCHEMA).select(
-            "norm_fp"
-        ).createOrReplaceTempView("corpus_fps")
-        base = s.sql(
-            to_spark(
-                f"WITH {increment_ctes('curation_stream_batch')}\n"
-                "SELECT t.doc_id, t.n_tokens, t.n_redactions,"
-                " t.scrubbed_md5, f.norm_fp"
-                " FROM tok t JOIN fresh f ON t.doc_id = f.keep_id"
+        corpus_fps = _read_state(s, fps_dir, FPS_SCHEMA).select("norm_fp")
+        base = (
+            funnel_over(
+                batch_df.select("doc_id", "lang", "text"), keep_fp=True
             )
-        ).localCheckpoint()  # one funnel execution feeds both writes
+            .join(corpus_fps, on="norm_fp", how="left_anti")
+            .select(
+                "doc_id", "n_tokens", "n_redactions", "scrubbed_md5",
+                "norm_fp",
+            )
+            .localCheckpoint()  # one funnel execution feeds both writes
+        )
         base.drop("norm_fp").write.mode("append").parquet(
             os.path.join(out_dir, "curated")
         )

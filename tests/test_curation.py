@@ -131,6 +131,33 @@ def test_run_curation_commits_idempotently(spark, tmp_path):
     assert max_id < 300000, "gate fixture variants leaked into production run"
 
 
+def test_run_curation_ledger_matches_gate_sql(spark, tmp_path):
+    """run_curation derives its committed ledger from the materialized
+    kernel-funnel output (one tiny aggregate, no funnel re-execution);
+    the compliance contract is that those derived values EQUAL the
+    gate-registered curation_ledger_sql rows for the same corpus."""
+    from skewer_spark.icelite import IceLiteTable
+
+    out = str(tmp_path / "curated")
+    CU.run_curation(spark, SF, out, run_id="r1", augment=True)
+    committed = sorted(
+        map(
+            tuple,
+            IceLiteTable(out, "curation_ledger")
+            .read(spark)
+            .drop("run_id")
+            .collect(),
+        )
+    )
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    gate = sorted(
+        map(tuple, spark.sql(to_spark(CU.curation_ledger_sql())).collect())
+    )
+    assert committed == gate
+
+
 def _table_rows(spark, out, name):
     from skewer_spark.icelite import IceLiteTable
 
@@ -245,15 +272,18 @@ def test_single_pass_funnel_matches_macro(spark):
 
 def test_single_pass_funnel_plan_is_one_scan_no_joins(spark):
     """The production funnel (augment=False, so no gate-fixture union)
-    must be: ONE corpus scan -> filter -> project -> aggregate on the
-    32-byte fingerprint. No self-join back on doc_id (the macro form's
-    shape), no Python stage, and the aggregate map-side combines
+    must be: ONE corpus scan -> ONE Arrow stage (mapInArrow — the
+    RE2/numpy row kernel; deliberate, see curation_kernel docstring)
+    -> JVM md5 projection -> aggregate on the 32-byte fingerprint. No
+    self-join back on doc_id (the macro form's shape), no row-at-a-time
+    Python (ArrowEval/BatchEval), and the aggregate map-side combines
     (partial_ before the exchange) so only digests+ints ever shuffle."""
     from tests.test_plans import plan_of
 
     plan = plan_of(CU.funnel_tok_df(spark, SF, augment=False))
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+    assert plan.count("MapInArrow") == 1, "expected exactly one Arrow stage"
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_min_by" in plan, "dedup aggregate lost map-side combine"
 

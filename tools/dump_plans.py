@@ -163,15 +163,31 @@ def main() -> None:
         formatted(_make_ops_query("dsir_weights")(spark, sf_dir)),
     ))
 
-    from skewer_spark.ops.curation import curate_pack
+    from skewer_spark.ops.curation import curate_pack, funnel_tok_df
     sections.append((
-        "Curation capstone output (round 4: filter -> dedup -> scrub -> pack)",
-        "The whole funnel is ONE plan: scan -> codegen'd quality "
-        "projection -> one digest HashAggregate (dedup winners, partial "
-        "combine) -> equi-join verdicts back -> blocked prefix-sum "
-        "windows with a broadcast of block totals. No Python stage, no "
-        "CartesianProduct; the single SinglePartition window holds block "
-        "TOTALS (rows/BLOCK rows), never documents.",
+        "Curation funnel (round 5: single-pass Arrow kernel form)",
+        "One scan -> ONE MapInArrow stage (curation_kernel: quality "
+        "CASE + normalization + PII scrub vectorized under RE2/numpy; "
+        "non-kept rows dropped in-kernel) -> JVM md5 projection -> one "
+        "digest HashAggregate with partial combine (min_by dedup "
+        "winners). No self-join, no row-at-a-time Python; only 32-byte "
+        "digests + ints cross the exchange. The Arrow stage is a "
+        "measured decision, not a style break: the normalization "
+        "class [^a-z0-9 ] costs ~265 us-core/doc under the JVM's "
+        "java.util.regex scan loop vs ~2 us/doc under RE2 — the same "
+        "finding that made Arrow/RE2 the parse spine's default kernel.",
+        formatted(funnel_tok_df(spark, sf_dir, augment=False)),
+    ))
+    sections.append((
+        "Curation capstone output (filter -> dedup -> scrub -> pack)",
+        "The packed output = the funnel above, MATERIALIZED "
+        "(localCheckpoint; at scale: a parquet stage), feeding the "
+        "blocked prefix-sum windows with a broadcast of block totals. "
+        "The cut is deliberate: the sum's two legs are "
+        "differently-pruned projections, so without it the whole "
+        "scan+kernel funnel would execute twice. No CartesianProduct; "
+        "the single SinglePartition window holds block TOTALS "
+        "(rows/BLOCK rows), never documents.",
         formatted(curate_pack(spark, sf_dir)),
     ))
 
