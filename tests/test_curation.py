@@ -642,6 +642,155 @@ def test_ledger_invariants_fuzz():
     run()
 
 
+# --------------- Arrow kernel vs macro-SQL semantics fuzz (round 5)
+# The funnel's row stage moved to an Arrow/RE2 kernel
+# (curation_kernel.py); its contract is byte-identical outputs to the
+# macro SQL. The fixture-corpus equality test covers the gate data;
+# here the kernel itself (a pure pyarrow function — no Spark job
+# needed) is fuzzed per-example against the macro chain running on
+# DuckDB, over hostile vocabularies the gate corpus never produces:
+# tabs/newlines inside and at the edges of words (trim() strips ONLY
+# spaces), multi-byte unicode (the byte-vs-char replacement question),
+# NULL texts, empty strings, PII tokens, duplicate families.
+
+_KERNEL_FUZZ_WORDS = _FUZZ_WORDS + [
+    "tab\there", "end\t", "\tstart", "new\nline", "café", "ß",
+    "İstanbul", "🙂", "𝕏y", "a,,b", "''", ",",
+]
+
+
+def _kernel_vs_macro_duck(corpus):
+    """corpus: list of (doc_id, lang, text) with text possibly None.
+    Returns (kernel_rows, macro_rows) — the funnel survivor table
+    (doc_id, n_tokens, n_redactions, scrubbed_md5, norm_fp, fp_rows)
+    computed (a) by curation_kernel.funnel_batch + the dedup aggregate
+    restated in DuckDB over the kernel's output, and (b) by the macro
+    CTE chain entirely in DuckDB."""
+    import duckdb as _duck
+    import pyarrow as pa
+
+    from skewer_spark.ops import curation_kernel as K
+
+    con = _duck.connect()
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([c[0] for c in corpus], type=pa.int64()),
+            pa.array([c[1] for c in corpus], type=pa.string()),
+            pa.array([c[2] for c in corpus], type=pa.string()),
+        ],
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()),
+             ("text", pa.string())]
+        ),
+    )
+    kout = pa.Table.from_batches(
+        [K.funnel_batch(batch)], schema=K.FUNNEL_SCHEMA
+    )
+    con.register("k", kout)
+    kernel_rows = sorted(map(tuple, con.execute(
+        """WITH h AS (
+  SELECT doc_id, md5(norm_text) AS norm_fp, md5(scrub_text) AS s_md5,
+         n_redactions, n_tokens FROM k
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       arg_min(n_tokens, doc_id) AS n_tokens,
+       arg_min(n_redactions, doc_id) AS n_redactions,
+       arg_min(s_md5, doc_id) AS scrubbed_md5,
+       norm_fp, CAST(count(*) AS BIGINT) AS fp_rows
+FROM h GROUP BY norm_fp"""
+    ).fetchall()))
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)"
+    )
+    if corpus:
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", corpus)
+    macro_rows = sorted(map(tuple, con.execute(to_duck(
+        f"""WITH {CU.real_docs_cte()},
+{CU.survivors_ctes()},
+w2 AS (
+  SELECT norm_fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         CAST(count(*) AS BIGINT) AS fp_rows
+  FROM normed GROUP BY norm_fp
+)
+SELECT t.doc_id, t.n_tokens, t.n_redactions, t.scrubbed_md5,
+       w.norm_fp, w.fp_rows
+FROM tok t JOIN w2 w ON t.doc_id = w.keep_id"""
+    )).fetchall()))
+    con.close()
+    return kernel_rows, macro_rows
+
+
+def test_kernel_semantics_fuzz_vs_macro():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from(_KERNEL_FUZZ_WORDS), min_size=0, max_size=12
+        ).map(" ".join),
+    )
+
+    @st.composite
+    def corpora(draw):
+        base = draw(st.lists(texts, min_size=0, max_size=16))
+        docs = list(base)
+        for t in base:
+            if t is not None and draw(st.booleans()):
+                docs.append(t.upper() + " !!!")  # dup family
+        return [
+            (i, draw(st.sampled_from(["en", "de", "xx"])), t)
+            for i, t in enumerate(docs)
+        ]
+
+    @settings(max_examples=250, deadline=None)
+    @given(corpora())
+    def run(corpus):
+        got, want = _kernel_vs_macro_duck(corpus)
+        assert got == want, f"kernel diverges from macro on {corpus!r}"
+
+    run()
+
+
+def test_kernel_matches_spark_macro_on_hostile_rows(spark):
+    """Same hostile families, cross-checked against the SPARK macro
+    (funnel_over vs survivors_ctes on Spark itself): nulls, tabs at
+    word edges, multi-byte unicode, PII, all-dup, empty corpus."""
+    corpus = [
+        (0, "en", None),
+        (1, "en", ""),
+        (2, "en", "end\t \tstart tab\there new\nline café ß İstanbul"),
+        (3, "en", "🙂 𝕏y a,,b '' , the and of to in is"),
+        (4, "en", "the and user7@example.com 10.0.0.1 host-42 x'y naïve"),
+        (5, "de", "alpha beta gamma delta zzz the alpha beta gamma"),
+        (6, "de", "ALPHA BETA GAMMA DELTA ZZZ THE ALPHA BETA GAMMA !!!"),
+        (7, "en", "the the the the the the"),
+    ]
+    sdf = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+    sdf.createOrReplaceTempView("documents")
+    got = sorted(
+        map(
+            tuple,
+            CU.funnel_over(
+                sdf, keep_fp=True, with_counts=True
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, spark.sql(to_spark(
+        f"""WITH {CU.real_docs_cte()},
+{CU.survivors_ctes()},
+w2 AS (
+  SELECT norm_fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         CAST(count(*) AS BIGINT) AS fp_rows
+  FROM normed GROUP BY norm_fp
+)
+SELECT t.doc_id, t.n_tokens, t.n_redactions, t.scrubbed_md5,
+       w.fp_rows, w.norm_fp
+FROM tok t JOIN w2 w ON t.doc_id = w.keep_id"""
+    )).collect()))
+    assert got == want
+
+
 def test_funnel_hostile_corpus_matches_duckdb(spark):
     # the canned hard cases from the fuzz family, run CROSS-ENGINE:
     # Spark and DuckDB must agree row-for-row on ledger AND pack
