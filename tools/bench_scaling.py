@@ -100,8 +100,10 @@ def main() -> None:
         cur_eff_line = (
             f"\nCuration-funnel scaling: E = {cw_s} / ({ratio:.0f} x {cw_l}) "
             f"= **{cur_eff:.3f}** (same >= 0.8 target; the funnel is one "
-            "Catalyst plan — quality filter -> dedup -> scrub -> blocked "
-            "prefix-sum packing).\n"
+            "plan — quality filter -> dedup -> scrub (one Arrow/RE2 "
+            "RecordBatch kernel, ops/curation_kernel.py) -> blocked "
+            "prefix-sum packing; values slightly above 1.0 are "
+            "pinned-pair measurement noise).\n"
         )
 
     md = f"""# BENCH/BASELINE — scaling-efficiency results
