@@ -127,14 +127,76 @@ def _quality_kept(
     return ~dropped | null_mask
 
 
+# lowercase-ASCII-alnum byte classes for the normalization mask
+_ALNUM = np.zeros(256, dtype=bool)
+_ALNUM[ord("a"): ord("z") + 1] = True
+_ALNUM[ord("0"): ord("9") + 1] = True
+
+
+def _normalize_re2(lo: pa.Array) -> pa.Array:
+    """Reference form of the post-lower normalization (RE2), kept as
+    the fallback for arrays the byte path doesn't handle."""
+    s = pc.replace_substring_regex(lo, pattern="[^a-z0-9 ]", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=" +", replacement=" ")
+    return pc.utf8_trim(s, characters=" ")
+
+
+def _normalize_bytes(arr: pa.Array) -> pa.Array:
+    """Byte-level [^a-z0-9 ]->' ' + run collapse + space trim over a
+    zero-offset, null-free utf8 array. EXACT char-level equivalence:
+    UTF-8 is self-synchronizing — every byte of a multi-byte codepoint
+    is >= 0x80, so after proper unicode lowercasing no non-ASCII char
+    can contribute an ASCII alnum byte; its k bytes become k spaces,
+    which the run collapse reduces to the same single space the
+    char-level regex produces (pinned by the kernel-vs-macro fuzz).
+    This exists because the ' +' collapse regex — a match every few
+    characters — was the normalize stage's dominant cost (~3.6 s of
+    4.5 s per 500k docs single-core under RE2)."""
+    n = len(arr)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int32, n + 1)
+    nbytes = int(off[-1])
+    if nbytes == 0:
+        return arr
+    b = np.frombuffer(bufs[2], np.uint8, nbytes)
+    alnum = _ALNUM[b]
+    out = np.where(alnum, b, np.uint8(32))
+    space = ~alnum  # out == 32 exactly where not alnum
+    # collapse: drop a space whose predecessor byte is a space. The
+    # predecessor shift deliberately crosses row boundaries — it can
+    # only misfire on a row's FIRST byte (dropping a leading space),
+    # and utf8_trim below strips leading/trailing spaces anyway, so
+    # the final string is unaffected; this avoids any per-row index
+    # machinery (measured: arange/accumulate/repeat for an in-numpy
+    # trailing trim cost more than the whole RE2 form).
+    prev_space = np.empty(nbytes, dtype=bool)
+    prev_space[1:] = space[:-1]
+    prev_space[0] = True
+    keep = ~(space & prev_space)
+    cs = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(keep)))
+    new_off = cs[off].astype(np.int32)
+    collapsed = pa.StringArray.from_buffers(
+        n,
+        pa.py_buffer(new_off.tobytes()),
+        pa.py_buffer(out[keep].tobytes()),
+    )
+    return pc.utf8_trim(collapsed, characters=" ")
+
+
 def _normalize(text: pa.Array) -> pa.Array:
     """lower -> [^a-z0-9 ] -> ' ' -> collapse runs -> trim spaces;
     byte-equal to corpus_ops.NORM_FP_EXPR's pre-md5 string."""
-    s = pc.replace_substring_regex(
-        pc.utf8_lower(text), pattern="[^a-z0-9 ]", replacement=" "
-    )
-    s = pc.replace_substring_regex(s, pattern=" +", replacement=" ")
-    return pc.utf8_trim(s, characters=" ")
+    lo = pc.utf8_lower(text)
+    if isinstance(lo, pa.ChunkedArray):  # pragma: no cover - 1 batch in
+        lo = lo.combine_chunks()
+    null_mask = pc.is_null(lo)
+    filled = pc.fill_null(lo, "")
+    if filled.offset != 0:  # pragma: no cover - defensive
+        return _normalize_re2(lo)
+    norm = _normalize_bytes(filled)
+    if not pc.any(null_mask).as_py():
+        return norm
+    return pc.if_else(null_mask, pa.nulls(len(text), pa.string()), norm)
 
 
 def _scrub(text: pa.Array) -> tuple[pa.Array, pa.Array, pa.Array]:
