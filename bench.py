@@ -15,6 +15,9 @@ Env knobs:
                        sf0.1 — pinned since round 2 so BENCH_r*.json
                        wall-times compare steady-state runs across
                        rounds instead of session-startup noise)
+  SKEWER_BENCH_DOC_REPEAT  documents-corpus multiplier for the
+                       bench-volume curation leg (default 200;
+                       0 skips the leg entirely)
   SKEWER_BENCH_TRIALS  runs per timed leg, min reported (default 2 —
                        the shared host shows 2x wall swings for
                        identical plans; best-of-N is the standard
@@ -53,6 +56,7 @@ def main() -> None:
         app_name="skewer-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 32),
+        silence_window_warn=True,
         extra_conf={
             # bench files are ~1.5 MB each; size scan splits so the UDF
             # stage saturates every core (at 100 TB the default 128 MB
@@ -198,14 +202,15 @@ def main() -> None:
     from skewer_spark.datagen import ensure_documents_repeat
 
     doc_repeat = int(os.environ.get("SKEWER_BENCH_DOC_REPEAT", "200"))
-    rep_dir = ensure_documents_repeat(sf_dir, doc_repeat)
-    timed(
-        f"curation_x{doc_repeat}",
-        lambda: curate_pack(spark, rep_dir)
-        .write.format("noop")
-        .mode("overwrite")
-        .save(),
-    )
+    if doc_repeat > 0:  # 0 = skip the bench-volume leg (quick runs)
+        rep_dir = ensure_documents_repeat(sf_dir, doc_repeat)
+        timed(
+            f"curation_x{doc_repeat}",
+            lambda: curate_pack(spark, rep_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     total = timings["e2e_write"]
     print(

@@ -177,6 +177,12 @@ def ensure_documents_repeat(
     so run_curation/curate_increment/curate_pack can take it as their
     ``sf_dir`` unchanged. Pure function of the input table — no RNG,
     no wall clock."""
+    if repeat < 1:
+        raise ValueError(
+            f"repeat must be >= 1, got {repeat} (to skip the bench-volume"
+            " curation leg set SKEWER_BENCH_DOC_REPEAT=0 — bench.py treats"
+            " 0 as 'skip', it never reaches this builder)"
+        )
     sfname = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(REPO_DATA_DIR, f"{sfname}_docsx{repeat}")
     path = os.path.join(out_dir, "documents.parquet")

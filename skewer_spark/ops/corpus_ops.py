@@ -803,11 +803,10 @@ FROM wn"""
 
 # The quality features and the rule CASE, as standalone macro-SQL
 # fragments. quality_cls_ctes composes them into the two-CTE relational
-# form (DuckDB-friendly oracle text); quality_case_inline substitutes
-# the feature expressions straight into the CASE so the Spark-side
-# curation funnel (ops/curation.py) can classify in the SAME projection
-# that scans the text — one pass, no self-join back on doc_id. Both
-# forms are built from these fragments, so the rules cannot drift.
+# form (DuckDB-friendly oracle text); the Spark-side curation funnel
+# applies the SAME rules in its Arrow kernel (ops/curation_kernel.py,
+# which owns the threshold constants rendered into the CASE below), so
+# the two engines cannot drift.
 _QF_N_WORDS = "ASIZE(SPLIT(text, ' '))"
 _QF_STOP_RATIO = (
     f"CAST(ASIZE(AFILTER(SPLIT(text, ' '), w -> w IN {_EN_STOP})) AS DOUBLE)"
@@ -824,20 +823,14 @@ def _quality_case(n_words: str, distinct_ratio: str, stop_ratio: str) -> str:
     # constants — one source of truth with the Arrow funnel kernel
     from skewer_spark.ops import curation_kernel as K
 
+    # thresholds rendered with repr (shortest round-trip float) — a
+    # fixed-precision format would silently round a retuned constant
+    # (0.015 -> '0.01') and split the kernel and SQL verdicts
     return f"""CASE WHEN {n_words} < {K.MIN_WORDS} THEN 'too_short'
          WHEN {n_words} > {K.MAX_WORDS} THEN 'too_long'
-         WHEN {distinct_ratio} < {K.MIN_DISTINCT_RATIO:.2f} THEN 'repetitive'
-         WHEN lang = 'en' AND {stop_ratio} < {K.MIN_STOP_RATIO:.2f} THEN 'low_stopword'
+         WHEN {distinct_ratio} < {K.MIN_DISTINCT_RATIO!r} THEN 'repetitive'
+         WHEN lang = 'en' AND {stop_ratio} < {K.MIN_STOP_RATIO!r} THEN 'low_stopword'
          ELSE 'kept' END"""
-
-
-def quality_case_inline() -> str:
-    """The rule CASE with the feature expressions inlined — evaluable
-    in the same SELECT that reads ``text`` (no intermediate CTE), the
-    shape the single-pass curation funnel needs. Same fragments as
-    quality_cls_ctes, so identical verdicts by construction (pinned by
-    tests/test_curation.py::test_single_pass_funnel_matches_macro)."""
-    return _quality_case(_QF_N_WORDS, _QF_DISTINCT_RATIO, _QF_STOP_RATIO)
 
 
 def quality_cls_ctes(src: str = "documents") -> str:

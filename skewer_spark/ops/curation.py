@@ -256,29 +256,6 @@ def funnel_over(
     )
 
 
-def increment_ctes(src: str) -> str:
-    """Funnel CTE chain for a NEW batch curated against the COMMITTED
-    corpus: identical quality/normalization/winner stages, plus the
-    frozen-snapshot exclusion — a batch winner survives only if its
-    fingerprint is absent from ``corpus_fps`` (the committed
-    fingerprint table, registered as a temp view by curate_increment).
-    This is dedup_incremental's scale discipline applied to the whole
-    funnel: the historical side is a DISTINCT fingerprint projection
-    equi-joined against the (small) batch — historical BODIES are
-    never re-read, never re-shuffled."""
-    return f"""{_kept_winners_ctes(src)},
-fresh AS (
-  SELECT w.norm_fp, w.keep_id FROM winners w
-  LEFT JOIN corpus_fps c ON w.norm_fp = c.norm_fp
-  WHERE c.norm_fp IS NULL
-),
-surv AS (
-  SELECT n.doc_id, n.text
-  FROM normed n JOIN fresh f ON n.doc_id = f.keep_id
-),
-{_tok_cte()}"""
-
-
 def curation_ledger_sql(
     budget: int = PACK_BUDGET,
     augment: bool = True,

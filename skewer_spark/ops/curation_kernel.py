@@ -191,7 +191,12 @@ def _normalize(text: pa.Array) -> pa.Array:
         lo = lo.combine_chunks()
     null_mask = pc.is_null(lo)
     filled = pc.fill_null(lo, "")
-    if filled.offset != 0:  # pragma: no cover - defensive
+    # The byte path reads the int32 offset buffer of a zero-offset
+    # plain-utf8 array directly; any other layout (large_string under
+    # spark.sql.execution.arrow.useLargeVarTypes, a sliced array) must
+    # take the RE2 form — misreading int64 offsets as int32 would
+    # produce silently misaligned strings, not an error.
+    if not pa.types.is_string(filled.type) or filled.offset != 0:
         return _normalize_re2(lo)
     norm = _normalize_bytes(filled)
     if not pc.any(null_mask).as_py():
@@ -226,6 +231,12 @@ def _scrub(text: pa.Array) -> tuple[pa.Array, pa.Array, pa.Array]:
 def funnel_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     """One RecordBatch through quality-filter -> normalize -> scrub."""
     text = batch.column("text")
+    if pa.types.is_large_string(text.type):
+        # arrow.useLargeVarTypes sessions deliver large_string; fold to
+        # plain utf8 up front (loud overflow error past 2 GB, which
+        # maxRecordsPerBatch makes unreachable) so every downstream
+        # kernel and the output schema see one layout.
+        text = pc.cast(text, pa.string())
     lang = batch.column("lang")
     doc_id = pc.cast(batch.column("doc_id"), pa.int64())
     null_mask = _np(pc.is_null(text))

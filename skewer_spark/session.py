@@ -24,6 +24,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
     extra_conf: dict | None = None,
+    silence_window_warn: bool = False,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -52,14 +53,15 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    _silence_bounded_window_warnings(spark)
+    if silence_window_warn:
+        silence_bounded_window_warnings(spark)
     return spark
 
 
-def _silence_bounded_window_warnings(spark: SparkSession) -> None:
+def silence_bounded_window_warnings(spark: SparkSession) -> None:
     """Drop WindowExec's 'No Partition Defined ... single partition'
     WARN to ERROR level (VERDICT r4 nit #4): every unpartitioned window
-    that survives in this repo's production plans runs over BOUNDED
+    that survives in THIS REPO's production plans runs over BOUNDED
     relations by construction — packing's phase-b cumulative window
     over ~rows/2^20 block TOTALS (ops/packing.py blocked_prefix_sum,
     recursable if even those outgrow one task), skew.py's blocked
@@ -69,7 +71,13 @@ def _silence_bounded_window_warnings(spark: SparkSession) -> None:
     badly enough to hide real signals. Genuine unbounded-window
     regressions are caught structurally instead, by the plan gates
     (tests/test_plans.py, test_curate_pack_plan_shape) — a log line
-    was never the enforcement mechanism."""
+    was never the enforcement mechanism.
+
+    Deliberately NOT applied by get_spark by default: for user-written
+    ad-hoc windows this WARN is the only runtime signal before a job
+    serializes onto one task, and no plan gate covers user code. The
+    repo's own entry points (bench.py, tools/*) opt in via
+    ``get_spark(..., silence_window_warn=True)``."""
     try:
         jvm = spark._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -880,7 +880,18 @@ def curation_stream(
         try:
             return s.read.schema(schema).parquet(path)
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            # prefer the stable error condition over message text
+            # (which varies across Spark versions / JVM locales); fall
+            # back to the legacy pre-error-class message for old Sparks
+            if hasattr(e, "getCondition"):
+                cls = e.getCondition()
+            elif hasattr(e, "getErrorClass"):  # Spark < 4
+                cls = e.getErrorClass()
+            else:
+                cls = None
+            if cls == "PATH_NOT_FOUND" or (
+                cls is None and "Path does not exist" in str(e)
+            ):
                 return s.createDataFrame([], schema)
             raise
 

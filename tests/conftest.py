@@ -8,7 +8,7 @@ import pytest
 def spark():
     from skewer_spark.session import get_spark
 
-    s = get_spark(app_name="skewer-tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark(app_name="skewer-tests", master="local[4]", shuffle_partitions=8, silence_window_warn=True)
     yield s
     s.stop()
 

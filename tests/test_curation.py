@@ -247,8 +247,8 @@ def test_curate_pack_plan_shape(spark):
 
 
 def test_single_pass_funnel_matches_macro(spark):
-    """funnel_tok_df (one scan, one aggregate, quality CASE inlined via
-    corpus_ops.quality_case_inline) must produce exactly the macro
+    """funnel_tok_df (one scan, one aggregate, quality rules evaluated
+    in the Arrow funnel kernel) must produce exactly the macro
     chain's survivors — same docs, same fingerprints, same scrubbed
     hashes and token counts."""
     from skewer_spark.ops.portable import to_spark
@@ -750,6 +750,54 @@ def test_kernel_semantics_fuzz_vs_macro():
         assert got == want, f"kernel diverges from macro on {corpus!r}"
 
     run()
+
+
+def test_kernel_handles_large_string_and_sliced_arrays():
+    """Layout robustness: under
+    spark.sql.execution.arrow.useLargeVarTypes mapInArrow delivers
+    large_string columns (64-bit offsets); the byte-level normalize
+    fast path reads int32 offsets and would produce silently
+    misaligned strings if it ever saw one. funnel_batch must fold the
+    layout (or fall back to the RE2 form) and return outputs identical
+    to the plain-utf8 batch; sliced arrays take the RE2 fallback."""
+    import pyarrow as pa
+
+    from skewer_spark.ops import curation_kernel as K
+
+    corpus = [
+        (0, "en", "Hello, World! the and of to in is it for on"),
+        (1, "en", "a  b   c the and of to in is it for on extra"),
+        (2, "en", None),
+        (3, "de", "café ß one two three four five six seven eight"),
+        (4, "en", "user7@example.com 10.0.0.1 host-42 the and of to in"),
+    ]
+    ids = pa.array([c[0] for c in corpus], type=pa.int64())
+    langs = pa.array([c[1] for c in corpus])
+    texts = [c[2] for c in corpus]
+    schema_s = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()),
+         ("text", pa.string())]
+    )
+    schema_l = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()),
+         ("text", pa.large_string())]
+    )
+    plain = K.funnel_batch(pa.RecordBatch.from_arrays(
+        [ids, langs, pa.array(texts, type=pa.string())], schema=schema_s
+    ))
+    large = K.funnel_batch(pa.RecordBatch.from_arrays(
+        [ids, langs, pa.array(texts, type=pa.large_string())],
+        schema=schema_l,
+    ))
+    assert large.schema == K.FUNNEL_SCHEMA
+    assert large.to_pydict() == plain.to_pydict()
+    # sliced (offset != 0) string array through _normalize directly
+    arr = pa.array(texts, type=pa.string())
+    sliced = arr.slice(1)
+    assert sliced.offset == 1
+    got = K._normalize(sliced).to_pylist()
+    want = K._normalize(pa.array(texts[1:], type=pa.string())).to_pylist()
+    assert got == want
 
 
 def test_kernel_matches_spark_macro_on_hostile_rows(spark):

@@ -31,7 +31,7 @@ def main() -> None:
     from skewer_spark.ops.portable import to_spark
     from skewer_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-ann", master=f"local[{cpus}]")
+    spark = get_spark(app_name="bench-ann", master=f"local[{cpus}]", silence_window_warn=True)
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
         "embeddings"
     )

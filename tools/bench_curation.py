@@ -37,6 +37,7 @@ def main() -> None:
         app_name="skewer-bench-curation",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 32),
+        silence_window_warn=True,
     )
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"

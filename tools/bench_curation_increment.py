@@ -63,7 +63,7 @@ def main() -> int:
     from skewer_spark.session import get_spark
 
     rep_dir = ensure_documents_repeat(sf_dir, repeat)
-    spark = get_spark(app_name="bench-curation-inc", master=f"local[{cpus}]")
+    spark = get_spark(app_name="bench-curation-inc", master=f"local[{cpus}]", silence_window_warn=True)
 
     cut1 = max(1, round(repeat * 0.35)) * DOC_REPEAT_SPAN
     cut2 = max(2, round(repeat * 0.70)) * DOC_REPEAT_SPAN

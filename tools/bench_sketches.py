@@ -35,6 +35,7 @@ def main() -> None:
         app_name="skewer-bench-sketches",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 32),
+        silence_window_warn=True,
     )
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
         "events"

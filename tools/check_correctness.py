@@ -54,7 +54,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from skewer_spark.session import get_spark
 
-    spark = get_spark(app_name="correctness")
+    spark = get_spark(app_name="correctness", silence_window_warn=True)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()

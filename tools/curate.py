@@ -62,6 +62,7 @@ def main() -> None:
         app_name="skewer-curate",
         master=f"local[{args.cpus}]",
         shuffle_partitions=max(args.cpus, 32),
+        silence_window_warn=True,
     )
     if args.increment:
         counts = curate_increment(

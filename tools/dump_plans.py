@@ -36,7 +36,7 @@ def main() -> None:
     from skewer_spark.routing import rules as R
     from skewer_spark.session import get_spark
 
-    spark = get_spark(app_name="dump-plans", master="local[4]", shuffle_partitions=8)
+    spark = get_spark(app_name="dump-plans", master="local[4]", shuffle_partitions=8, silence_window_warn=True)
     df = spark.read.parquet(ensure_transcripts(sf_dir))
 
     sections: list[tuple[str, str, str]] = []

@@ -44,7 +44,7 @@ def main() -> None:
     out: dict[str, object] = {"compacted": {}, "gc_reaped": {}}
     spark = None
     if args.compact:
-        spark = get_spark(app_name="skewer-maintain")
+        spark = get_spark(app_name="skewer-maintain", silence_window_warn=True)
         pipe = Pipeline(spark, args.warehouse)
         out["compacted"] = pipe.compact_sinks(
             target_file_bytes=args.target_file_bytes,

@@ -31,6 +31,7 @@ def main() -> None:
         app_name="probe-scale",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 32),
+        silence_window_warn=True,
     )
     base = spark.read.parquet(path)
     n_base = base.count()

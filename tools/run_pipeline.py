@@ -63,7 +63,7 @@ def main() -> None:
             print(f"config: {w}", file=sys.stderr)
         rules = cfg.rules()
 
-    spark = get_spark(app_name="skewer-pipeline")
+    spark = get_spark(app_name="skewer-pipeline", silence_window_warn=True)
     df = spark.read.parquet(args.input)
     kw = {"salt_partitions": args.salt_partitions}
     if rules:
