@@ -189,25 +189,31 @@ def ensure_documents_repeat(
     if os.path.exists(path) and not force:
         return out_dir
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
-    copies = []
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    chunk = 16384
+    nf = 0
+    # one copy in flight at a time — materializing all `repeat` copies
+    # plus their concat plus the Arrow conversion would hold the whole
+    # multiplied corpus ~3x over in driver memory (multi-GB at the
+    # default x200) for data that is written in independent chunks
+    # anyway; rows and values are identical, only part-file boundaries
+    # fall at copy edges
     for i in range(repeat):
         c = docs.copy()
         c["doc_id"] = c["doc_id"] + i * DOC_REPEAT_SPAN
         c["text"] = c["text"] + f" rep{i}"
         c["n_chars"] = c["text"].str.len()
-        copies.append(c)
-    out = pd.concat(copies, ignore_index=True)
-    table = pa.Table.from_pandas(out, preserve_index=False)
-    tmp = path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    chunk = 16384
-    for nf, start in enumerate(range(0, table.num_rows, chunk)):
-        pq.write_table(
-            table.slice(start, chunk),
-            os.path.join(tmp, f"part-{nf:05d}.parquet"),
-            compression="snappy",
-        )
+        table = pa.Table.from_pandas(c, preserve_index=False)
+        del c
+        for start in range(0, table.num_rows, chunk):
+            pq.write_table(
+                table.slice(start, chunk),
+                os.path.join(tmp, f"part-{nf:05d}.parquet"),
+                compression="snappy",
+            )
+            nf += 1
     shutil.rmtree(path, ignore_errors=True)
     os.replace(tmp, path)
     return out_dir

@@ -726,8 +726,17 @@ def curate_increment(
         # (ADVICE r4 #1). Curated max is the legacy fallback for
         # warehouses predating the meta field entirely.
         bound = _committed_bound_excluding(out_dir, run_id)
-        if bound is None and "raw_bounds" not in _read_meta(out_dir):
-            bound = docs_t.read(spark).agg(F.max("doc_id")).collect()[0][0]
+        if bound is None:
+            # No OTHER run has a recorded raw bound. If any committed
+            # run lacks a raw_bounds entry it predates the field, and
+            # the curated max is the only bound we have for it — keyed
+            # on uncovered COMMITTED runs, not on mere raw_bounds
+            # presence: a crashed first attempt of THIS run on a legacy
+            # warehouse leaves raw_bounds={run_id: ...}, which must not
+            # turn the legacy fallback off for its own rerun.
+            covered = set(_read_meta(out_dir).get("raw_bounds", {}))
+            if any(r not in covered for r in docs_t.committed_runs()):
+                bound = docs_t.read(spark).agg(F.max("doc_id")).collect()[0][0]
         if bound is not None and front["min_id"] <= bound:
             raise ValueError(
                 f"batch overlaps committed raw ids (batch min"

@@ -517,6 +517,29 @@ def test_increment_fresh_warehouse_precondition(spark, tmp_path):
     )
 
 
+def test_legacy_warehouse_guard_survives_own_bound_write_crash(spark, tmp_path):
+    # the two prior scenarios composed: a warehouse whose committed run
+    # predates raw bounds entirely (meta holds NEITHER max_raw_id NOR
+    # raw_bounds), where the first attempt of a new run writes its own
+    # bound then crashes before any append. The rerun must still refuse
+    # an overlap with the LEGACY committed range — the run's own
+    # raw_bounds entry must not switch off the curated-max fallback.
+    out = str(tmp_path / "legacycrash")
+    CU.run_curation(spark, SF, out, run_id="d1", where="doc_id < 250")
+    meta = CU._read_meta(out)
+    CU._write_meta(out, {"budget": meta["budget"]})  # pre-bound warehouse
+    # d2's first attempt: bound recorded, crash before the first append
+    CU._record_raw_bound(out, 499, "d2")
+    assert set(CU._read_meta(out)["raw_bounds"]) == {"d2"}
+    # rerun of d2 with a slice overlapping d1's committed docs: refused
+    with pytest.raises(ValueError, match="overlaps committed raw ids"):
+        CU.curate_increment(spark, SF, out, run_id="d2", where="doc_id >= 200")
+    # a clean rerun of d2 on the correct disjoint slice still works
+    CU.curate_increment(
+        spark, SF, out, run_id="d2", where="doc_id >= 250 AND doc_id < 500"
+    )
+
+
 def test_raw_bound_legacy_meta_migration(spark, tmp_path):
     # a warehouse written before per-run bound attribution (meta holds
     # only the unattributed max_raw_id) must keep refusing overlaps
