@@ -123,6 +123,17 @@ class IceLiteTable:
                 )
             return snap
         snap = Snapshot(snapshot_id, run_id, "append", rows, time.time())
+        # re-read before the commit: the read-modify-write otherwise
+        # spans the whole Spark write, and a concurrent append from
+        # another run would be erased from the manifest (its rows
+        # turned into invisible orphans). The window is now only the
+        # JSON swap itself; a real Iceberg catalog closes even that
+        # with a CAS commit — single-writer-per-table remains the
+        # documented deployment contract.
+        snaps = self._read_manifest()
+        if _has_run(snaps, run_id):
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return None
         snaps.append(snap.__dict__)
         self._commit_manifest(snaps)
         return snap
@@ -144,6 +155,10 @@ class IceLiteTable:
             os.path.join(data_dir, "part-00000.parquet"),
         )
         snap = Snapshot(snapshot_id, run_id, "append", len(pdf), time.time())
+        snaps = self._read_manifest()  # re-read: keep concurrent commits
+        if _has_run(snaps, run_id):
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return None
         snaps.append(snap.__dict__)
         self._commit_manifest(snaps)
         return snap
@@ -152,23 +167,38 @@ class IceLiteTable:
         """Adopt an already-written directory of parquet files as one
         snapshot (zero-copy rename — the staging output of a partitioned
         write becomes the sink table's data). Idempotent per run_id.
-        This is exactly Iceberg's add_files/commit path."""
+        This is exactly Iceberg's add_files/commit path.
+
+        The snapshot id is DETERMINISTIC per run_id (not timestamped):
+        the rename consumes the only copy of the staged input, so a
+        crash between the rename and the manifest commit must let the
+        rerun find the already-renamed dir and adopt it — a fresh
+        random id would orphan the data and commit an empty snapshot
+        in its place (silent loss). Uniqueness within the table holds
+        because a run_id commits here at most once (the _has_run skip);
+        the id embeds the run_id so no other run can collide."""
         snaps = self._read_manifest()
         if _has_run(snaps, run_id):
             return None
-        snapshot_id = f"snap-{int(time.time() * 1000)}-{len(snaps)}"
+        snapshot_id = f"snap-reg-{_safe_id(run_id)}"
         data_dir = os.path.join(self.dir, "data", snapshot_id)
         os.makedirs(os.path.dirname(data_dir), exist_ok=True)
         if os.path.isdir(src_dir):
+            shutil.rmtree(data_dir, ignore_errors=True)  # stale half-adopt
             os.rename(src_dir, data_dir)
-        else:
+        elif not os.path.isdir(data_dir):
             os.makedirs(data_dir)  # empty partition: commit an empty snapshot
+        # else: crashed after the rename, before the commit — the data
+        # sits at data_dir already; fall through and commit it now
         rows = sum(
             _parquet_rows(os.path.join(data_dir, f))
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
         snap = Snapshot(snapshot_id, run_id, "append", rows, time.time())
+        snaps = self._read_manifest()  # re-read: keep concurrent commits
+        if _has_run(snaps, run_id):
+            return None
         snaps.append(snap.__dict__)
         self._commit_manifest(snaps)
         return snap
@@ -259,6 +289,26 @@ class IceLiteTable:
         return reaped
 
     # ---------------------------------------------------------- read
+    def _snapshot_files(self, snapshot_id: str) -> list[str]:
+        """Sorted .parquet paths of one committed snapshot's data dir."""
+        d = os.path.join(self.dir, "data", snapshot_id)
+        return [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+
+    def _empty_like(self, spark: SparkSession) -> DataFrame:
+        """Zero-row frame with the TABLE's schema (from the newest data
+        file) so downstream column references resolve; a zero-column
+        frame only when the table has never committed a data file."""
+        any_files = self.data_files()
+        if any_files:
+            return spark.read.parquet(any_files[-1]).limit(0)
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType([]))
+
     def data_files(self, as_of: str | None = None) -> list[str]:
         """Committed data files, optionally pinned to the table state
         AS OF a snapshot id: the manifest is an ordered commit log, so
@@ -281,10 +331,7 @@ class IceLiteTable:
             snaps = snaps[: ids.index(as_of) + 1]
         files: list[str] = []
         for s in snaps:
-            d = os.path.join(self.dir, "data", s.snapshot_id)
-            files.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-            )
+            files.extend(self._snapshot_files(s.snapshot_id))
         return files
 
     def read_excluding_run(self, spark: SparkSession, run_id: str) -> DataFrame:
@@ -315,22 +362,9 @@ class IceLiteTable:
         snaps = [s for s in all_snaps if s.run_id != run_id]
         files: list[str] = []
         for s in snaps:
-            d = os.path.join(self.dir, "data", s.snapshot_id)
-            files.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+            files.extend(self._snapshot_files(s.snapshot_id))
         if not files:
-            # preserve the TABLE schema (read_incremental's pattern) so
-            # downstream column references see an empty table, not a
-            # zero-column frame
-            any_files = self.data_files()
-            if any_files:
-                return spark.read.parquet(any_files[-1]).limit(0)
-            from pyspark.sql.types import StructType
-
-            return spark.createDataFrame([], StructType([]))
+            return self._empty_like(spark)
         return spark.read.parquet(*files)
 
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame:
@@ -393,12 +427,7 @@ class IceLiteTable:
             )
         files: list[str] = []
         for s in window:
-            d = os.path.join(self.dir, "data", s.snapshot_id)
-            files.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+            files.extend(self._snapshot_files(s.snapshot_id))
         return files
 
     def read_incremental(
@@ -409,12 +438,7 @@ class IceLiteTable:
         table's schema (from the newest data file)."""
         files = self.incremental_files(after, until)
         if not files:
-            all_files = self.data_files()
-            if not all_files:
-                from pyspark.sql.types import StructType
-
-                return spark.createDataFrame([], StructType([]))
-            return spark.read.parquet(all_files[-1]).limit(0)
+            return self._empty_like(spark)
         return spark.read.parquet(*files)
 
     def pruned_files(self, key_col: str, lo: str, hi: str) -> list[str]:
@@ -444,12 +468,7 @@ class IceLiteTable:
 
         files = self.pruned_files(key_col, lo, hi)
         if not files:
-            all_files = self.data_files()
-            if not all_files:
-                from pyspark.sql.types import StructType
-
-                return spark.createDataFrame([], StructType([]))
-            return spark.read.parquet(all_files[-1]).limit(0)
+            return self._empty_like(spark)
         return spark.read.parquet(*files).where(
             F.col(key_col).between(lo, hi)
         )
@@ -460,10 +479,7 @@ class IceLiteTable:
         if snapshot_id is None:
             files = self.data_files()
         else:
-            d = os.path.join(self.dir, "data", snapshot_id)
-            files = [
-                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-            ]
+            files = self._snapshot_files(snapshot_id)
         return [(f, _parquet_rows(f)) for f in files]
 
     def per_file_stats(
@@ -472,9 +488,18 @@ class IceLiteTable:
         """(file, rows, min_key, max_key) per committed data file — the
         lineage source. Rows and key bounds come from the parquet footer
         (row-group column statistics), read driver-side with NO data
-        scan — the Iceberg manifest-stats analog."""
-        rows = self.per_file_rows(snapshot_id)
-        return [(f, n, *_parquet_key_bounds(f, key_col)) for f, n in rows]
+        scan — the Iceberg manifest-stats analog. One footer read per
+        file serves both (footers dominate this path's IO at
+        many-small-files scale)."""
+        if snapshot_id is None:
+            files = self.data_files()
+        else:
+            files = self._snapshot_files(snapshot_id)
+        out = []
+        for f in files:
+            md = _parquet_md(f)
+            out.append((f, md.num_rows, *_key_bounds_from_md(md, key_col)))
+        return out
 
 
 def _has_run(snaps: list[dict], run_id: str) -> bool:
@@ -484,25 +509,47 @@ def _has_run(snaps: list[dict], run_id: str) -> bool:
     )
 
 
+def _safe_id(run_id: str) -> str:
+    """run_id as a filesystem-safe snapshot-id fragment; non-portable
+    characters are folded to a short content hash so distinct run_ids
+    can never alias."""
+    import hashlib
+
+    if run_id and all(c.isalnum() or c in "-_." for c in run_id):
+        return run_id
+    return hashlib.sha256(run_id.encode()).hexdigest()[:16]
+
+
+def _parquet_md(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata
+
+
 def _parquet_rows(path: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).metadata.num_rows
+    return _parquet_md(path).num_rows
 
 
-def _parquet_key_bounds(path: str, key_col: str) -> tuple[str, str]:
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
+def _key_bounds_from_md(md, key_col: str) -> tuple[str, str]:
+    """File-level [min, max] of key_col from already-read footer
+    metadata; ('', '') = no usable bounds (prune conservatively). Any
+    SINGLE row group without stats makes the whole file unprunable —
+    bounds from the stat-bearing groups alone would be narrower than
+    the file's true range and read_pruned would silently drop rows."""
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get(key_col)
     if idx is None:
         return "", ""
     mins, maxs = [], []
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
-        if st is not None and st.has_min_max:
-            mins.append(st.min)
-            maxs.append(st.max)
+        if st is None or not st.has_min_max:
+            return "", ""
+        mins.append(st.min)
+        maxs.append(st.max)
     if not mins:
         return "", ""
     return str(min(mins)), str(max(maxs))
+
+
+def _parquet_key_bounds(path: str, key_col: str) -> tuple[str, str]:
+    return _key_bounds_from_md(_parquet_md(path), key_col)

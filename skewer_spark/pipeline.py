@@ -124,11 +124,14 @@ class Pipeline:
             sort_keys=True,
         )
 
-    def _persist_config(self, run_id: str) -> None:
+    def _conf_id(self) -> str:
         import hashlib
 
+        return hashlib.sha256(self._config_json().encode()).hexdigest()[:16]
+
+    def _persist_config(self, run_id: str) -> None:
         cfg = self._config_json()
-        conf_id = hashlib.sha256(cfg.encode()).hexdigest()[:16]
+        conf_id = self._conf_id()
         path = os.path.join(self.warehouse, "_configs", f"{conf_id}.json")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         if not os.path.exists(path):
@@ -225,14 +228,28 @@ class Pipeline:
         reject AGAIN land back in dead_letter, the retry loop). All the
         usual idempotence applies to the replay run_id."""
         table = self.table(DEAD_LETTER_SINK)
+        own_snaps = [s for s in table.snapshots() if s.run_id == source_run_id]
         paths = [
             f
-            for s in table.snapshots()
-            if s.run_id == source_run_id
+            for s in own_snaps
             for f, _ in table.per_file_rows(s.snapshot_id)
         ]
         replay_run_id = replay_run_id or f"{source_run_id}-retry"
         if not paths:
+            if not own_snaps and source_run_id in table.committed_runs():
+                # the run's dead-letter snapshot was absorbed by
+                # compaction: its rows exist but can no longer be
+                # isolated per-run. Returning an empty result here would
+                # be indistinguishable from "no rejects" while zero rows
+                # were actually replayed — fail loudly (same rule as
+                # read_excluding_run) so the caller replays before
+                # compacting or replays the full table explicitly.
+                raise ValueError(
+                    f"dead-letter rows of run {source_run_id!r} were "
+                    "absorbed by compaction and cannot be replayed "
+                    "per-run; replay before compact_sinks(), or rerun "
+                    "the whole dead_letter table under a new run_id"
+                )
             return PipelineResult(run_id=replay_run_id)
         src = self.spark.read.parquet(*paths).select(
             "conv_id", "turn_idx", "role", "text", "tool", "ts"
@@ -267,8 +284,23 @@ class Pipeline:
         committed = self.lineage.committed_units()
         staging = self._staging_dir(run_id)
         all_sinks = [r.sink for r in self.rules] + [DEAD_LETTER_SINK]
-        if not any(u[0] == run_id and u[1] == "config" for u in committed):
+        prior_conf = next(
+            (u[2] for u in committed if u[0] == run_id and u[1] == "config"),
+            None,
+        )
+        if prior_conf is None:
             self._persist_config(run_id)  # version the routing config
+        elif prior_conf != self._conf_id():
+            # Resume under a DIFFERENT config would mix configs within
+            # one run (staging routed under the old rules, recompute /
+            # added sinks under the new) and falsify the run's ConfId
+            # lineage — the reference routes every message under the
+            # config active when it arrived (store/store.go:655-729).
+            raise ValueError(
+                f"resume of run {run_id!r} with a different routing config "
+                f"(committed ConfId {prior_conf}, current {self._conf_id()}); "
+                "rerun with the original config or start a new run_id"
+            )
 
         # ---- phase 1: the one full pass (parse+enrich+route+write) ----
         obs = Observation(f"route_obs_{run_id}_{int(time.time()*1000)}")
@@ -282,10 +314,12 @@ class Pipeline:
             )
             t0 = time.time()
             routed.write.mode("overwrite").partitionBy("sink").parquet(staging)
+            # `or 0`: F.sum over zero rows observes NULL — the key is
+            # PRESENT with value None, so dict.get's default never fires
             res.status_counts = {
-                k: obs.get.get(k, 0) for k in ("dropped", "rejected")
+                k: int(obs.get.get(k) or 0) for k in ("dropped", "rejected")
             }
-            res.rows_in = obs.get.get("rows_in", 0)
+            res.rows_in = int(obs.get.get("rows_in") or 0)
             self.lineage.commit(
                 [
                     {
@@ -451,6 +485,20 @@ class Pipeline:
                         )
                     else:
                         snap = table.append_pandas(pdf, run_id)
+                    if snap is None:
+                        # a prior attempt crashed between the agg append
+                        # and the lineage commit: BACKFILL from the
+                        # manifest (phase 2's pattern), or the unit
+                        # stays pending and every resume re-runs the
+                        # melt scan forever
+                        snap = next(
+                            (
+                                s
+                                for s in table.snapshots()
+                                if s.run_id == run_id
+                            ),
+                            None,
+                        )
                     if snap is not None:
                         self.lineage.commit(
                             snapshot_lineage(
@@ -460,6 +508,44 @@ class Pipeline:
                                 wall_ms=agg_wall,
                             )
                         )
+                    else:
+                        # run_id survives only as a compaction parent:
+                        # marker record so resume bookkeeping completes
+                        self.lineage.commit(
+                            [
+                                {
+                                    "run_id": run_id,
+                                    "stage": "agg",
+                                    "sink": f"agg_{key}",
+                                    "partition_id": -1,
+                                    "rows_in": -1,
+                                    "rows_out": -1,
+                                    "wall_ms": agg_wall,
+                                    "committed_at": time.time(),
+                                }
+                            ]
+                        )
+
+            if not frames:
+                # zero routed rows this run (every sink snapshot empty):
+                # nothing to aggregate, but the units must still be
+                # marked committed — snapshot_lineage's contract — or
+                # every future resume re-enters this phase forever
+                for key in pending_aggs:
+                    self.lineage.commit(
+                        [
+                            {
+                                "run_id": run_id,
+                                "stage": "agg",
+                                "sink": f"agg_{key}",
+                                "partition_id": -1,
+                                "rows_in": 0,
+                                "rows_out": 0,
+                                "wall_ms": 0,
+                                "committed_at": time.time(),
+                            }
+                        ]
+                    )
 
         # staging leftovers (e.g. empty partitions dir) cleaned once all
         # sinks committed

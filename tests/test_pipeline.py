@@ -569,3 +569,233 @@ def test_read_pruned_skips_files_by_footer_bounds(spark, tmp_path):
     # empty range prunes everything but keeps the schema
     empty = t.read_pruned(spark, "conv_id", "zzz", "zzz9")
     assert empty.count() == 0 and empty.columns == ["conv_id", "v"]
+
+
+def test_resume_with_changed_config_raises(spark, sf_dir, tmp_path):
+    """Resuming a run under a DIFFERENT routing config must fail loudly:
+    staging was routed under the old rules, so continuing would mix
+    configs within one run and falsify its ConfId lineage (the
+    reference routes each message under the config active at arrival,
+    store/store.go:655-729)."""
+    tr = load_transcripts(spark, sf_dir).limit(300)
+    wh = str(tmp_path / "wh")
+    p = Pipeline(spark, wh)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        p.run(tr, run_id="cfg", fail_after_sinks=1)
+    changed = Pipeline(spark, wh, rejected_expr="severity >= 99")
+    with pytest.raises(ValueError, match="different routing config"):
+        changed.run(tr, run_id="cfg")
+    # the ORIGINAL config resumes fine, and a new run_id under the new
+    # config is unaffected
+    res = Pipeline(spark, wh).run(tr, run_id="cfg")
+    assert res.rows_in >= 0 and len(res.skipped_units) >= 1
+    res2 = changed.run(tr, run_id="cfg2")
+    assert ("cfg2", "sink", "sink_app") in changed.lineage.committed_units()
+
+
+def test_empty_input_zero_counts_and_agg_markers(spark, sf_dir, tmp_path):
+    """Zero-row input: observation sums observe NULL — counts must come
+    back as int 0, not None — and the agg units must still be marked
+    committed (else every resume re-runs the melt phase forever)."""
+    tr = load_transcripts(spark, sf_dir).limit(0)
+    p = Pipeline(spark, str(tmp_path / "wh"))
+    res = p.run(tr, run_id="empty")
+    assert res.rows_in == 0
+    assert res.status_counts == {"dropped": 0, "rejected": 0}
+    assert all(isinstance(v, int) for v in res.status_counts.values())
+    units = p.lineage.committed_units()
+    for k in ("facility", "severity", "tool"):
+        assert ("empty", "agg", f"agg_{k}") in units, k
+    res2 = p.run(tr, run_id="empty")
+    assert {u[1] for u in res2.skipped_units} >= {"sink", "agg"}
+    # arithmetic on the counts (the real consumer pattern) works
+    assert res.rows_in - res.status_counts["dropped"] == 0
+
+
+def test_phase3_backfills_lineage_after_agg_commit_gap(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash BETWEEN an agg table's manifest commit and its lineage
+    append: on resume append_pandas returns None (idempotency) and the
+    record must be backfilled from the manifest — phase 2's pattern —
+    or the unit stays pending and every rerun re-runs the melt scan."""
+    from skewer_spark.lineage import LineageLog
+
+    tr = load_transcripts(spark, sf_dir).limit(300)
+    wh = str(tmp_path / "wh")
+    p = Pipeline(spark, wh)
+    real_commit = LineageLog.commit
+    state = {"armed": True}
+
+    def failing_commit(self, records):
+        if state["armed"] and any(r.get("stage") == "agg" for r in records):
+            state["armed"] = False
+            raise RuntimeError("simulated crash after agg manifest commit")
+        return real_commit(self, records)
+
+    monkeypatch.setattr(LineageLog, "commit", failing_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        p.run(tr, run_id="agap")
+    monkeypatch.setattr(LineageLog, "commit", real_commit)
+
+    p2 = Pipeline(spark, wh)
+    p2.run(tr, run_id="agap")  # resume
+    units = p2.lineage.committed_units()
+    for k in ("facility", "severity", "tool"):
+        assert ("agap", "agg", f"agg_{k}") in units, k
+        # exactly one committed snapshot per agg table — no duplicates
+        snaps = [
+            s for s in p2.table(f"agg_{k}").snapshots() if s.run_id == "agap"
+        ]
+        assert len(snaps) == 1, k
+    # the backfilled lineage row carries the real manifest row count
+    lin = p2.lineage.records()
+    row = lin[(lin.stage == "agg") & (lin.sink == "agg_facility")]
+    manifest_rows = next(
+        s.rows
+        for s in p2.table("agg_facility").snapshots()
+        if s.run_id == "agap"
+    )
+    assert int(row.rows_in.iloc[0]) == manifest_rows
+    res3 = p2.run(tr, run_id="agap")
+    assert len(res3.skipped_units) >= 8  # 5 sinks + 3 aggs
+
+
+def test_replay_raises_after_compaction_absorbs_run(spark, sf_dir, tmp_path):
+    """Once compaction absorbs a run's dead_letter snapshot, per-run
+    replay is impossible — it must raise (read_excluding_run's
+    fail-loud rule), never silently replay zero rows."""
+    tr = load_transcripts(spark, sf_dir)
+    p = Pipeline(spark, str(tmp_path / "wh"))
+    r1 = p.run(tr, run_id="base")
+    assert r1.sink_rows.get("dead_letter", 0) > 0
+    # a second run so compaction has >1 snapshot to absorb
+    p.run(tr.limit(200), run_id="base2")
+    done = p.compact_sinks(min_files=1)
+    assert "dead_letter" in done
+    with pytest.raises(ValueError, match="absorbed by compaction"):
+        p.replay_dead_letter("base")
+    # an unknown run (never committed) still returns the empty result
+    r_none = p.replay_dead_letter("never-ran")
+    assert r_none.rows_in == 0 and r_none.sink_rows == {}
+
+
+def test_register_dir_rename_crash_window_preserves_rows(
+    spark, tmp_path, monkeypatch
+):
+    """Crash BETWEEN register_dir's os.rename and the manifest commit:
+    the staged input was consumed by the rename, so the rerun must
+    adopt the already-renamed dir — not commit an empty snapshot over
+    orphaned data (silent loss)."""
+    import os
+
+    from skewer_spark.icelite import IceLiteTable
+
+    src = str(tmp_path / "staging" / "sink=x")
+    spark.range(123).coalesce(1).write.parquet(src)
+    t = IceLiteTable(str(tmp_path / "wh"), "x")
+    real = IceLiteTable._commit_manifest
+
+    def boom(self, snaps):
+        raise RuntimeError("crash between rename and manifest commit")
+
+    monkeypatch.setattr(IceLiteTable, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="crash between"):
+        t.register_dir(src, "runR")
+    assert not os.path.isdir(src)  # the rename consumed the staging dir
+    monkeypatch.setattr(IceLiteTable, "_commit_manifest", real)
+
+    snap = IceLiteTable(str(tmp_path / "wh"), "x").register_dir(src, "runR")
+    assert snap is not None and snap.rows == 123
+    assert t.read(spark).count() == 123
+    # and the rerun after THAT is the usual idempotent no-op
+    assert t.register_dir(src, "runR") is None
+
+
+def test_append_rmw_keeps_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A second writer committing DURING another run's append must not
+    be erased by the first writer's manifest read-modify-write: the
+    manifest is re-read at commit time."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from skewer_spark.icelite import IceLiteTable
+
+    wh = str(tmp_path / "wh")
+    t = IceLiteTable(wh, "x")
+    real_write = pq.write_table
+    state = {"first": True}
+
+    def interleaved(table, path, **kw):
+        if state["first"]:
+            state["first"] = False
+            # writer B lands a full commit while A's write is in flight
+            IceLiteTable(wh, "x").append_pandas(
+                pd.DataFrame({"v": [10, 11]}), "B"
+            )
+        return real_write(table, path, **kw)
+
+    monkeypatch.setattr(pq, "write_table", interleaved)
+    snap_a = t.append_pandas(pd.DataFrame({"v": [1, 2, 3]}), "A")
+    monkeypatch.setattr(pq, "write_table", real_write)
+    assert snap_a is not None
+    runs = t.committed_runs()
+    assert {"A", "B"} <= runs
+    assert t.read(spark).count() == 5  # both writers' rows visible
+
+
+def test_key_bounds_partial_stats_make_file_unprunable():
+    """A file where only SOME row groups carry key statistics must
+    report no bounds at all: bounds from the stat-bearing groups alone
+    are narrower than the file's true range, and pruning on them would
+    silently drop rows."""
+    from skewer_spark.icelite import _key_bounds_from_md
+
+    class St:
+        def __init__(self, lo, hi):
+            self.has_min_max = lo is not None
+            self.min, self.max = lo, hi
+
+    class Col:
+        def __init__(self, st):
+            self.statistics = st
+
+    class RG:
+        def __init__(self, st):
+            self._st = st
+
+        def column(self, idx):
+            return Col(self._st)
+
+    class SchemaCol:
+        def __init__(self, name):
+            self.name = name
+
+    class Schema:
+        def column(self, i):
+            return SchemaCol("k")
+
+    class MD:
+        def __init__(self, stats):
+            self.schema = Schema()
+            self.num_columns = 1
+            self.num_row_groups = len(stats)
+            self._rgs = [RG(s) for s in stats]
+
+        def row_group(self, i):
+            return self._rgs[i]
+
+    # all groups have stats -> real bounds
+    assert _key_bounds_from_md(MD([St("a", "c"), St("d", "f")]), "k") == (
+        "a",
+        "f",
+    )
+    # ONE group without stats -> whole file unprunable
+    assert _key_bounds_from_md(MD([St("a", "c"), St(None, None)]), "k") == (
+        "",
+        "",
+    )
+    # stats missing entirely -> unprunable
+    assert _key_bounds_from_md(MD([St(None, None)]), "k") == ("", "")
+    # key column absent -> unprunable
+    assert _key_bounds_from_md(MD([St("a", "c")]), "missing") == ("", "")
