@@ -40,6 +40,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,7 +54,12 @@ class FilterHook:
     name: str
     # kernel: pdf -> pdf with a route_status column added and mutated
     # columns rewritten IN PLACE (the wrapper handles pass-only
-    # exposure); must return exactly the input rows (any order)
+    # exposure); must return exactly the input rows, in any order and
+    # with any index — row identity travels on an injected
+    # ``_hook_rowid`` sentinel column the wrapper aligns by, so
+    # sort_values/reset_index are fine, but the kernel must CARRY the
+    # input columns through (a fresh frame that drops the sentinel
+    # fails loudly rather than mis-attaching verdicts)
     kernel: Callable[[pd.DataFrame], pd.DataFrame]
     # columns the kernel may rewrite; exposed as hook_<name>_<col>
     mutates: tuple[str, ...] = ()
@@ -102,16 +108,30 @@ class FilterHook:
     # transfer; measured 2.5x slower e2e at 10M rows).
     key_cols: tuple[str, ...] = ()
     # SPARSE-VERDICT escape (narrow path only): the status almost
-    # every row gets. When set, the kernel stage returns ONLY rows
-    # whose status differs from the default or that carry a real
+    # every row gets. Either a bare status literal ('dropped') or a
+    # portable SQL EXPRESSION over JVM-visible columns evaluating to a
+    # status per row ("CASE WHEN parse_error THEN 'rejected' ELSE
+    # 'dropped' END") — the expression form exists so data-proportional
+    # verdicts the JVM can recompute (parse errors!) never ride the
+    # broadcast. When set, the kernel stage returns ONLY rows whose
+    # status differs from their per-row default or that carry a real
     # mutation, and the verdict frame BROADCASTS back onto the wide
     # side as a left join — the wide side never shuffles, which is the
     # difference between "adds a 10^12-row exchange" and "adds a
     # per-executor map probe" at scale. Registrant contract: the
-    # non-default row count must be broadcastable (rate limiting
-    # passes K rows per group BY CONSTRUCTION; a 50%-pass filter must
-    # leave this empty and take the shuffled hash join instead).
+    # non-default row count must be broadcastable BY CONSTRUCTION
+    # (rate limiting passes K rows per group; a 50%-pass filter must
+    # leave this empty and take the shuffled hash join instead) — and
+    # by construction means bounded by group/key cardinality, NOT by a
+    # data-proportional rate like parse errors; push those into the
+    # expression form.
     default_status: str = ""
+    # pandas twin of an expression-form default_status (required then;
+    # ignored for the literal form): pdf -> array of statuses, one per
+    # row. The wrapper uses it to decide which kernel rows are
+    # redundant; the JVM expression fills them in at join-back. The
+    # two must agree on every row — the oracle hash pins that.
+    default_status_fn: Callable[[pd.DataFrame], "np.ndarray"] | None = None
 
 
 _HOOKS: dict[str, FilterHook] = {}
@@ -160,10 +180,13 @@ def apply_filter_hook(
             f"hook {name!r}: default_status requires key_cols (the "
             "sparse-verdict path is a join-back optimization)"
         )
-    if hook.default_status and hook.default_status not in VALID_STATUSES:
+    literal_default = hook.default_status in VALID_STATUSES
+    if hook.default_status and not literal_default and hook.default_status_fn is None:
         raise ValueError(
-            f"hook {name!r}: default_status {hook.default_status!r} "
-            f"not in {sorted(VALID_STATUSES)}"
+            f"hook {name!r}: default_status {hook.default_status!r} is "
+            f"not a bare status in {sorted(VALID_STATUSES)}, so it is "
+            "treated as a SQL expression and needs default_status_fn "
+            "(the pandas twin) to filter redundant kernel rows"
         )
     if narrow and validate_keys:
         dup = (
@@ -180,6 +203,12 @@ def apply_filter_hook(
                 "the narrow verdict join-back would multiply rows; fix "
                 "the key or use the wide path (key_cols=())"
             )
+    if "_hook_rowid" in df.columns:
+        raise ValueError(
+            f"hook {name!r}: input already has a _hook_rowid column, "
+            "which collides with the wrapper's row-identity sentinel — "
+            "rename it before applying the hook"
+        )
     if narrow:
         seen: dict[str, None] = {}
         extra = (hook.salt_within_group,) if hook.salt_within_group else ()
@@ -205,7 +234,17 @@ def apply_filter_hook(
     pass_cols = [f.name for f in pass_fields]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = hook.kernel(pdf.copy())
+        # Row identity travels on an INJECTED sentinel column, not the
+        # pandas index: Arrow batches always arrive with a fresh
+        # 0..n-1 RangeIndex, so a kernel that sorts and reset_index's
+        # produces an index SET-EQUAL to the input — undetectable, and
+        # index-based alignment would silently attach every verdict to
+        # the wrong row. The sentinel survives any reorder/reindex as
+        # long as the kernel keeps input columns (the one thing we can
+        # check loudly).
+        pin = pdf.copy()
+        pin["_hook_rowid"] = np.arange(len(pin), dtype=np.int64)
+        out = hook.kernel(pin)
         bad = set(out["route_status"].unique()) - VALID_STATUSES
         if bad:
             raise ValueError(f"hook {name!r} emitted invalid statuses {bad}")
@@ -214,35 +253,61 @@ def apply_filter_hook(
                 f"hook {name!r} returned {len(out)} rows for {len(pdf)} in — "
                 "kernels classify rows, they never add or swallow them"
             )
+        if "_hook_rowid" not in out.columns:
+            raise ValueError(
+                f"hook {name!r} kernel dropped the _hook_rowid sentinel — "
+                "kernels may reorder rows freely but must carry every "
+                "input column through (build on the input frame, don't "
+                "construct a fresh one)"
+            )
+        rid = out["_hook_rowid"].to_numpy(dtype=np.int64)
+        if not np.array_equal(np.sort(rid), np.arange(len(pdf), dtype=np.int64)):
+            raise ValueError(
+                f"hook {name!r} kernel duplicated or rewrote _hook_rowid — "
+                "it must remain a permutation of the input rows"
+            )
         # EVERY pass-through column comes from the ORIGINAL batch
-        # (aligned to the kernel's row order via the index) — a kernel
-        # edit to an undeclared column, or to a column that happens to
-        # collide with an upstream name (e.g. the pipeline's own
-        # route_status tri-state), can never leak downstream
-        res = pdf.loc[out.index, pass_cols].copy()
+        # (aligned to the kernel's row order via the sentinel) — a
+        # kernel edit to an undeclared column, or to a column that
+        # happens to collide with an upstream name (e.g. the
+        # pipeline's own route_status tri-state), can never leak
+        # downstream
+        res = pdf.iloc[rid].loc[:, pass_cols].copy()
         passing = (out["route_status"] == "passing").to_numpy()
         statuses = out["route_status"].to_numpy()
         res[status_col(name)] = statuses
         for c in hook.mutates:
-            orig = pdf.loc[out.index, c]
+            # positional (numpy) alignment throughout — pandas would
+            # re-align these Series by index, undoing the rid mapping
+            orig = pd.Series(pdf[c].to_numpy()[rid])
+            out_c = pd.Series(out[c].to_numpy())
             if narrow:
                 # ship mutations compressed: NULL = unchanged (the
                 # join-back coalesces to the original), so a kernel
                 # rewriting few rows sends almost-empty columns.
                 # Pass-only mutation falls out: non-passing rows are
                 # forced to NULL -> original after coalesce.
-                same = (out[c].eq(orig) | (out[c].isna() & orig.isna()))
+                same = (out_c.eq(orig) | (out_c.isna() & orig.isna()))
                 changed = passing & ~same.to_numpy(dtype=bool)
-                vals = out[c].to_numpy(dtype=object, copy=True)
+                vals = out_c.to_numpy(dtype=object, copy=True)
                 vals[~changed] = None
                 res[mutated_col(name, c)] = vals
             else:
                 # pass-only mutation: dropped/rejected keep originals
-                res[mutated_col(name, c)] = out[c].where(passing, orig)
+                res[mutated_col(name, c)] = out_c.where(
+                    passing, orig
+                ).to_numpy()
         if hook.default_status:
             # sparse-verdict path: only non-default rows return from
-            # the kernel stage (the join-back fills the default)
-            keep = statuses != hook.default_status
+            # the kernel stage (the join-back fills the default — per
+            # row via the SQL expression form, or the constant)
+            if hook.default_status_fn is not None:
+                defaults = np.asarray(
+                    hook.default_status_fn(pdf.iloc[rid]), dtype=object
+                )
+            else:
+                defaults = np.full(len(out), hook.default_status, dtype=object)
+            keep = statuses != defaults
             for c in hook.mutates:
                 keep = keep | res[mutated_col(name, c)].notna().to_numpy()
             res = res[keep]
@@ -250,6 +315,12 @@ def apply_filter_hook(
 
     if hook.group_cols:
         if hook.salt_within_group:
+            if "_hook_salt" in work.columns:
+                raise ValueError(
+                    f"hook {name!r}: input already has a _hook_salt "
+                    "column; it would be overwritten and dropped — "
+                    "rename it before applying the hook"
+                )
             salted = work.withColumn(
                 "_hook_salt",
                 F.pmod(
@@ -293,11 +364,17 @@ def apply_filter_hook(
         cond = eq if cond is None else cond & eq
     if hook.default_status:
         # sparse verdicts: broadcast-left-join the few non-default
-        # rows; the wide side keeps its partitioning (no exchange)
+        # rows; the wide side keeps its partitioning (no exchange).
+        # Absent rows get their default JVM-side — a constant, or the
+        # per-row SQL expression (which is how data-proportional
+        # statuses stay OFF the broadcast).
         joined = df.join(F.broadcast(v), on=cond, how="left")
-        status = F.coalesce(
-            v[status_col(name)], F.lit(hook.default_status)
+        default_col = (
+            F.lit(hook.default_status)
+            if literal_default
+            else F.expr(hook.default_status)
         )
+        status = F.coalesce(v[status_col(name)], default_col)
     else:
         # dense verdicts: shuffled hash join, not sort-merge — the
         # verdict side is slim and per-partition hash maps beat two
@@ -320,9 +397,23 @@ def apply_filter_hook(
 def apply_hooks_for_rules(df: DataFrame, rules) -> DataFrame:
     """One hook stage per DISTINCT hook named by the rules (shared by
     every rule that selects it), applied before the fan-out
-    projection."""
+    projection.
+
+    Lineage discipline: a narrow hook's verdict join-back re-executes
+    the input lineage on both join sides (measured cheaper than
+    materializing for ONE hook — see FilterHook.key_cols). STACKED
+    narrow hooks would compound that 2x per hook (hook N+1 re-runs
+    hook N's join on both of ITS sides: 2^H parse executions), so from
+    the second narrow hook on we cut lineage with a lazy
+    localCheckpoint — each subsequent hook then re-reads materialized
+    partitions instead of recomputing the whole prefix."""
+    applied_narrow = False
     for name in sorted({r.filter_hook for r in rules if getattr(r, "filter_hook", "")}):
+        narrow = bool(get_filter_hook(name).key_cols)
+        if narrow and applied_narrow:
+            df = df.localCheckpoint(eager=False)
         df = apply_filter_hook(df, name)
+        applied_narrow = applied_narrow or narrow
     return df
 
 
@@ -354,7 +445,11 @@ def _rate_limit_mask_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     passing = (~err) & (rn <= RATE_LIMIT_K)
     msgs = pdf["message"].to_numpy(dtype=object, copy=True)
     for i in np.nonzero(passing)[0]:
-        msgs[i] = digit_run.sub("#", msgs[i])
+        # NULL message stays NULL, matching the oracle's
+        # regexp_replace(NULL, ...) -> NULL (sub(None) would TypeError
+        # the whole Arrow batch)
+        if msgs[i] is not None:
+            msgs[i] = digit_run.sub("#", msgs[i])
     pdf["message"] = msgs
     return pdf
 
@@ -367,8 +462,15 @@ register_filter_hook(
         group_cols=("appname",),
         reads=("parse_error",),
         key_cols=("conv_id", "turn_idx"),
-        # sparse by construction: K passing rows per appname plus the
-        # rejected parse errors; everything else is 'dropped'
-        default_status="dropped",
+        # sparse by construction: ONLY the K passing rows per appname
+        # ride the broadcast (bounded by appname cardinality). Parse
+        # errors are data-proportional, so their 'rejected' verdict is
+        # recomputed JVM-side by the expression default instead of
+        # shipping ~error_rate * N rows through a broadcast that must
+        # never exceed the driver/executor memory.
+        default_status="CASE WHEN parse_error THEN 'rejected' ELSE 'dropped' END",
+        default_status_fn=lambda pdf: np.where(
+            pdf["parse_error"].to_numpy(dtype=bool), "rejected", "dropped"
+        ),
     )
 )

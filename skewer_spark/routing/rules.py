@@ -176,9 +176,20 @@ def route_fanout(
         for r in rules
     ]
     if status_aware:
+        # REJECTED -> dead letter, from EITHER classifier: the
+        # pipeline tri-state or any hook named by these rules. A
+        # hook's 'rejected' verdict is the same NACK semantics
+        # (vm.go:399-442 -> forwarder.go:199-205); without this leg a
+        # hook-rejected row whose route_status is 'passing' would
+        # match no rule and be silently swallowed, violating the
+        # dead-letter contract (it went unnoticed while the demo
+        # hook's rejects coincided with parse_error).
+        dl_cond = F.expr("route_status = 'rejected'")
+        for h in sorted({r.filter_hook for r in rules if r.filter_hook}):
+            dl_cond = dl_cond | (F.col(FH.status_col(h)) == "rejected")
         structs.append(
             F.when(
-                F.expr("route_status = 'rejected'"),
+                dl_cond,
                 F.struct(
                     F.lit(DEAD_LETTER_SINK).alias("sink"),
                     F.lit("dead-letter").alias("topic"),
@@ -188,6 +199,12 @@ def route_fanout(
                 ),
             )
         )
+    for helper in ("_matches", "_route"):
+        if helper in df.columns:
+            raise ValueError(
+                f"route_fanout: input already has a {helper!r} column; "
+                "it would be overwritten and dropped — rename it first"
+            )
     out = (
         df.withColumn("_matches", F.filter(F.array(*structs), lambda x: x.isNotNull()))
         .withColumn("_route", F.explode("_matches"))

@@ -42,8 +42,21 @@ def salted_repartition(
     """Repartition by (key, salt) so one hot key spreads over `buckets`
     tasks. Use for per-row stages only (parse/enrich/route); ordered
     per-key work must re-merge (see blocked_row_number)."""
+    _reject_helper_collision(df, ("_salt",), "salted_repartition")
     salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_col)), F.lit(buckets)))
     return salted.repartition(num_partitions, F.col(key_col), F.col("_salt")).drop("_salt")
+
+
+def _reject_helper_collision(df: DataFrame, names: tuple[str, ...], where: str) -> None:
+    """Helper columns are added then dropped; a same-named input column
+    would be silently overwritten and then REMOVED from the output.
+    Fail loudly instead of eating the user's column."""
+    hit = [c for c in names if c in df.columns]
+    if hit:
+        raise ValueError(
+            f"{where}: input already has column(s) {hit} which collide "
+            "with internal helper names; rename them before calling"
+        )
 
 
 def blocked_row_number(
@@ -61,6 +74,9 @@ def blocked_row_number(
     within own block; blocks partition the order domain, so the sum is
     the global rank.
     """
+    _reject_helper_collision(
+        df, ("_blk", "_lrn", "_off", "_jk", "_jb"), "blocked_row_number"
+    )
     blocked = df.withColumn("_blk", (F.col(order_col) / block_size).cast("long"))
     # phase a: bounded-size windows within (key, block)
     w_local = Window.partitionBy(part_col, "_blk").orderBy(order_col)
@@ -79,7 +95,19 @@ def blocked_row_number(
         Window.unboundedPreceding, -1
     )
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_bn").over(w_cum), F.lit(0)))
-    out = local.join(offsets.select(part_col, "_blk", "_off"), [part_col, "_blk"])
+    # NULL-SAFE equi-join: the window ranks a NULL partition key as its
+    # own group, but a plain [part_col, _blk] join drops those rows
+    # (NULL never equals NULL) — silent row loss vs the plain-window
+    # semantics this helper claims to be identical to. <=> keeps it a
+    # hash equi-join.
+    off = offsets.select(
+        F.col(part_col).alias("_jk"), F.col("_blk").alias("_jb"), "_off"
+    )
+    out = local.join(
+        off,
+        local[part_col].eqNullSafe(off["_jk"])
+        & local["_blk"].eqNullSafe(off["_jb"]),
+    ).drop("_jk", "_jb")
     # LONG, not int: a hot key past 2^31 rows — exactly the scale this
     # helper exists for — would silently wrap a 32-bit rank
     return (

@@ -276,3 +276,184 @@ def test_grouped_hook_hot_group_salting(spark):
     # -> ~12.5 convs (~625 rows) per task; allow generous imbalance
     # but demand a real bound (< a quarter of the hot group)
     assert salt_max <= n_hot // 4, salt_max
+
+
+def test_null_message_on_passing_row_stays_null(spark):
+    # oracle semantics: regexp_replace(NULL, ...) IS NULL — the kernel
+    # must skip None instead of TypeError-ing the whole Arrow batch
+    rows = [("cN", 0, "appN", None, False)] + ROWS
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r["conv_id"], r["turn_idx"]): r
+           for r in FH.apply_filter_hook(df, "rate_limit_mask").collect()}
+    r = got[("cN", 0)]
+    assert r["hook_status_rate_limit_mask"] == "passing"
+    assert r["message"] is None
+    assert r["hook_rate_limit_mask_message"] is None
+
+
+def test_kernel_reset_index_still_aligns_correctly(spark):
+    # Arrow batches always arrive with a fresh RangeIndex, so a kernel
+    # that sorts + reset_index's is UNDETECTABLE by index comparison —
+    # the wrapper aligns by the injected _hook_rowid sentinel instead,
+    # so verdicts land on the right rows even for reindexing kernels
+    import numpy as np
+
+    FH.register_filter_hook(FH.FilterHook(
+        name="_reset_index_even",
+        kernel=lambda pdf: pdf.sort_values("turn_idx", ascending=False)
+        .reset_index(drop=True)
+        .assign(
+            route_status=lambda d: np.where(
+                d["turn_idx"].to_numpy() % 2 == 0, "passing", "dropped"
+            )
+        ),
+        group_cols=("appname",),
+    ))
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = FH.apply_filter_hook(df, "_reset_index_even").collect()
+    assert len(got) == len(ROWS)
+    for r in got:
+        want = "passing" if r["turn_idx"] % 2 == 0 else "dropped"
+        assert r["hook_status__reset_index_even"] == want, r
+
+
+def test_kernel_dropping_sentinel_fails_loudly(spark):
+    # a kernel that builds a FRESH frame (dropping input columns, and
+    # with them the _hook_rowid sentinel) loses row identity — the
+    # wrapper must reject it, not mis-align silently
+    FH.register_filter_hook(FH.FilterHook(
+        name="_bad_fresh_frame",
+        kernel=lambda pdf: pd.DataFrame({
+            "turn_idx": pdf["turn_idx"].to_numpy(),
+            "route_status": "passing",
+        }),
+        group_cols=("appname",),
+    ))
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="_hook_rowid"):
+        FH.apply_filter_hook(df, "_bad_fresh_frame").collect()
+
+
+def test_sparse_expression_default_fills_jvm_side(spark):
+    # the expression-form default exists so data-proportional statuses
+    # (parse errors) never ride the broadcast. Proof: a kernel whose
+    # verdict frame is ENTIRELY filtered out (every status equals its
+    # per-row default under default_status_fn) must still yield the
+    # expression's per-row statuses — they can only have come from the
+    # JVM-side fill, not the broadcast.
+    import numpy as np
+
+    FH.register_filter_hook(FH.FilterHook(
+        name="_sparse_expr_probe",
+        kernel=lambda pdf: pdf.assign(
+            route_status=np.where(
+                pdf["parse_error"].to_numpy(dtype=bool), "rejected", "dropped"
+            )
+        ),
+        group_cols=(),
+        reads=("parse_error",),
+        key_cols=("conv_id", "turn_idx"),
+        default_status="CASE WHEN parse_error THEN 'rejected' ELSE 'dropped' END",
+        default_status_fn=lambda pdf: np.where(
+            pdf["parse_error"].to_numpy(dtype=bool), "rejected", "dropped"
+        ),
+    ))
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {(r["conv_id"], r["turn_idx"]): r["hook_status__sparse_expr_probe"]
+           for r in FH.apply_filter_hook(df, "_sparse_expr_probe").collect()}
+    for c, t, _, _, err in ROWS:
+        assert got[(c, t)] == ("rejected" if err else "dropped")
+
+
+def test_sparse_expression_default_requires_pandas_twin(spark):
+    FH.register_filter_hook(FH.FilterHook(
+        name="_sparse_no_fn",
+        kernel=lambda pdf: pdf.assign(route_status="dropped"),
+        key_cols=("conv_id", "turn_idx"),
+        default_status="CASE WHEN parse_error THEN 'rejected' ELSE 'dropped' END",
+    ))
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="default_status_fn"):
+        FH.apply_filter_hook(df, "_sparse_no_fn")
+
+
+def test_hook_rejected_rows_reach_dead_letter(spark):
+    # NACK parity: a hook's 'rejected' verdict must dead-letter the row
+    # even when the pipeline tri-state says 'passing' — previously such
+    # rows matched no sink and were silently swallowed (unnoticed only
+    # because the demo hook's rejects coincide with parse_error)
+    import numpy as np
+
+    FH.register_filter_hook(FH.FilterHook(
+        name="_reject_turn1",
+        kernel=lambda pdf: pdf.assign(
+            route_status=np.where(
+                pdf["turn_idx"].to_numpy() == 1, "rejected", "passing"
+            )
+        ),
+        group_cols=("appname",),
+    ))
+    df = spark.createDataFrame(ROWS, SCHEMA).withColumn(
+        "route_status", F.lit("passing")
+    )
+    rules = (
+        RouteRule("sink_hooked", "'hooked'", "TRUE",
+                  partition_key_expr="'pk'", filter_hook="_reject_turn1"),
+    )
+    routed = route_fanout(
+        FH.apply_hooks_for_rules(df, rules), rules, status_aware=True
+    )
+    by_sink = {}
+    for r in routed.collect():
+        by_sink.setdefault(r["sink"], []).append((r["conv_id"], r["turn_idx"]))
+    rejected = sorted(k for k in [(c, t) for c, t, *_ in ROWS] if k[1] == 1)
+    assert sorted(by_sink.get("dead_letter", [])) == rejected
+    assert sorted(by_sink["sink_hooked"]) == sorted(
+        k for k in [(c, t) for c, t, *_ in ROWS] if k[1] != 1
+    )
+
+
+def test_stacked_narrow_hooks_compose(spark):
+    # two narrow hooks named by one rule set: verdicts from both must
+    # land on every row (the wrapper cuts lineage between them with a
+    # lazy localCheckpoint so hook N+1 doesn't re-run hook N's join on
+    # both of its own join sides)
+    import numpy as np
+
+    FH.register_filter_hook(FH.FilterHook(
+        name="_narrow_even",
+        kernel=lambda pdf: pdf.assign(
+            route_status=np.where(
+                pdf["turn_idx"].to_numpy() % 2 == 0, "passing", "dropped"
+            )
+        ),
+        key_cols=("conv_id", "turn_idx"),
+    ))
+    FH.register_filter_hook(FH.FilterHook(
+        name="_narrow_app2",
+        kernel=lambda pdf: pdf.assign(
+            route_status=np.where(
+                pdf["appname"].to_numpy() == "app2", "rejected", "passing"
+            )
+        ),
+        reads=("appname",),
+        key_cols=("conv_id", "turn_idx"),
+    ))
+    rules = (
+        RouteRule("s1", "'t1'", "TRUE", filter_hook="_narrow_even"),
+        RouteRule("s2", "'t2'", "TRUE", filter_hook="_narrow_app2"),
+    )
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = FH.apply_hooks_for_rules(df, rules)
+    rows = out.collect()
+    assert len(rows) == len(ROWS)
+    for r in rows:
+        assert r["hook_status__narrow_even"] == (
+            "passing" if r["turn_idx"] % 2 == 0 else "dropped"
+        )
+        assert r["hook_status__narrow_app2"] == (
+            "rejected" if r["appname"] == "app2" else "passing"
+        )

@@ -55,3 +55,39 @@ def test_blocked_row_number_ordering_invariant(spark, sf_dir):
     out = blocked_row_number(tr, "conv_id", "turn_idx", block_size=64)
     bad = out.where(F.col("rn") - 1 != F.col("turn_idx")).count()
     assert bad == 0
+
+
+def test_blocked_row_number_keeps_null_key_rows(spark):
+    # NULL partition keys form their own window group; the offsets
+    # join-back must be null-safe or those rows silently vanish
+    rows = [("c1", 0), ("c1", 1), (None, 0), (None, 1), (None, 2)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long")
+    out = blocked_row_number(df, "conv_id", "turn_idx", block_size=2)
+    got = {(r["conv_id"], r["turn_idx"]): r["rn"] for r in out.collect()}
+    assert len(got) == len(rows)  # no silent row loss
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    plain = {
+        (r["conv_id"], r["turn_idx"]): r["rn"]
+        for r in df.select(
+            "conv_id", "turn_idx",
+            F.row_number().over(w).cast("long").alias("rn"),
+        ).collect()
+    }
+    assert got == plain
+
+
+def test_helper_column_collision_raises(spark):
+    # helper columns are added then dropped; a same-named user column
+    # would be eaten silently — the helpers must refuse instead
+    import pytest
+
+    df = spark.createDataFrame(
+        [("c1", 0, 7)], "conv_id string, turn_idx long, _salt int"
+    )
+    with pytest.raises(ValueError, match="_salt"):
+        salted_repartition(df, 4)
+    df2 = spark.createDataFrame(
+        [("c1", 0, 7)], "conv_id string, turn_idx long, _blk int"
+    )
+    with pytest.raises(ValueError, match="_blk"):
+        blocked_row_number(df2, "conv_id", "turn_idx")
