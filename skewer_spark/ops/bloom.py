@@ -110,6 +110,10 @@ def bloom_member_udf(spark: SparkSession, bm: np.ndarray):
             )
         return pd.Series(ok)
 
+    # expose the broadcast so long-running callers (streaming, one
+    # batch per trigger) can unpersist it instead of leaking one
+    # broadcast block per invocation until GC
+    _member._bloom_bc = bc
     return _member
 
 

@@ -183,7 +183,7 @@ def start_fanout_stream(
 
 
 def windowed_severity_counts(
-    stream: DataFrame, spark: SparkSession, watermark: str = "10 minutes",
+    stream: DataFrame, watermark: str = "10 minutes",
     window: str = "1 hour",
 ) -> DataFrame:
     """Event-time windowed rollup with late-data watermark (the
@@ -237,11 +237,17 @@ def gelf_chunk_reassembly_stream(
     - completeness = all seq_count distinct seqs present -> emit the
       concatenated line (fromChunks :294-303) and clear state;
     - seq_nr >= seq_count or seq_count > 128 discards the whole group
-      (:236-246); later chunks may start a fresh group, as in the
-      reference (delete + continue);
+      (:236-246), and so does a chunk whose seq_count DISAGREES with
+      the group's established count (a protocol violation: mixed
+      framings would either KeyError on emit or concatenate chunks of
+      two different messages); later chunks may start a fresh group,
+      as in the reference (delete + continue);
     - a group older than ``expiry_ms`` (measured from its FIRST chunk,
       :253-257) expires via the event-time timeout when the watermark
       passes — state is bounded by in-flight groups, never unbounded.
+      A group whose deadline is ALREADY behind the current watermark
+      expires inline (the engine rejects a timeout in the past, which
+      would otherwise kill the whole query).
     """
 
     def update(
@@ -259,33 +265,52 @@ def gelf_chunk_reassembly_stream(
             buf = dict(zip(list(seqs), list(chks)))
         else:
             first_ms, total, buf = None, 0, {}
-        lines: list[str] = []
+        out: list[tuple[str, str]] = []  # (line, status)
         for pdf in pdfs:
             for r in pdf.itertuples(index=False):
                 ts_ms = int(pd.Timestamp(r.event_time).timestamp() * 1000)
                 if first_ms is None:
                     first_ms = ts_ms
-                if int(r.seq_count) > 128 or int(r.seq_nr) >= int(r.seq_count):
+                if (
+                    int(r.seq_count) > 128
+                    or int(r.seq_nr) >= int(r.seq_count)
+                    or (buf and int(r.seq_count) != total)
+                ):
                     buf, first_ms, total = {}, None, 0  # delete + continue
                     continue
                 total = int(r.seq_count)
                 buf[int(r.seq_nr)] = str(r.chunk)
                 if len(buf) == total:
-                    lines.append("".join(buf[i] for i in range(total)))
+                    # keys are exactly 0..total-1: every buffered seq_nr
+                    # passed seq_nr < seq_count under a CONSISTENT count
+                    # (mismatches discard the group above)
+                    out.append(
+                        ("".join(buf[i] for i in range(total)), "ok")
+                    )
                     buf, first_ms, total = {}, None, 0
         if buf:
-            state.update(
-                (first_ms, total, list(buf.keys()), list(buf.values()))
-            )
-            state.setTimeoutTimestamp(first_ms + expiry_ms)
+            deadline = first_ms + expiry_ms
+            wm = state.getCurrentWatermarkMs()
+            if deadline <= wm:
+                # already past expiry in event time: the engine rejects
+                # setTimeoutTimestamp(<= watermark) with a query-fatal
+                # error, so expire the group inline instead
+                if state.exists:
+                    state.remove()
+                out.append(("", "expired"))
+            else:
+                state.update(
+                    (first_ms, total, list(buf.keys()), list(buf.values()))
+                )
+                state.setTimeoutTimestamp(deadline)
         elif state.exists:
             state.remove()
-        if lines:
+        if out:
             yield pd.DataFrame(
                 {
-                    "msg_id": [msg_id] * len(lines),
-                    "line": lines,
-                    "status": ["ok"] * len(lines),
+                    "msg_id": [msg_id] * len(out),
+                    "line": [l for l, _ in out],
+                    "status": [st for _, st in out],
                 }
             )
 
@@ -443,7 +468,14 @@ def conversation_state_stream(stream: DataFrame) -> DataFrame:
         n, mx, ntool = state.get if state.exists else (0, -1, 0)
         for pdf in pdfs:
             n += len(pdf)
-            mx = max(mx, int(pdf["turn_idx"].max()))
+            # NULL-safe max, matching the batch twin (F.max skips
+            # NULLs; count counts every row): malformed kafka
+            # envelopes decode to all-null rows in the conv_id=NULL
+            # group, where .max() is NaN and int(NaN) would kill the
+            # whole query
+            t = pdf["turn_idx"].dropna()
+            if len(t):
+                mx = max(mx, int(t.max()))
             ntool += int((pdf["role"] == "tool").sum())
         state.update((n, mx, ntool))
         yield pd.DataFrame(
@@ -632,7 +664,6 @@ def _stream_instance_id(checkpoint_dir: str) -> str:
     file) pins the empty LEGACY id so its in-flight epoch replays
     under the original 'epoch-<batch>' run_id format and still dedups
     against the old ledger entries."""
-    import os
     import uuid
 
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -756,7 +787,6 @@ def bloom_dedup_stream(
     from skewer_spark.ops.bloom import (
         _probe_expr,
         bloom_member_udf,
-        collect_probe_positions,
         set_positions,
     )
 
@@ -767,9 +797,22 @@ def bloom_dedup_stream(
     else:
         bm = np.zeros(C.BLOOM_M // 64, dtype=np.uint64)
 
+    pnames = [f"_p{j}" for j in range(1, C.BLOOM_K + 1)]
+    helpers = ("_h", "_maybe_seen", "_first_id", "_suspect", *pnames)
+    hit = [c for c in stream.columns if c in helpers]
+    if hit:
+        raise ValueError(
+            f"bloom_dedup_stream: input column(s) {hit} collide with "
+            "internal helper names; rename them before starting the "
+            "stream"
+        )
+    # output carries exactly the INPUT columns — never a name-pattern
+    # filter, which silently ate user columns that merely shared a
+    # helper prefix
+    out_cols = list(stream.columns)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         member = bloom_member_udf(spark, bm)
-        pnames = [f"_p{j}" for j in range(1, C.BLOOM_K + 1)]
         wide = batch_df.select(
             "*",
             F.md5(F.col(text_col)).alias("_h"),
@@ -788,11 +831,6 @@ def bloom_dedup_stream(
             "_suspect",
             F.col("_maybe_seen") | (F.col(order_col) > F.col("_first_id")),
         )
-        out_cols = [
-            c for c in verdicts.columns
-            if not c.startswith("_p") and c not in
-            ("_h", "_maybe_seen", "_first_id", "_suspect")
-        ]
         verdicts = verdicts.cache()  # two writes + one driver agg, one pass
         try:
             verdicts.where(~F.col("_suspect")).select(*out_cols).write.mode(
@@ -801,11 +839,29 @@ def bloom_dedup_stream(
             verdicts.where(F.col("_suspect")).select(*out_cols).write.mode(
                 "append"
             ).parquet(os.path.join(out_dir, "suspect"))
+            # probe positions come from the CACHED verdicts' _p columns
+            # — re-deriving them from batch_df would scan and md5 the
+            # source a second time per micro-batch
+            pos_rows = (
+                verdicts.select(
+                    F.explode(F.array(*[F.col(n) for n in pnames])).alias(
+                        "pos"
+                    )
+                )
+                .distinct()
+                .collect()
+            )
             set_positions(
-                bm, collect_probe_positions(batch_df, col=text_col)
+                bm, np.array([r["pos"] for r in pos_rows], dtype=np.int64)
             )
         finally:
             verdicts.unpersist()
+            # the membership UDF broadcasts the bitmap per batch; a
+            # long-running stream must not accumulate one broadcast
+            # block per micro-batch until GC happens to collect them
+            bc = getattr(member, "_bloom_bc", None)
+            if bc is not None:
+                bc.unpersist()
         tmp = state_path + f".tmp{batch_id}.npy"  # .npy: np.save appends otherwise
         np.save(tmp, bm)
         os.replace(tmp, state_path)
@@ -844,7 +900,7 @@ def curation_stream(
     the Bloom variant ``bloom_dedup_stream`` composes where even the
     digest scan is too much). State reads resolve through Spark's
     filesystem layer, so a remote checkpoint works for the state
-    itself; the periodic fps COMPACTION (every ``compact_every``
+    itself; the periodic fps+bounds COMPACTION (every ``compact_every``
     batches: append one coalesced copy, then drop the old files —
     idempotent, because duplicate fingerprints cannot multiply
     survivors, so a crash between the two steps only leaves extra
@@ -903,16 +959,21 @@ def curation_stream(
         if ext["lo"] is None:
             return  # empty batch
         bounds = _read_state(s, bounds_dir, "max_raw_id long, batch long")
-        row = bounds.agg(
-            F.max(F.when(F.col("batch") != batch_id, F.col("max_raw_id")))
-            .alias("prior_hi"),
-            F.max(F.when(F.col("batch") == batch_id, F.col("max_raw_id")))
-            .alias("own"),
-        ).collect()[0]
         # a crash-replayed batch already wrote its bound — recognized
-        # by (batch_id, hi) matching — and must pass the guard it
-        # itself raised the bar for
-        replay = row["own"] is not None and row["own"] == ext["hi"]
+        # by the FULL (batch_id, hi) signature matching — and must
+        # pass the guard it itself raised the bar for. Everything
+        # that is NOT that exact signature counts toward prior_hi:
+        # excluding by batch number alone would let a NEW incarnation
+        # (engine checkpoint lost, bounds surviving) reuse batch 0
+        # and bypass the guard against the old batch 0's range.
+        own_sig = (F.col("batch") == batch_id) & (
+            F.col("max_raw_id") == int(ext["hi"])
+        )
+        row = bounds.agg(
+            F.max(F.when(~own_sig, F.col("max_raw_id"))).alias("prior_hi"),
+            F.max(F.when(own_sig, F.col("max_raw_id"))).alias("own"),
+        ).collect()[0]
+        replay = row["own"] is not None
         if not replay and row["prior_hi"] is not None \
                 and ext["lo"] <= row["prior_hi"]:
             raise ValueError(
@@ -949,15 +1010,25 @@ def curation_stream(
         ).parquet(fps_dir)
 
         if compact_every and batch_id % compact_every == compact_every - 1:
-            fps = _read_state(s, fps_dir, FPS_SCHEMA)
-            old = [f for f in fps.inputFiles() if f.startswith("file:")]
-            if old and len(old) > 1:
-                fps.coalesce(1).write.mode("append").parquet(fps_dir)
-                for f in old:  # crash here leaves harmless duplicates
-                    try:
-                        os.remove(f[len("file:"):])
-                    except OSError:
-                        pass
+            # bounds joins the same cycle: it appends one tiny file per
+            # micro-batch and is re-listed+scanned EVERY batch by the
+            # ordering guard, so left uncompacted its small-file count
+            # (and per-batch guard latency) grows without bound on a
+            # long-running stream. Compaction preserves rows, so the
+            # (batch, hi) replay signatures survive.
+            for path, schema in (
+                (fps_dir, FPS_SCHEMA),
+                (bounds_dir, "max_raw_id long, batch long"),
+            ):
+                t = _read_state(s, path, schema)
+                old = [f for f in t.inputFiles() if f.startswith("file:")]
+                if old and len(old) > 1:
+                    t.coalesce(1).write.mode("append").parquet(path)
+                    for f in old:  # crash here leaves harmless duplicates
+                        try:
+                            os.remove(f[len("file:"):])
+                        except OSError:
+                            pass
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", os.path.join(checkpoint_dir, "engine")

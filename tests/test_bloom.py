@@ -415,3 +415,47 @@ def test_cms_stream_accumulates_exactly_and_estimates_upper_bound(
     top = [t for t, _ in exact.most_common(10)]
     est = cms_estimate(streamed, top)
     assert all(est[t] >= exact[t] for t in top), (est, exact)
+
+
+def test_bloom_stream_preserves_underscore_user_columns(spark, tmp_path):
+    # output columns are exactly the input columns: a user column that
+    # merely shares a helper PREFIX (_priority vs _p1.._pK) must
+    # survive to both tables, and a true helper-name collision must be
+    # refused loudly before the stream starts
+    import time as _time
+
+    import pytest
+
+    from skewer_spark.streaming import bloom_dedup_stream
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha", 7), (2, "beta", 8), (3, "alpha", 9)],
+        "doc_id long, text string, _priority int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(indir / "f0"))
+    _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, _priority int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = bloom_dedup_stream(stream, spark, str(out), str(ckpt))
+    q.awaitTermination(120)
+    uniq = spark.read.parquet(str(out / "unique"))
+    assert set(uniq.columns) == {"doc_id", "text", "_priority"}
+    pri = {r["doc_id"]: r["_priority"] for r in uniq.collect()}
+    assert pri[1] == 7 and pri[2] == 8
+    susp = spark.read.parquet(str(out / "suspect"))
+    assert {r["doc_id"] for r in susp.collect()} == {3}
+    assert set(susp.columns) == {"doc_id", "text", "_priority"}
+
+    bad = (
+        spark.readStream.schema("doc_id long, text string, _h string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    with pytest.raises(ValueError, match="_h"):
+        bloom_dedup_stream(bad, spark, str(tmp_path / "o2"), str(tmp_path / "c2"))

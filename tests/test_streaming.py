@@ -58,7 +58,7 @@ def test_stream_resume_is_exactly_once(spark, stream_input, tmp_path):
 
 def test_windowed_severity_counts(spark, stream_input, tmp_path):
     stream = S.read_transcript_stream(spark, stream_input)
-    agg = S.windowed_severity_counts(stream, spark)
+    agg = S.windowed_severity_counts(stream)
     q = (
         agg.writeStream.outputMode("append")
         .format("memory")
@@ -135,7 +135,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 
     def run_once():
         stream = S.read_transcript_stream(spark, src)
-        agg = S.windowed_severity_counts(stream, spark)
+        agg = S.windowed_severity_counts(stream)
         q = (
             agg.writeStream.outputMode("append")
             .format("parquet")
@@ -1132,6 +1132,20 @@ def test_curation_stream_fps_compaction_preserves_state(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(fps_files) < 4
+    # bounds folds in the same cycle (it is re-scanned EVERY batch by
+    # the ordering guard, so uncompacted growth is a per-batch cost)
+    bounds_files = [
+        f for f in os.listdir(str(tmp_path / "ckpt" / "bounds"))
+        if f.endswith(".parquet")
+    ]
+    assert len(bounds_files) < 4
+    # compaction preserved the replay signatures (4 distinct batches)
+    n_bounds = (
+        spark.read.schema("max_raw_id long, batch long")
+        .parquet(str(tmp_path / "ckpt" / "bounds"))
+        .select("batch").distinct().count()
+    )
+    assert n_bounds == 4
     # digest set intact despite the fold (no lost fingerprints)
     n_fps = (
         spark.read.schema("norm_fp string, doc_id long")
@@ -1139,3 +1153,208 @@ def test_curation_stream_fps_compaction_preserves_state(spark, tmp_path):
         .select("norm_fp").distinct().count()
     )
     assert n_fps == out.count()
+
+
+def test_gelf_stale_group_expires_inline_with_new_chunk(spark, tmp_path):
+    # a chunk arriving for a group whose expiry deadline is ALREADY
+    # behind the watermark must expire the group inline — the engine
+    # rejects setTimeoutTimestamp(<= watermark) with a query-fatal
+    # error, so the old re-arm path killed the whole query in exactly
+    # this scenario
+    import datetime as dt
+    import time as _time
+
+    from skewer_spark.streaming import (
+        GELF_CHUNK_STREAM_SCHEMA,
+        gelf_chunk_reassembly_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    indir = tmp_path / "chunks"
+    indir.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, GELF_CHUNK_STREAM_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(indir / name))
+
+    # batch 1: mX incomplete (deadline t=5s) + a high-timestamp row
+    # that pushes the watermark to ~119s for the NEXT batch
+    write_file("f1", [
+        ("mX", 0, 3, "a", at(0)),
+        ("mW", 0, 1, "w", at(120)),
+    ])
+    _time.sleep(0.05)
+    # batch 2: new data for mX under a watermark far past its deadline
+    write_file("f2", [("mX", 1, 3, "b", at(125))])
+
+    stream = (
+        spark.readStream.schema(GELF_CHUNK_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+        .withWatermark("event_time", "1 second")
+    )
+    out = gelf_chunk_reassembly_stream(stream)
+    outdir = tmp_path / "out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # old code: PySparkValueError kills the query
+    got = {
+        (r["msg_id"], r["status"]): r["line"]
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    assert got[("mW", "ok")] == "w"
+    assert ("mX", "expired") in got
+
+
+def test_gelf_inconsistent_seq_count_discards_group(spark, tmp_path):
+    # chunks disagreeing on seq_count are a protocol violation: the
+    # buffered keys would no longer be 0..total-1, so emit would
+    # KeyError (killing the query) or concatenate two different
+    # framings — the group is discarded instead, and a later chunk may
+    # start fresh
+    import datetime as dt
+
+    from skewer_spark.streaming import (
+        GELF_CHUNK_STREAM_SCHEMA,
+        gelf_chunk_reassembly_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    indir = tmp_path / "chunks"
+    indir.mkdir()
+    spark.createDataFrame(
+        [
+            ("mA", 2, 5, "x", t0),   # starts a 5-chunk group
+            ("mA", 0, 2, "y", t0),   # count mismatch -> discard group
+            ("mA", 0, 1, "ok3", t0), # fresh single-chunk group, completes
+        ],
+        GELF_CHUNK_STREAM_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(str(indir / "f1"))
+
+    stream = (
+        spark.readStream.schema(GELF_CHUNK_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+        .withWatermark("event_time", "1 second")
+    )
+    outdir = tmp_path / "out"
+    q = (
+        gelf_chunk_reassembly_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(outdir)).collect()
+    assert [(r["msg_id"], r["line"], r["status"]) for r in rows] == [
+        ("mA", "ok3", "ok")
+    ]
+
+
+def test_conversation_state_all_null_turn_idx_group(spark, tmp_path):
+    # malformed kafka envelopes decode to all-null rows in the
+    # conv_id=NULL group; the state kernel must not die on int(NaN)
+    import datetime as dt
+    import time as _time
+
+    from skewer_spark.streaming import TRANSCRIPT_SCHEMA
+    from skewer_spark import streaming as S
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    indir = tmp_path / "t"
+    indir.mkdir()
+    spark.createDataFrame(
+        [
+            (None, None, "", "", "", t0),       # malformed envelope
+            ("c1", 5, "tool", "x", "grep", t0),
+        ],
+        TRANSCRIPT_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(str(indir / "f1"))
+    _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    q = (
+        S.conversation_state_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_state_nulls")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["conv_id"]: r
+        for r in spark.sql("select * from conv_state_nulls").collect()
+    }
+    assert got[None]["n_turns"] == 1
+    assert got[None]["max_turn_idx"] == -1  # no non-null turn_idx seen
+    assert got["c1"]["max_turn_idx"] == 5
+    assert got["c1"]["n_tool_turns"] == 1
+
+
+def test_curation_stream_new_incarnation_cannot_bypass_guard(spark, tmp_path):
+    # batch_id restarts at 0 when the ENGINE checkpoint is lost while
+    # bounds/fps survive; the replay recognition must key on the full
+    # (batch_id, max_raw_id) signature — excluding old bounds rows by
+    # batch number alone would let the new incarnation's batch 0
+    # overlap the old batch 0's range unchallenged and silently
+    # diverge from the batch funnel
+    import shutil
+    import time as _time
+
+    from pyspark.errors import StreamingQueryException
+
+    from skewer_spark.streaming import curation_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "lang", "text"]
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    docs.where("doc_id < 300").select(*cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(indir / "f0"))
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    q = curation_stream(stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # lose the engine checkpoint (bounds/fps survive) and present a
+    # DIFFERENT, overlapping slice as the new incarnation's batch 0
+    shutil.rmtree(str(tmp_path / "ckpt" / "engine"))
+    shutil.rmtree(str(indir / "f0"))
+    _time.sleep(0.05)
+    docs.where("doc_id >= 100 AND doc_id < 400").select(*cols).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(indir / "f1"))
+
+    stream2 = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    q2 = curation_stream(
+        stream2, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    with pytest.raises(StreamingQueryException, match="out-of-order"):
+        q2.awaitTermination(120)
