@@ -59,6 +59,14 @@ def cms_grid_from_df(df: DataFrame, key_col: str) -> np.ndarray:
     )
     grid = empty_grid()
     for r in cells:
+        if r["pos"] is None:
+            # a NULL key hashes to a NULL position (md5(NULL) IS NULL)
+            # — the SQL twin carries such cells harmlessly because no
+            # real key ever probes a NULL position, but numpy indexing
+            # with None is np.newaxis: grid[j, None] += c would
+            # silently add the null-row count to EVERY counter in the
+            # sketch row, inflating every subsequent estimate
+            continue
         grid[r["j"] - 1, r["pos"]] += r["count"]
     return grid
 

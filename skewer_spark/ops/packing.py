@@ -61,7 +61,7 @@ def blocked_prefix_sum(
     without a global single-partition window. order_col values must be
     unique (doc_id). Adds out_col; preserves other columns."""
     blocked = df.withColumn(
-        "_blk", (F.col(order_col) / F.lit(block_size)).cast("long")
+        "_blk", F.expr(f"{order_col} div {block_size}")
     )
     w_local = (
         Window.partitionBy("_blk")
@@ -89,9 +89,15 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     (start_tok, pack_first, pack_last, offset_in_pack, packs_spanned)
     under concat-in-doc_id-order packing at `budget` tokens per pack.
     Token count = whitespace tokens (same tokenizer expression as
-    token_count_sql, ws_tokens — always >= 1, split('') == [''])."""
+    token_count_sql, ws_tokens — always >= 1, split('') == ['']).
+    NULL text counts as empty (coalesced on BOTH engine sides): Spark's
+    size(NULL) is -1, which would silently SHIFT every later document's
+    start_tok by injecting a negative token count into the prefix sum."""
     t = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
     )
     c = blocked_prefix_sum(t)
     return c.select("doc_id", "n_tokens", "start_tok", *pack_position_cols(budget))
@@ -101,14 +107,18 @@ def pack_position_cols(budget: int) -> list:
     """The pack-boundary column math over (start_tok, n_tokens) —
     shared by pack_sequences and the curation capstone (ops/curation)
     so the packing convention cannot drift between them."""
-    end = F.col("start_tok") + F.col("n_tokens") - 1
+    # integer `div`, never floor(x / b): the double Divide loses
+    # integer precision past 2^53 — reachable token offsets at the
+    # module's 10^12-doc design scale — where floor could land one
+    # pack off while the exact pmod offset disagrees; div matches the
+    # oracle's exact // at every magnitude
+    first = F.expr(f"start_tok div {budget}")
+    last = F.expr(f"(start_tok + n_tokens - 1) div {budget}")
     return [
-        F.floor(F.col("start_tok") / budget).cast("long").alias("pack_first"),
-        F.floor(end / budget).cast("long").alias("pack_last"),
+        first.cast("long").alias("pack_first"),
+        last.cast("long").alias("pack_last"),
         F.pmod(F.col("start_tok"), budget).cast("int").alias("offset_in_pack"),
-        (F.floor(end / budget) - F.floor(F.col("start_tok") / budget) + 1)
-        .cast("int")
-        .alias("packs_spanned"),
+        (last - first + 1).cast("int").alias("packs_spanned"),
     ]
 
 
@@ -177,7 +187,9 @@ def pack_sequences_oracle_sql(budget: int = PACK_BUDGET) -> str:
     implements the scale shape."""
     return f"""
 WITH t AS (
-  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  SELECT doc_id,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+           AS n_tokens
   FROM documents
 ),
 c AS (

@@ -75,8 +75,19 @@ def kmeans_assignments(
     to the lowest cluster id (array_position finds the FIRST minimum,
     matching the oracle's ORDER BY dist, c); an empty cluster keeps its
     previous centroid."""
+    if iters < 1:
+        raise ValueError(
+            f"kmeans_assignments: iters must be >= 1 (got {iters}) — "
+            "zero rounds would return no assignment frame at all"
+        )
     q = quantized_embeddings(spark, sf_dir)
     init = q.orderBy("vec_id").limit(k).collect()  # K rows only
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_assignments: k={k} exceeds the {len(init)} "
+            "available vectors — the centroid update would index past "
+            "the init list mid-job"
+        )
     cents: list[list[int]] = [list(r.q) for r in init]
     dims = len(cents[0])
     assigned = None
@@ -134,10 +145,15 @@ def semantic_dedup(
     with a lower vec_id has cosine(x, y) > tau. The compare is exact:
     dot^2 * 1e4 > tau^2*1e4 * |x|^2 * |y|^2 in DECIMAL(38,0) (the
     left side reaches ~1e20 at unit norm — BIGINT would overflow)."""
+    # persist: the assignment frame feeds BOTH self-join sides and the
+    # final verdict join-back — un-persisted, the most expensive stage
+    # (the Lloyd-final K-way distance pass over every vector, plus the
+    # parquet scan) would execute three times. At 10^12 docs stage it
+    # to parquet instead (same prescription as the quantized frame).
     a = kmeans_assignments(spark, sf_dir, k, iters).withColumn(
         "n2",
         F.expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)"),
-    )
+    ).persist()
     x = a.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("c"),

@@ -459,3 +459,19 @@ def test_bloom_stream_preserves_underscore_user_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="_h"):
         bloom_dedup_stream(bad, spark, str(tmp_path / "o2"), str(tmp_path / "c2"))
+
+
+def test_cms_grid_ignores_null_keys(spark):
+    # a NULL key hashes to a NULL position; numpy indexing with None is
+    # np.newaxis, which would add the null count to EVERY counter in a
+    # sketch row — estimates for all keys silently inflated
+    from skewer_spark.ops.cms import cms_estimate, cms_grid_from_df
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "term string"
+    )
+    grid = cms_grid_from_df(df, "term")
+    est = cms_estimate(grid, ["a", "b", "never-seen"])
+    assert est["a"] == 2
+    assert est["b"] == 1
+    assert est["never-seen"] == 0  # would be inflated by the null row

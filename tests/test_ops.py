@@ -655,3 +655,29 @@ def test_dsir_matches_from_scratch_python(spark):
     en = sel_rates["en"][0] / sel_rates["en"][1]
     other = sel_rates["other"][0] / max(sel_rates["other"][1], 1)
     assert en > other + 0.2, f"no domain separation: en {en} other {other}"
+
+
+def test_ann_numpy_zero_norm_vector_is_deterministic(spark, tmp_path):
+    # a zero-norm embedding must yield cosine 0 (never NaN): NaN sorts
+    # LAST in the numpy prune but FIRST in Spark's descending window,
+    # so results would flip with Arrow batch boundaries
+    import numpy as np
+
+    from skewer_spark.ops.ann_numpy import ann_topk_numpy
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    rows.append((40, [0.0] * 8))  # the degenerate vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(parts):
+        d = tmp_path / f"sf{parts}"
+        emb.repartition(parts).write.mode("overwrite").parquet(
+            str(d / "embeddings.parquet")
+        )
+        df = ann_topk_numpy(spark, str(d), n_queries=3, k=5)
+        return sorted(map(tuple, df.collect()))
+
+    got = run(1)
+    assert all("nan" not in c.lower() for *_, c in got)  # no NaN cosine
+    assert got == run(8)  # batch-boundary independent

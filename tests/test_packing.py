@@ -215,3 +215,44 @@ def test_hash_shuffle_rank_plan_has_no_full_row_global_sort(spark, docs):
     assert plan.count("Exchange SinglePartition") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_position_cols_exact_past_double_precision(spark):
+    # pack coordinates must come from integer `div`, not floor(x/b):
+    # past 2^53 the double division rounds, landing pack_first one off
+    # while the exact pmod offset disagrees — internally inconsistent
+    # coordinates at exactly the 10^12-doc scale the module targets
+    from skewer_spark.ops.packing import pack_position_cols
+
+    b = 2048
+    big = (1 << 60) + b - 1  # start_tok = N*b - 1 with N*b > 2^53
+    df = spark.createDataFrame(
+        [(big, 1), (1 << 60, 1)], "start_tok long, n_tokens long"
+    )
+    got = {
+        r["start_tok"]: r
+        for r in df.select("start_tok", "n_tokens", *pack_position_cols(b))
+        .collect()
+    }
+    assert got[big]["pack_first"] == big // b          # exact python int
+    assert got[big]["offset_in_pack"] == big % b
+    assert got[1 << 60]["pack_first"] == (1 << 60) // b
+    # coordinates are self-consistent: offset fits the claimed pack
+    for r in got.values():
+        assert r["pack_first"] * b + r["offset_in_pack"] == r["start_tok"]
+
+
+def test_pack_sequences_null_text_counts_as_empty(spark):
+    # Spark size(split(NULL)) is -1: un-coalesced it would inject a
+    # NEGATIVE token count and silently shift every later document's
+    # start_tok; NULL text must count like '' (1 whitespace token)
+    from skewer_spark.ops.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df).collect()}
+    assert rows[1]["n_tokens"] == 1
+    assert rows[1]["start_tok"] == 3
+    assert rows[2]["start_tok"] == 4  # no negative shift

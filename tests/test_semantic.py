@@ -130,3 +130,12 @@ def test_cluster_stats_accounts_for_every_doc(spark, sf_dir):
     # singleton row exists and dominates on the fixture corpus
     singles = stats[stats["cluster_size"] == 1]
     assert len(singles) == 1 and int(singles["n_clusters"].iloc[0]) > 0
+
+
+def test_kmeans_degenerate_params_fail_loudly(spark, sf_dir):
+    from skewer_spark.ops.semantic import kmeans_assignments
+
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_assignments(spark, sf_dir, iters=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_assignments(spark, sf_dir, k=10**6)
