@@ -370,9 +370,14 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
     # rejects, silently breaking the pinned-EQUAL contract on hostile
     # JSON. Non-matching/absent -> NULL (both paths). Column-API rlike
     # only — \z must never go through a SQL string literal.
+    # try_cast, not cast: the regex grammar-gates the SHAPE but not the
+    # calendar — '2024-13-01T00:00:00Z' passes \d{2} month and under
+    # ANSI mode (the Spark 4 default) a plain cast THROWS on it,
+    # aborting the job on one hostile row; try_cast yields NULL, which
+    # is the contract the kernel twin mirrors
     ts = lambda c: F.unix_micros(
         F.when(F.col(c).rlike("^" + JSON_TS_RE + "\\z"), F.col(c))
-        .cast("timestamp")
+        .try_cast("timestamp")
     )
     fac = F.coalesce(F.try_element_at(fmap, F.col("_j.facility")), F.lit(1))
     sev = F.coalesce(F.try_element_at(smap, F.col("_j.severity")), F.lit(6))
@@ -382,12 +387,17 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
     # that every downstream consumer (properties_map, the SD
     # re-encoder) misparses. Sanitize to spaces at the boundary.
     _clean = "translate({}, '\\n\\r', '  ')"
+    # filter nulls before flatten: a properties value that is not an
+    # object coerces to a NULL inner map, and flatten() of an array
+    # containing a NULL element is NULL — one malformed domain would
+    # null the whole row's props_flat instead of dropping that domain
+    # (the kernel twin skips non-dict domains)
     lines = F.expr(
-        "array_join(array_sort(flatten(transform(map_entries(_j.properties), "
+        "array_join(array_sort(flatten(filter(transform(map_entries(_j.properties), "
         "e -> transform(map_entries(e.value), "
         f"kv -> {_clean.format('e.key')} || '|' || "
         f"{_clean.format('kv.key')} || '=' || "
-        f"{_clean.format('kv.value')})))), '\\n')"
+        f"{_clean.format('kv.value')})), x -> x IS NOT NULL))), '\\n')"
     )
     nz = lambda c: F.coalesce(F.col(f"_j.{c}"), F.lit(""))
     return (

@@ -65,6 +65,20 @@ class IceLiteTable:
         with open(self.manifest_path) as f:
             return json.load(f)
 
+    @staticmethod
+    def _new_snapshot_id(n_snaps: int) -> str:
+        """Collision-proof snapshot id. Millis + snapshot count alone
+        can COLLIDE when two writers commit to one table in the same
+        millisecond having read the same manifest — identical ids then
+        mean one writer's mode('overwrite') data write silently
+        clobbers the other's data dir (worse than the makedirs
+        FileExistsError the pandas path raises). The random suffix
+        keeps ids unique; ordering still comes from the manifest list,
+        never from the id."""
+        import uuid
+
+        return f"snap-{int(time.time() * 1000)}-{n_snaps}-{uuid.uuid4().hex[:6]}"
+
     def _commit_manifest(self, snapshots: list[dict]) -> None:
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
@@ -98,7 +112,7 @@ class IceLiteTable:
         snaps = self._read_manifest()
         if _has_run(snaps, run_id):
             return None
-        snapshot_id = f"snap-{int(time.time() * 1000)}-{len(snaps)}"
+        snapshot_id = self._new_snapshot_id(len(snaps))
         data_dir = os.path.join(self.dir, "data", snapshot_id)
         df.write.mode("overwrite").parquet(data_dir)
         rows = sum(
@@ -147,7 +161,7 @@ class IceLiteTable:
         snaps = self._read_manifest()
         if _has_run(snaps, run_id):
             return None
-        snapshot_id = f"snap-{int(time.time() * 1000)}-{len(snaps)}"
+        snapshot_id = self._new_snapshot_id(len(snaps))
         data_dir = os.path.join(self.dir, "data", snapshot_id)
         os.makedirs(data_dir)
         pq.write_table(
@@ -241,7 +255,7 @@ class IceLiteTable:
         total_bytes = sum(os.path.getsize(f) for f in files)
         total_rows = sum(_parquet_rows(f) for f in files)
         n_out = max(1, -(-total_bytes // target_file_bytes))
-        snapshot_id = f"snap-{int(time.time() * 1000)}-compact"
+        snapshot_id = self._new_snapshot_id(len(snaps)) + "-compact"
         data_dir = os.path.join(self.dir, "data", snapshot_id)
         spark.read.parquet(*files).repartition(n_out).write.mode(
             "overwrite"

@@ -99,6 +99,7 @@ p3164a AS (
          THEN try_strptime(split_part(rest, ' ', 1), {_TS_FMTS}) END AS rts,
     CASE WHEN is3164 AND NOT regexp_matches(rest, '^[0-9]')
               AND len(string_split(rest, ' ')) >= 3
+              AND year(ts) BETWEEN 1678 AND 2250
          THEN try_strptime(
             cast(year(ts) AS VARCHAR) || ' ' ||
             array_to_string(string_split(rest, ' ')[1:3], ' '),

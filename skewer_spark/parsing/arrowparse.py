@@ -34,7 +34,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from skewer_spark.parsing.syslog import TS_YEAR_MAX, TS_YEAR_MIN, _try_ts_formats, _to_us
+from skewer_spark.parsing.syslog import (
+    TS_YEAR_MAX,
+    TS_YEAR_MIN,
+    _to_us,
+    _try_ts_formats,
+    year_from_epoch_us,
+)
 
 _SD_ELEM = re.compile(r"\[([^ \]]+)((?:\\\]|[^\]])*)\]")
 _SD_PARAM = re.compile(r'([^ =\[\]]+)="((?:[^"\\]|\\.)*)"')
@@ -48,8 +54,12 @@ _R5424_PAT = (
 )
 _D3339_PAT = r"(?s)^(?P<tok0>\S+)(?: (?P<rem>.*))?$"
 _STAMP_PAT = r"(?s)^(?P<stamp>[^ ]+ [^ ]+ [^ ]+)(?: (?P<rem>.*))?$"
-_TWO_PAT = r"(?s)^(?P<t0>[^ ]+) (?P<t1>.*)$"
-_MANY_PAT = r"(?s)^(?P<t0>[^ ]+) (?P<t1>[^ ]+) (?P<r2>.*)$"
+# [^ ]* not [^ ]+: the reference tokenizes with bytes.Split, which
+# PRESERVES empty tokens on consecutive spaces; a nonempty-token
+# pattern fails the extract there and _fill would silently swap in ''
+# for every field, putting the row in the wrong cascade branch
+_TWO_PAT = r"(?s)^(?P<t0>[^ ]*) (?P<t1>.*)$"
+_MANY_PAT = r"(?s)^(?P<t0>[^ ]*) (?P<t1>[^ ]*) (?P<r2>.*)$"
 _TAG_PAT = r"(?s)^(?P<app>[^\[]*)(?:\[(?P<proc>[^\]]*)\]?.*)?$"
 _HOSTNAME_PAT = r"^[A-Za-z0-9.:_\-]+$"
 _TAGCHAR_PAT = r"[\[\]:]"
@@ -190,7 +200,12 @@ def _stamp_us(stamps: np.ndarray, ing_us: np.ndarray) -> np.ndarray:
     out = np.full(len(stamps), np.nan, dtype="float64")
     if len(stamps) == 0:
         return out
-    year = pd.to_datetime(pd.Series(ing_us), unit="us", utc=True).dt.year.to_numpy()
+    # integer-arithmetic year: pd.to_datetime(unit='us') raises
+    # OutOfBoundsDatetime on ingest timestamps past 2262, killing the
+    # whole batch. Backfill years share the RFC3339 gate so every
+    # kernel accepts/rejects the same years.
+    year = year_from_epoch_us(ing_us)
+    yr_in = (year >= TS_YEAR_MIN) & (year <= TS_YEAR_MAX)
     a = pa.array(stamps, type=pa.string())
     st = pc.extract_regex(a, pattern=_STAMP_FAST_PAT)
     mok = _np(pc.is_valid(st))
@@ -202,11 +217,11 @@ def _stamp_us(stamps: np.ndarray, ing_us: np.ndarray) -> np.ndarray:
         mo = np.nan_to_num(mo, nan=-1).astype("int64") + 1
         d, h = _ifield(st, "d"), _ifield(st, "h")
         mi, s = _ifield(st, "mi"), _ifield(st, "s")
-        valid = mok & _civil_valid(year, mo, d)
+        valid = mok & yr_in & _civil_valid(year, mo, d)
         sec = _days_from_civil(year, mo, d) * 86400 + h * 3600 + mi * 60 + s
         vals = sec.astype("float64") * 1e6
         out[valid] = vals[valid]
-    slow = ~mok & (stamps != "")
+    slow = ~mok & (stamps != "") & yr_in
     if slow.any():
         parsed = pd.to_datetime(
             pd.Series(year[slow].astype(str))
@@ -218,7 +233,7 @@ def _stamp_us(stamps: np.ndarray, ing_us: np.ndarray) -> np.ndarray:
         )
         ok = parsed.notna().to_numpy()
         if ok.any():
-            vals = np.full(slow.sum(), np.nan, dtype="float64")
+            vals = np.full(int(slow.sum()), np.nan, dtype="float64")
             vals[ok] = _to_us(parsed[ok]).to_numpy().astype("float64")
             out[slow] = vals
     return out

@@ -41,20 +41,35 @@ _MONTHS = {
     "Jan": 1, "Feb": 2, "Mar": 3, "Apr": 4, "May": 5, "Jun": 6,
     "Jul": 7, "Aug": 8, "Sep": 9, "Oct": 10, "Nov": 11, "Dec": 12,
 }
-_STAMP = re.compile(r"^([A-Z][a-z]{2}) (\d{2}) (\d{2}):(\d{2}):(\d{2})$")
+# day 1-2 digits: Go's time.Stamp layout 'Jan _2' accepts both 'Jan 5'
+# and 'Jan 05' (as does the pandas reference's %d) — a \d{2}-only day
+# silently degraded real-world single-digit-day syslog in this kernel
+_STAMP = re.compile(r"^([A-Z][a-z]{2}) (\d{1,2}) (\d{2}):(\d{2}):(\d{2})$")
 
-_DAYS_CACHE: dict[tuple[int, int], int] = {}
+_MONTH_CACHE: dict[tuple[int, int], tuple[int, int]] = {}
 
 
-def _days_from_epoch(y: int, m: int, d: int) -> int:
+def _month_info(y: int, m: int) -> tuple[int, int]:
+    """(days from 1970-01-01 to the first of (y, m), days in month) —
+    cached per month. The month length is needed for REAL calendar
+    validation: a bare d <= 31 check silently rolled 'Feb 30' into
+    March while the pandas/arrow kernels reject it."""
     key = (y, m)
-    base = _DAYS_CACHE.get(key)
-    if base is None:
-        # days from 1970-01-01 to first of (y, m), cached per month
+    v = _MONTH_CACHE.get(key)
+    if v is None:
         import datetime as _dt
 
-        base = (_dt.date(y, m, 1) - _dt.date(1970, 1, 1)).days
-        _DAYS_CACHE[key] = base
+        first = _dt.date(y, m, 1)
+        nxt = _dt.date(y + 1, 1, 1) if m == 12 else _dt.date(y, m + 1, 1)
+        v = ((first - _dt.date(1970, 1, 1)).days, (nxt - first).days)
+        _MONTH_CACHE[key] = v
+    return v
+
+
+def _days_from_epoch(y: int, m: int, d: int) -> int | None:
+    base, dim = _month_info(y, m)
+    if d > dim:
+        return None
     return base + (d - 1)
 
 
@@ -74,14 +89,18 @@ def _rfc3339_us(s: str) -> int | None:
     if tz != "Z":
         sign = 1 if tz[0] == "+" else -1
         off = sign * (int(tz[1:3]) * 3600 + int(tz[4:6]) * 60)
-    try:
-        days = _days_from_epoch(y, mo, d)
-    except ValueError:
+    days = _days_from_epoch(y, mo, d)
+    if days is None:  # calendar-invalid (Feb 30, Apr 31, ...)
         return None
     return ((days * 86400 + h * 3600 + mi * 60 + se) - off) * 1_000_000 + us
 
 
 def _stamp_us(s: str, year: int) -> int | None:
+    # backfill year shares the RFC3339 gate so every kernel agrees on
+    # which ingest years are representable (pandas is hard-bounded by
+    # datetime64[ns] anyway)
+    if year < TS_YEAR_MIN or year > TS_YEAR_MAX:
+        return None
     m = _STAMP.match(s)
     if not m:
         return None
@@ -89,11 +108,10 @@ def _stamp_us(s: str, year: int) -> int | None:
     if mo is None:
         return None
     d, h, mi, se = int(m.group(2)), int(m.group(3)), int(m.group(4)), int(m.group(5))
-    if d < 1 or d > 31 or h > 23 or mi > 59 or se > 60:
+    if d < 1 or h > 23 or mi > 59 or se > 60:
         return None
-    try:
-        days = _days_from_epoch(year, mo, d)
-    except ValueError:
+    days = _days_from_epoch(year, mo, d)
+    if days is None:
         return None
     return (days * 86400 + h * 3600 + mi * 60 + se) * 1_000_000
 
@@ -114,11 +132,17 @@ def _has_tagchar(s: str) -> bool:
 
 
 def _year_of_us(us: int) -> int:
-    # ingest year for Mmm-dd backfill; cheap approximation is wrong at
-    # year boundaries, so use datetime (cached parse would be overkill)
-    import datetime as _dt
-
-    return _dt.datetime.fromtimestamp(us / 1e6, _dt.timezone.utc).year
+    # ingest year for Mmm-dd backfill via integer civil arithmetic —
+    # datetime.fromtimestamp overflows on a hostile ingest timestamp
+    # past year 9999, killing the whole batch (see
+    # syslog.year_from_epoch_us, the vectorized twin)
+    z = us // 86_400_000_000 + 719468
+    era = (z if z >= 0 else z - 146096) // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    mp = (5 * (doe - (365 * yoe + yoe // 4 - yoe // 100)) + 2) // 153
+    return y + (1 if mp >= 10 else 0)
 
 
 def parse_one(raw: str, ing: int) -> tuple:

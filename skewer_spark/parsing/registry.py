@@ -59,6 +59,28 @@ register_parser("rfc3164", lambda t, i: parse_batch_arrow(t, i, mode="rfc3164"))
 register_parser("rfc5424", lambda t, i: parse_batch_arrow(t, i, mode="rfc5424"))
 
 
+def _jstr(v) -> str | None:
+    """Python mirror of Spark from_json's JSON-value -> string coercion
+    (probed empirically; the kernels must match their Column twins on
+    NON-string JSON values too): null -> NULL, booleans -> 'true'/
+    'false' (not Python's 'True'), numbers -> the parsed double/int
+    repr ('1.50' -> '1.5', '1e3' -> '1000.0'), objects/arrays -> the
+    minified JSON text ('{"a":1}', never a Python dict repr)."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    import json
+
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
 _KV_RE = r"^pri=(\d+);host=([^;]*);app=([^;]*);msg=(.*)$"
 
 
@@ -150,7 +172,14 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
         Column twin's `cast` yields NULL on the same inputs."""
         if not v or not ts_re.fullmatch(str(v)):
             return None
-        dt = datetime.fromisoformat(str(v))
+        try:
+            dt = datetime.fromisoformat(str(v))
+        except ValueError:
+            # regex-valid but calendar-invalid ('2024-13-01', Feb 30):
+            # the Column twin's cast yields NULL; an uncaught
+            # ValueError here would abort the whole Spark task on one
+            # hostile row
+            return None
         return (dt - epoch) // us
 
     def clean(v: object) -> str:
@@ -187,14 +216,29 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
         cols["time_reported"].append(ts_us(obj.get("timereported")))
         cols["time_generated"].append(ts_us(obj.get("timegenerated")))
         for k in ("hostname", "appname", "procid", "msgid", "message"):
-            cols[k].append(str(obj.get(k) or ""))
-        props = obj.get("properties") or {}
-        lines = sorted(
-            f"{clean(sid)}|{clean(k)}={clean(v)}"
-            for sid, kv in props.items()
-            if isinstance(kv, dict)
-            for k, v in kv.items()
-        )
+            # _jstr, not str(... or ''): falsy-but-present JSON values
+            # must coerce like the Column twin ('0'/'false', and JSON
+            # text for nested objects — never '' or a Python repr)
+            cols[k].append(_jstr(obj.get(k)) or "")
+        props = obj.get("properties")
+        # from_json parity (probed): a domain value that is non-null
+        # but NOT an object nulls the ENTIRE properties map (PERMISSIVE
+        # mode) -> props_flat ''; a null domain value only drops that
+        # domain; a null param value drops that line (array_join skips
+        # null elements)
+        if not isinstance(props, dict) or any(
+            kv is not None and not isinstance(kv, dict)
+            for kv in props.values()
+        ):
+            lines = []
+        else:
+            lines = sorted(
+                f"{clean(sid)}|{clean(k)}={clean(_jstr(v))}"
+                for sid, kv in props.items()
+                if kv is not None
+                for k, v in kv.items()
+                if v is not None
+            )
         cols["props_flat"].append("\n".join(lines))
         cols["parse_error"].append(False)
 
@@ -266,9 +310,13 @@ def parse_rsyslog_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFr
         return int(dt.timestamp()) * 1_000_000 + (int(frac) if frac else 0)
 
     def nil(v: object) -> str:
-        if v is None:
+        s = _jstr(v)
+        if s is None:
             return ""
-        s = str(v).strip()
+        # strip(' ') not strip(): the Column twin's F.trim removes
+        # SPACES only — Python's all-whitespace strip would also eat
+        # tabs/newlines and diverge on padded fields
+        s = s.strip(" ")
         return "" if s == "-" else s
 
     t = text.fillna("").reset_index(drop=True)
@@ -284,7 +332,7 @@ def parse_rsyslog_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFr
                 raise ValueError
         except ValueError:
             obj = {}
-        pri_s = str(obj.get("pri", ""))
+        pri_s = _jstr(obj.get("pri")) or ""
         pri = int(pri_s) if re.fullmatch(r"[0-9]{1,10}", pri_s) else None
         if pri is not None and pri > 2**31 - 1:
             pri = None
@@ -292,9 +340,21 @@ def parse_rsyslog_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFr
         tg = ts_us(obj.get("timegenerated"), fb)
         err = pri is None or tr is None or tg is None
         bag = obj.get("$!") or {}
+
+        def _pv(v) -> str:
+            # from_json-style coercion + space-only trim + \n\r
+            # sanitization (props_flat is newline-delimited; an
+            # embedded terminator would forge extra property lines)
+            return (
+                _jstr(v).strip(" ").replace("\n", " ").replace("\r", " ")
+            )
+
         props = "\n".join(sorted(
-            f"rsyslog|{str(k).strip()}={str(v).strip()}"
+            f"rsyslog|{_pv(k)}={_pv(v)}"
             for k, v in bag.items()
+            # a null bag value nulls the whole line JVM-side and
+            # array_join drops it — mirror by skipping the entry
+            if v is not None
         )) if isinstance(bag, dict) else ""
         if err:
             rows.append((0, 0, 0, 0, fb, fb, "", "", "", "", "", "", "", True))
@@ -304,7 +364,7 @@ def parse_rsyslog_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFr
                 nil(obj.get("hostname")), nil(obj.get("app-name")),
                 nil(obj.get("procid")), nil(obj.get("msgid")),
                 nil(obj.get("structured-data")),
-                str(obj.get("msg") or "").strip(), props, False,
+                (_jstr(obj.get("msg")) or "").strip(" "), props, False,
             ))
     cols = list(zip(*rows)) if rows else [[] for _ in range(14)]
     return pd.DataFrame(

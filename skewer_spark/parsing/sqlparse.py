@@ -121,13 +121,19 @@ def parse_transcripts_sql(
                 + _TS_EXPR.format(c="split_part(_rest, ' ', 1)")
                 + " END"
             ),
+            # 'MMM d' not 'MMM dd': Java strict 'dd' rejects the
+            # single-digit days Go's time.Stamp '_2' and pandas %d
+            # accept; 'd' takes both '5' and '05'. The backfill year
+            # shares the RFC3339 gate (cross-kernel contract).
             "_uts": F.expr(
                 "CASE WHEN _is3164 AND NOT _rest RLIKE '^[0-9]' "
-                "AND size(split(_rest, ' ')) >= 3 THEN "
+                "AND size(split(_rest, ' ')) >= 3 "
+                "AND year(cast(timestamp_micros(_ing) as timestamp)) "
+                "    BETWEEN 1678 AND 2250 THEN "
                 "try_to_timestamp("
                 "  cast(year(cast(timestamp_micros(_ing) as timestamp)) AS STRING)"
                 "  || ' ' || array_join(slice(split(_rest, ' '), 1, 3), ' '),"
-                "  'yyyy MMM dd HH:mm:ss') END"
+                "  'yyyy MMM d HH:mm:ss') END"
             ),
         }
     )

@@ -126,6 +126,24 @@ def _try_ts_formats(s: pd.Series) -> pd.Series:
     return out
 
 
+_DAY_US = 86_400_000_000
+
+
+def year_from_epoch_us(us) -> np.ndarray:
+    """Vectorized UTC year of epoch-microseconds via integer civil
+    arithmetic (Hinnant's civil_from_days) — no datetime64[ns] bounds,
+    so a hostile ingest timestamp far outside 1677-2262 cannot crash
+    the kernels the way pd.to_datetime(unit='us') does."""
+    z = np.floor_divide(np.asarray(us, dtype=np.int64), _DAY_US) + 719468
+    era = np.floor_divide(np.where(z >= 0, z, z - 146096), 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    mp = (5 * (doe - (365 * yoe + yoe // 4 - yoe // 100)) + 2) // 153
+    m = mp + np.where(mp < 10, 3, -9)
+    return (y + (m <= 2)).astype(np.int64)
+
+
 def _contains_tagchar(s: pd.Series) -> pd.Series:
     # bytes.ContainsAny(x, "[]:")  (rfc3164_format.go:127,136,142,154)
     return s.str.contains(r"[\[\]:]", regex=True, na=False)
@@ -260,9 +278,15 @@ def parse_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
             if len(u):
                 sp = u.str.extract(r"^([^ ]+ [^ ]+ [^ ]+)( (.*))?$", flags=re.DOTALL)
                 have3 = sp[0].notna()
-                year = (
-                    pd.to_datetime(ing.reindex(u.index), unit="us", utc=True)
-                    .dt.year.astype(str)
+                # integer-arithmetic year (not pd.to_datetime, whose
+                # ns bounds CRASH on ingest timestamps past 2262);
+                # stamps share the RFC3339 year gate so every kernel
+                # accepts/rejects the same backfill years
+                yr_num = year_from_epoch_us(ing.reindex(u.index).to_numpy())
+                year = pd.Series(yr_num, index=u.index).astype(str)
+                yr_in = pd.Series(
+                    (yr_num >= TS_YEAR_MIN) & (yr_num <= TS_YEAR_MAX),
+                    index=u.index,
                 )
                 stamp = pd.to_datetime(
                     year + " " + sp[0].fillna(""),
@@ -270,7 +294,7 @@ def parse_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
                     errors="coerce",
                     utc=True,
                 )
-                ok = have3 & stamp.notna()
+                ok = have3 & stamp.notna() & yr_in
                 okidx = ok[ok].index
                 res.loc[okidx, "time_reported"] = _to_us(stamp[ok]).values
                 res.loc[okidx, "message"] = ""
@@ -292,7 +316,13 @@ def parse_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
 
                 two = rr[nsp == 1]
                 if len(two):
-                    tp = two.str.extract(r"^([^ ]+) (.*)$", flags=re.DOTALL)
+                    # [^ ]* not [^ ]+: the reference tokenizes with
+                    # bytes.Split, which PRESERVES empty tokens on
+                    # consecutive spaces — a nonempty-token regex fails
+                    # to match 'host  tag' and would leak NaN into the
+                    # non-null schema (fastpath.py models the Split
+                    # semantics directly; this keeps the kernels equal)
+                    tp = two.str.extract(r"^([^ ]*) (.*)$", flags=re.DOTALL)
                     t0, t1 = tp[0], tp[1]
                     ipish = (t0.str.count(":") == 7) | (t0.str.count(r"\.") == 3)
                     t1tag = _contains_tagchar(t1)
@@ -319,7 +349,8 @@ def parse_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
 
                 many = rr[nsp >= 2]
                 if len(many):
-                    mp = many.str.extract(r"^([^ ]+) ([^ ]+) (.*)$", flags=re.DOTALL)
+                    # empty tokens preserved — see the two-token branch
+                    mp = many.str.extract(r"^([^ ]*) ([^ ]*) (.*)$", flags=re.DOTALL)
                     t0, t1, r2 = mp[0], mp[1], mp[2]
                     hostlike = t0.str.match(_HOSTNAME_RE, na=False)
                     tagfirst = _contains_tagchar(t0) | ~hostlike

@@ -65,12 +65,17 @@ def decode_rsyslog_json(
         c.isNull() | (F.trim(c) == "-"), F.lit("")
     ).otherwise(F.trim(c))
     guard = lambda c, d: F.when(err, d).otherwise(c)
+    # keys/values \n\r-sanitized to spaces: props_flat is
+    # newline-delimited, so an embedded terminator in arbitrary JSON
+    # would forge extra property lines downstream (same boundary rule
+    # as decode_json / parse_json_batch)
+    _san = lambda c: F.translate(F.trim(c), "\n\r", "  ")
     props = F.array_join(
         F.array_sort(
             F.transform(
                 F.map_entries(F.coalesce(j["$!"], F.expr("map()"))),
                 lambda e: F.concat(
-                    F.lit("rsyslog|"), F.trim(e["key"]), F.lit("="), F.trim(e["value"])
+                    F.lit("rsyslog|"), _san(e["key"]), F.lit("="), _san(e["value"])
                 ),
             )
         ),

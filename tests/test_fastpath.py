@@ -45,6 +45,19 @@ JUNK = [
     "<13>1678-01-01T00:00:00Z host app: msg",  # first accepted year
     "<13>2251-01-01T00:00:00Z host app: msg",  # first rejected year
     "<13>999-01-01T00:00:00Z host app: msg",  # 3-digit year
+    # bytes.Split token semantics (the reference PRESERVES empty tokens
+    # on consecutive spaces), real calendar validation, and 1-2 digit
+    # stamp days: inputs where the kernels previously disagreed
+    "<13>2024-01-01T00:00:00Z host  app: hello",  # double space remainder
+    "<13>2024-01-01T00:00:00Z  x",                # leading empty token
+    "<13>2024-01-01T00:00:00Z a  b c",
+    "<13>2024-01-01T00:00:00Z a b  c",
+    "<13>2024-02-30T00:00:00Z host app: hi",      # calendar-invalid date
+    "<13>2024-04-31T00:00:00Z host app: hi",
+    "<13>Feb 30 12:00:00 host app: hi",           # calendar-invalid stamp
+    "<13>Feb 29 12:00:00 host app: hi",           # leap day, non-leap backfill yr
+    "<13>Jan 5 03:04:05 host app: hi",            # single-digit day (accepted)
+    "<13>Jan  5 03:04:05 host app: hi",           # space-padded day (token-split fails)
 ]
 
 
@@ -130,3 +143,28 @@ def test_sqlparse_junk_lines(spark):
     )
     want = parse_batch(pd.Series(JUNK), pd.Series([1_700_000_000_000_000] * len(JUNK)))
     _assert_frames_equal(want, got[cols], "sql junk")
+
+
+def test_kernels_survive_hostile_ingest_years():
+    # an ingest timestamp past datetime64[ns] (2262) or datetime.max
+    # (9999) previously CRASHED the pandas and arrow kernels
+    # (pd.to_datetime OutOfBoundsDatetime) and fastpath
+    # (fromtimestamp OverflowError) during stamp-year backfill; all
+    # three must degrade the stamp rows identically instead
+    from skewer_spark.parsing.arrowparse import parse_batch_arrow
+
+    lines = [
+        "<13>Jan 05 03:04:05 host app: hi",   # needs year backfill
+        "<13>2024-01-01T00:00:00Z host app: hi",  # no backfill needed
+        "<13>hello world",
+    ]
+    for ing_us in (int(3e17), int(8e18), -int(3e17)):  # years ~11476, ~255k, ~-7500
+        ing = pd.Series([ing_us] * len(lines), dtype="int64")
+        a = parse_batch(pd.Series(lines), ing)
+        b = parse_batch_fast(pd.Series(lines), ing)
+        c = parse_batch_arrow(pd.Series(lines), ing)
+        _assert_frames_equal(a, b, f"fast ing={ing_us}")
+        _assert_frames_equal(a, c, f"arrow ing={ing_us}")
+        # the stamp row degrades (whole rest in message, ingest time)
+        assert a["message"][0] == "Jan 05 03:04:05 host app: hi"
+        assert a["time_reported"][0] == ing_us

@@ -792,3 +792,91 @@ def test_gelf_missing_timestamp_defaults_to_zero(spark):
     r = decode_gelf(df).collect()[0]
     assert r["time_reported"] == 0
     assert r["message"] == "m" and r["severity"] == 6
+
+
+def test_json_kernel_coercion_matches_column_decoder(spark):
+    # from_json coerces NON-string JSON values to strings ('0',
+    # 'false', minified JSON text for objects); the kernel previously
+    # emitted '' for falsy values and Python dict reprs for nested
+    # objects, and crashed outright on a regex-valid but
+    # calendar-invalid timestamp (month 13 passes \d{2})
+    import json as _json
+
+    from skewer_spark.encoders import decode_json
+    from skewer_spark.parsing.registry import parse_json_batch
+
+    lines = [
+        _json.dumps({"message": 0, "hostname": False, "appname": True,
+                     "procid": 1.50, "msgid": None}),
+        _json.dumps({"message": {"a": 1, "b": "x"},
+                     "hostname": [1, 2]}),
+        _json.dumps({"message": "calendar-invalid ts",
+                     "timereported": "2024-13-01T00:00:00Z",
+                     "timegenerated": "2024-02-30T00:00:00Z"}),
+        _json.dumps({"message": "null param value dropped",
+                     "properties": {"sid": {"k": None, "ok": "v"}}}),
+        _json.dumps({"message": "non-object domain nulls the whole map",
+                     "properties": {"bad": "notamap",
+                                    "sid": {"ok": "v"}}}),
+        _json.dumps({"message": "null domain drops just that domain",
+                     "properties": {"gone": None,
+                                    "sid": {"ok": "v"}}}),
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    want = decode_json(df).toPandas()
+    got = parse_json_batch(
+        pd.Series(lines), pd.Series([0] * len(lines), dtype="int64")
+    )
+    assert not got["parse_error"].any()
+    for col in ("message", "hostname", "appname", "procid", "msgid",
+                "props_flat"):
+        assert got[col].tolist() == want[col].tolist(), (
+            col, got[col].tolist(), want[col].tolist()
+        )
+    assert got["message"][0] == "0" and got["hostname"][0] == "false"
+    assert got["message"][1] == '{"a":1,"b":"x"}'
+    assert got["time_reported"].isna().tolist()[:3] == [True, True, True]
+    assert got["props_flat"][3] == "sid|ok=v"  # null param entry dropped
+    # from_json PERMISSIVE parity: a non-object domain nulls the WHOLE
+    # properties map; a null domain drops only itself
+    assert got["props_flat"][4] == ""
+    assert got["props_flat"][5] == "sid|ok=v"
+
+
+def test_rsyslog_kernel_hostile_parity(spark):
+    # trim parity (F.trim strips spaces only, never tabs/newlines),
+    # from_json-style coercion of non-string bag values, null bag
+    # entries dropped, and \n\r sanitized out of the newline-delimited
+    # props_flat on BOTH engine sides
+    import json as _json
+
+    from skewer_spark.parsing.registry import parse_rsyslog_json_batch
+    from skewer_spark.parsing.wire_formats import decode_rsyslog_json
+
+    ING = 1_700_000_000_000_000
+    lines = [
+        _json.dumps({"pri": "13", "msg": "\thello\n",
+                     "hostname": "\thost\t",
+                     "timereported": "-", "timegenerated": "-"}),
+        _json.dumps({"pri": "13", "msg": "m",
+                     "timereported": "-", "timegenerated": "-",
+                     "$!": {"k": None, "n": 0, "o": {"a": 1},
+                            "inj": "a\nb"}}),
+        _json.dumps({"pri": 13, "msg": "numeric pri",
+                     "timereported": "-", "timegenerated": "-"}),
+    ]
+    df = spark.createDataFrame(
+        [(l, ING) for l in lines], "line string, ing_us long"
+    )
+    cols = ["priority", "hostname", "message", "props_flat", "parse_error"]
+    want = decode_rsyslog_json(df).select(*cols).toPandas()
+    got = parse_rsyslog_json_batch(
+        pd.Series(lines), pd.Series([ING] * len(lines), dtype="int64")
+    )
+    for c in cols:
+        assert got[c].tolist() == want[c].tolist(), (
+            c, got[c].tolist(), want[c].tolist()
+        )
+    assert got["message"][0] == "\thello\n"     # tabs/newlines NOT trimmed
+    assert got["hostname"][0] == "\thost\t"
+    assert got["props_flat"][1] == "rsyslog|inj=a b\nrsyslog|n=0\nrsyslog|o={\"a\":1}"
