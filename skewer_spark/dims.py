@@ -33,13 +33,13 @@ FACILITIES: list[tuple[int, str]] = [
     (6, "lpr"),
     (7, "news"),
     (8, "uucp"),
-    (9, "cron"),
+    (9, "clock"),
     (10, "authpriv"),
     (11, "ftp"),
     (12, "ntp"),
-    (13, "audit"),
-    (14, "alert"),
-    (15, "clock"),
+    (13, "logaudit"),
+    (14, "logalert"),
+    (15, "cron"),
     (16, "local0"),
     (17, "local1"),
     (18, "local2"),

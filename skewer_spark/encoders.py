@@ -90,9 +90,11 @@ def _nilify(c: str) -> Column:
 
 def _sd_from_props_flat() -> Column:
     """Rebuild '[sid k="v" ...]' elements from the canonical sorted
-    'sid|k=v' lines, escaping \\ \" ] in values. Lines are sorted, so
-    params of one sid are consecutive; built with higher-order funcs
-    (no UDF)."""
+    'sid|k=v' lines, escaping \\ \" ] in values; param names are
+    truncated to 32 chars exactly like the reference encoder
+    (encoders/rfc5424.go:159-161 ``name = name[:32]``). Lines are
+    sorted, so params of one sid are consecutive; built with
+    higher-order funcs (no UDF)."""
     return F.expr(
         r"""
         CASE WHEN props_flat = '' THEN '-' ELSE
@@ -105,7 +107,9 @@ def _sd_from_props_flat() -> Column:
                 filter(split(props_flat, '\n'), l -> split(l, '\\|')[0] = sid),
                 CAST('' AS STRING),
                 (a2, l) -> a2 || ' ' ||
-                  substring_index(substring_index(l, '=', 1), '|', -1)
+                  substring(
+                    substring_index(substring_index(l, '=', 1), '|', -1),
+                    1, 32)
                   || '="' ||
                   replace(replace(replace(
                     substring(l, instr(l, '=') + 1),
@@ -128,7 +132,8 @@ def _sd_from_props_flat_sql() -> str:
                 list_filter(string_split(props_flat, chr(10)),
                             l -> string_split(l, '|')[1] = sid),
                 l -> ' ' ||
-                  split_part(split_part(l, '=', 1), '|', -1) || '="' ||
+                  substr(split_part(split_part(l, '=', 1), '|', -1), 1, 32)
+                  || '="' ||
                   replace(replace(replace(
                     substring(l, strpos(l, '=') + 1),
                     '\', '\\'), '"', '\"'), ']', '\]') || '"'
@@ -154,19 +159,41 @@ def encode_rfc5424() -> Column:
 # PrintableUsASCII (utils/strings.go:4-11). \z, not $: Java '$' would
 # forgive one trailing newline that RE2 (and the reference) reject
 _ASCII_RE = "^[\\x21-\\x7e]*\\z"
+# validName (encoders/rfc5424.go:112-122): printable US-ASCII minus
+# '=' ']' '"' — spelled as explicit ranges (RE2 has no class
+# subtraction): \x21(!), \x23-\x3c (skip \x22 "), \x3e-\x5c (skip
+# \x3d =), \x5e-\x7e (skip \x5d ]). Applied to SD ids AND param
+# names; the reference's third check (param value is valid UTF-8) is
+# a tautology here — engine strings are UTF-8 by construction.
+_SD_NAME_RE = "^[\\x21\\x23-\\x3c\\x3e-\\x5c\\x5e-\\x7e]*\\z"
 
 
 def rfc5424_encodable() -> Column:
-    """validRfc5424 (encoders/rfc5424.go:35-75): header fields must be
+    """validRfc5424 (encoders/rfc5424.go:35-80): header fields must be
     printable US-ASCII within the RFC length limits (host 255, app 48,
-    procid 128, msgid 32). Encoding an invalid message is an ERROR in
-    the reference (-> PermError, store/dests/base.go:207-265); here the
-    predicate gates/classifies rows instead of raising per row."""
+    procid 128, msgid 32), and every SD id / param name must pass
+    validName (rfc5424.go:61-73 via :112-122). Encoding an invalid
+    message is an ERROR in the reference (-> PermError,
+    store/dests/base.go:207-265); here the predicate gates/classifies
+    rows instead of raising per row."""
     checks = [
         F.col("hostname").rlike(_ASCII_RE) & (F.length("hostname") <= 255),
         F.col("appname").rlike(_ASCII_RE) & (F.length("appname") <= 48),
         F.col("procid").rlike(_ASCII_RE) & (F.length("procid") <= 128),
         F.col("msgid").rlike(_ASCII_RE) & (F.length("msgid") <= 32),
+        # canonical 'sid|k=v' lines: sid = first '|' segment, name =
+        # last '|' segment before the first '=' (the same extraction
+        # the SD re-encoder uses, so gate and encoder agree). Column
+        # API only — the \x.. / \z regexes must not pass through a
+        # Spark SQL string literal (escape mangling; see decode_json).
+        (F.col("props_flat") == "")
+        | F.forall(
+            F.split(F.col("props_flat"), "\n"),
+            lambda l: F.split_part(l, F.lit("|"), F.lit(1)).rlike(_SD_NAME_RE)
+            & F.substring_index(
+                F.substring_index(l, "=", 1), "|", -1
+            ).rlike(_SD_NAME_RE),
+        ),
     ]
     out = checks[0]
     for c in checks[1:]:
@@ -175,11 +202,19 @@ def rfc5424_encodable() -> Column:
 
 
 def rfc5424_encodable_sql() -> str:
+    sd_ok = (
+        "(props_flat = '' OR list_aggregate(list_transform("
+        "string_split(props_flat, chr(10)), "
+        f"l -> regexp_matches(string_split(l, '|')[1], '{_SD_NAME_RE}') AND "
+        "regexp_matches(split_part(split_part(l, '=', 1), '|', -1), "
+        f"'{_SD_NAME_RE}')), 'bool_and'))"
+    )
     parts = [
         f"regexp_matches(hostname, '{_ASCII_RE}') AND length(hostname) <= 255",
         f"regexp_matches(appname, '{_ASCII_RE}') AND length(appname) <= 48",
         f"regexp_matches(procid, '{_ASCII_RE}') AND length(procid) <= 128",
         f"regexp_matches(msgid, '{_ASCII_RE}') AND length(msgid) <= 32",
+        sd_ok,
     ]
     return "(" + " AND ".join(parts) + ")"
 
@@ -209,8 +244,14 @@ def encode_gelf() -> Column:
     random — sorted is the deterministic superset)."""
     from skewer_spark.parsing.syslog import properties_map
 
+    # floor-div seconds + positive-mod micros so value == sec + frac/1e6
+    # holds for pre-epoch rows too (truncating division would pair
+    # sec=0 with frac=500000 for -0.5s). Integer arithmetic throughout:
+    # (x - pmod) is an exact multiple, so DIV is exact at any µs.
     ts = F.concat(
-        (F.col("time_reported") / 1_000_000).cast("long").cast("string"),
+        F.expr(
+            "(time_reported - pmod(time_reported, 1000000)) DIV 1000000"
+        ).cast("string"),
         F.lit("."),
         F.lpad(F.pmod(F.col("time_reported"), F.lit(1_000_000)).cast("string"), 6, "0"),
     )
@@ -231,24 +272,48 @@ def encode_gelf() -> Column:
     )
 
 
+def _pos_mod_sql(col: str, m: int) -> str:
+    """Positive modulus — DuckDB '%' follows the dividend's sign, so a
+    pre-epoch time_reported would render '.-5' fractions (Spark pmod
+    is always non-negative)."""
+    return f"((({col}) % {m}) + {m}) % {m}"
+
+
+def _props_map_sql() -> str:
+    """DuckDB twin of parsing.syslog.properties_map: canonical sorted
+    'sid|k=v' lines -> MAP(sid -> MAP(name -> value)), shared by
+    encode_gelf_sql and encode_json_sql. sid order is explicitly
+    list_sort'ed — DuckDB's list_distinct is hash-based and does NOT
+    preserve first-occurrence order, so an unsorted build diverges
+    from Spark's sorted map on any row with >=2 property domains.
+    Extraction rules match the Spark side exactly (sid = first '|'
+    segment, name = last '|' segment before the first '=', value =
+    everything after the first '='), so a '|' smuggled into a
+    property name via decode_json degrades identically on both
+    engines instead of hash-mismatching."""
+    lines = "string_split(props_flat, chr(10))"
+    sids = (
+        "list_sort(list_distinct(list_transform("
+        f"{lines}, l -> string_split(l, '|')[1])))"
+    )
+    k_of = "split_part(split_part(l, '=', 1), '|', -1)"
+    v_of = "substr(l, strpos(l, '=') + 1)"
+    flt = f"list_filter({lines}, l -> string_split(l, '|')[1] = sid)"
+    inner = (
+        f"MAP(list_transform({flt}, l -> {k_of}), "
+        f"list_transform({flt}, l -> {v_of}))"
+    )
+    return f"MAP({sids}, list_transform({sids}, sid -> {inner}))"
+
+
 def encode_gelf_sql() -> str:
     """DuckDB twin of encode_gelf (json_merge_patch drops null fields,
     matching Spark's to_json null omission)."""
-    lines = "string_split(props_flat, chr(10))"
-    sids = f"list_distinct(list_transform({lines}, l -> string_split(l, '|')[1]))"
-    kv = "substr(l, length(string_split(l, '|')[1]) + 2)"
-    k_of = f"string_split({kv}, '=')[1]"
-    v_of = f"substr({kv}, length({k_of}) + 2)"
-    inner = (
-        f"MAP(list_transform(list_filter({lines}, "
-        f"l -> string_split(l, '|')[1] = sid), l -> {k_of}), "
-        f"list_transform(list_filter({lines}, "
-        f"l -> string_split(l, '|')[1] = sid), l -> {v_of}))"
-    )
-    props_map = f"MAP({sids}, list_transform({sids}, sid -> {inner}))"
+    props_map = _props_map_sql()
+    pm = _pos_mod_sql("time_reported", 1_000_000)
     ts = (
-        "cast(time_reported // 1000000 AS VARCHAR) || '.' || "
-        "lpad(cast(time_reported % 1000000 AS VARCHAR), 6, '0')"
+        f"cast((time_reported - ({pm})) // 1000000 AS VARCHAR) || '.' || "
+        f"lpad(cast({pm} AS VARCHAR), 6, '0')"
     )
     nz = lambda c: f"CASE WHEN {c} <> '' THEN {c} END"
     return f"""json_merge_patch('{{}}', to_json(struct_pack(
@@ -262,11 +327,17 @@ def encode_gelf_sql() -> str:
 
 
 def encode_file() -> Column:
-    return F.concat_ws(
-        " ",
+    # F.concat (NULL-propagating), NOT concat_ws (NULL-skipping): a
+    # NULL time_reported (reachable from pJSON rows with absent/
+    # non-grammar timestamps) must yield NULL like the DuckDB twin's
+    # '||', not silently emit a file line missing its leading stamp
+    return F.concat(
         _rfc3339("time_reported"),
+        F.lit(" "),
         _nilify("hostname"),
+        F.lit(" "),
         _nilify("appname"),
+        F.lit(" "),
         F.col("message"),
     )
 
@@ -293,11 +364,16 @@ def _go_rfc3339(col: str) -> Column:
 
 
 def _go_rfc3339_sql(col: str) -> str:
+    # positive mod for the fraction: DuckDB '%' sign-follows the
+    # dividend, which for pre-epoch micros would render '.-5' where
+    # the Spark twin's pmod renders '.5' (make_timestamp/strftime
+    # already floor the seconds on both engines)
+    pm = _pos_mod_sql(col, 1_000_000)
     return (
-        f"CASE WHEN {col} % 1000000 = 0 THEN "
+        f"CASE WHEN {pm} = 0 THEN "
         f"strftime(make_timestamp({col}), '%Y-%m-%dT%H:%M:%SZ') "
         f"ELSE strftime(make_timestamp({col}), '%Y-%m-%dT%H:%M:%S') || '.' || "
-        f"rtrim(lpad(cast({col} % 1000000 AS VARCHAR), 6, '0'), '0') || 'Z' END"
+        f"rtrim(lpad(cast({pm} AS VARCHAR), 6, '0'), '0') || 'Z' END"
     )
 
 
@@ -419,18 +495,7 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
 
 
 def encode_json_sql() -> str:
-    lines = "string_split(props_flat, chr(10))"
-    sids = f"list_distinct(list_transform({lines}, l -> string_split(l, '|')[1]))"
-    kv = "substr(l, length(string_split(l, '|')[1]) + 2)"
-    k_of = f"string_split({kv}, '=')[1]"
-    v_of = f"substr({kv}, length({k_of}) + 2)"
-    inner = (
-        f"MAP(list_transform(list_filter({lines}, "
-        f"l -> string_split(l, '|')[1] = sid), l -> {k_of}), "
-        f"list_transform(list_filter({lines}, "
-        f"l -> string_split(l, '|')[1] = sid), l -> {v_of}))"
-    )
-    props_map = f"MAP({sids}, list_transform({sids}, sid -> {inner}))"
+    props_map = _props_map_sql()
     nz = lambda c: f"CASE WHEN {c} <> '' THEN {c} END"
     return f"""json_merge_patch('{{}}', to_json(struct_pack(
       facility := facility_name, severity := severity_name,

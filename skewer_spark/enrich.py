@@ -18,8 +18,12 @@ from skewer_spark import dims
 def enrich(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
     """Add severity_name, facility_name, role_class, tool_class, sink_hint.
 
-    Left joins + coalesce-to-'' so unmatched keys keep Go's
-    empty-string-default semantics (model/types.go:97-136 Factory()).
+    Left joins; out-of-range facility/severity codes default to
+    'user'/'info' — the reference's serialization fallback
+    (model/types.go:182-208 Facility.String()/Severity.String(), which
+    never return empty strings; facility > 23 is reachable since
+    PRI parses up to int32). The graft-specific role/tool dims keep
+    the empty-string default (model/types.go:97-136 Factory()).
     """
     spark = spark or df.sparkSession
     out = (
@@ -28,7 +32,9 @@ def enrich(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
         .join(F.broadcast(dims.dim_role(spark)), "role", "left")
         .join(F.broadcast(dims.dim_tool(spark)), "tool", "left")
     )
-    for c in ("severity_name", "facility_name", "role_class", "tool_class", "sink_hint"):
+    out = out.withColumn("severity_name", F.coalesce(F.col("severity_name"), F.lit("info")))
+    out = out.withColumn("facility_name", F.coalesce(F.col("facility_name"), F.lit("user")))
+    for c in ("role_class", "tool_class", "sink_hint"):
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
     return out.withColumn("role_weight", F.coalesce(F.col("role_weight"), F.lit(0)))
 
@@ -48,8 +54,8 @@ def enrich_sql(from_relation: str) -> str:
     """DuckDB oracle equivalent producing the same added columns."""
     return f"""
 SELECT p.*,
-       coalesce(ds.severity_name, '') AS severity_name,
-       coalesce(df.facility_name, '') AS facility_name,
+       coalesce(ds.severity_name, 'info') AS severity_name,
+       coalesce(df.facility_name, 'user') AS facility_name,
        coalesce(dr.role_class, '') AS role_class,
        coalesce(dr.role_weight, 0) AS role_weight,
        coalesce(dt.tool_class, '') AS tool_class,

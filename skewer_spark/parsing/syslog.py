@@ -420,7 +420,13 @@ def properties_map(col: str = "props_flat"):
     ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` if feeding lines that
     carry duplicates."""
     lines = f"split({col}, '\\n')"
-    sids = f"array_distinct(transform({lines}, l -> split_part(l, '|', 1)))"
+    # array_sort, not just array_distinct: lines are sorted by FULL
+    # line text, and 'a!b|…' < 'a|…' although sid 'a' < sid 'a!b'
+    # ('!' 0x21 < '|' 0x7c), so first-occurrence order of sids is not
+    # sid-sorted order. The DuckDB twin (encoders._props_map_sql)
+    # list_sorts its sid list; the map key order must match for
+    # to_json byte parity.
+    sids = f"array_sort(array_distinct(transform({lines}, l -> split_part(l, '|', 1))))"
     k_of = "substring_index(substring_index(l, '=', 1), '|', -1)"
     v_of = "substr(l, length(substring_index(l, '=', 1)) + 2)"
     inner = (

@@ -880,3 +880,204 @@ def test_rsyslog_kernel_hostile_parity(spark):
     assert got["message"][0] == "\thello\n"     # tabs/newlines NOT trimmed
     assert got["hostname"][0] == "\thost\t"
     assert got["props_flat"][1] == "rsyslog|inj=a b\nrsyslog|n=0\nrsyslog|o={\"a\":1}"
+
+
+# ---- round-5 encoder-review regressions (enrich/dims/encoders) ----
+
+
+def test_facilities_table_matches_reference():
+    # the reference's Facilities map (model/types.go:45-70) has
+    # 9=clock, 13=logaudit, 14=logalert, 15=cron — a scrambled table
+    # silently mislabels every enrich/encode and breaks decode_json
+    # round-trips against reference-produced JSON
+    from skewer_spark.dims import FACILITIES
+
+    d = dict(FACILITIES)
+    assert len(d) == 24
+    assert d[9] == "clock"
+    assert d[13] == "logaudit"
+    assert d[14] == "logalert"
+    assert d[15] == "cron"
+
+
+def test_out_of_range_codes_enrich_to_reference_string_defaults(spark):
+    # Facility.String()/Severity.String() (model/types.go:182-208)
+    # fall back to 'user'/'info' for unknown codes — never '' — and
+    # facility > 23 is reachable ('<200>' -> facility 25)
+    from skewer_spark.enrich import enrich
+
+    df = spark.createDataFrame(
+        [(25, 6, "user", "search"), (3, 99, "user", "search")],
+        "facility int, severity int, role string, tool string",
+    )
+    rows = {
+        (r["facility"], r["severity"]): r
+        for r in enrich(df).collect()
+    }
+    assert rows[(25, 6)]["facility_name"] == "user"
+    assert rows[(3, 99)]["severity_name"] == "info"
+
+
+def _duck_on(pdf, expr_sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("p", pdf)
+    return con.execute(f"SELECT {expr_sql} AS e FROM p").df()["e"]
+
+
+def test_multi_domain_props_encode_parity_and_sorted(spark):
+    # two hazards at once: (1) DuckDB list_distinct is hash-based and
+    # reorders, (2) lines sort by FULL text so sid 'a!b' lines come
+    # before sid 'a' lines ('!' < '|') although 'a' < 'a!b' — both
+    # engines must emit the SAME, sid-sorted properties object
+    import json
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from skewer_spark.encoders import encode_json, encode_json_sql
+    from skewer_spark.parsing.syslog import parse_batch
+
+    line = ('<34>1 2024-01-01T00:00:00Z h a p m '
+            '[zeta k="1"][a x="2"][a!b y="3"] hi')
+    p = parse_batch(pd.Series([line]), pd.Series([0]))
+    p["facility_name"] = "auth"
+    p["severity_name"] = "crit"
+    df = spark.createDataFrame(p)
+    got_spark = df.select(encode_json().alias("e")).collect()[0]["e"]
+    got_duck = _duck_on(p, encode_json_sql()).iloc[0]
+    assert got_spark == got_duck
+    props = json.loads(got_spark)["properties"]
+    assert list(props.keys()) == sorted(props.keys()) == ["a", "a!b", "zeta"]
+
+
+def test_pre_epoch_encode_parity(spark):
+    # time_reported = -500000 µs (1969-12-31T23:59:59.5Z): DuckDB '%'
+    # sign-follows and '//' truncates toward zero, so the unpatched
+    # twins rendered '…59.-5Z' and '0.-50000'; both engines must agree
+    # and the GELF float-seconds identity sec + frac/1e6 == value must
+    # hold (floor, not truncate)
+    import json
+
+    import pandas as pd
+
+    from skewer_spark.encoders import (
+        encode_gelf,
+        encode_gelf_sql,
+        encode_json,
+        encode_json_sql,
+    )
+    from skewer_spark.parsing.syslog import parse_batch
+
+    line = "<34>1 1969-12-31T23:59:59.5Z h a p m - x"
+    p = parse_batch(pd.Series([line]), pd.Series([0]))
+    assert p["time_reported"][0] == -500_000
+    p["facility_name"] = "auth"
+    p["severity_name"] = "crit"
+    df = spark.createDataFrame(p)
+    sj = df.select(encode_json().alias("e")).collect()[0]["e"]
+    dj = _duck_on(p, encode_json_sql()).iloc[0]
+    assert sj == dj
+    assert json.loads(sj)["timereported"] == "1969-12-31T23:59:59.5Z"
+    sg = df.select(encode_gelf().alias("e")).collect()[0]["e"]
+    dg = _duck_on(p, encode_gelf_sql()).iloc[0]
+    assert sg == dg
+    assert json.loads(sg)["timestamp"] == "-1.500000"  # -1 + 0.5 = -0.5s
+
+
+def test_sd_param_name_truncated_to_32(spark):
+    # encodeMsg5424 truncates param names to 32 chars
+    # (encoders/rfc5424.go:159-161); both engines must emit name[:32]
+    import pandas as pd
+
+    from skewer_spark.encoders import encode_rfc5424, encode_rfc5424_sql
+    from skewer_spark.parsing.syslog import parse_batch
+
+    name40 = "n" * 40
+    line = f'<34>1 2024-01-01T00:00:00Z h a p m [ex@1 {name40}="v"] hi'
+    p = parse_batch(pd.Series([line]), pd.Series([0]))
+    df = spark.createDataFrame(p)
+    got_spark = df.select(encode_rfc5424().alias("e")).collect()[0]["e"]
+    got_duck = _duck_on(p, encode_rfc5424_sql()).iloc[0]
+    assert got_spark == got_duck
+    assert f'[ex@1 {"n" * 32}="v"]' in got_spark
+    assert name40 not in got_spark
+
+
+def test_rfc5424_encodable_checks_sd_names(spark):
+    # validRfc5424 also validates SD ids and param names via validName
+    # (rfc5424.go:61-73,112-122): printable US-ASCII minus '=' ']' '"'
+    # — a ']' sid or a space/quote param name is a PermError in the
+    # reference, so the gate must classify it unencodable (both engines)
+    import pandas as pd
+
+    from skewer_spark.encoders import rfc5424_encodable, rfc5424_encodable_sql
+
+    base = dict(hostname="h", appname="a", procid="p", msgid="m")
+    rows = [
+        dict(base, props_flat="", want=True),
+        dict(base, props_flat="ex@1|k=v", want=True),
+        dict(base, props_flat="a]b|k=v", want=False),      # ']' in sid
+        dict(base, props_flat='ex@1|x"y=v', want=False),   # '"' in name
+        dict(base, props_flat="ex@1|x y=v", want=False),   # space in name
+        dict(base, props_flat="ex@1|k=v w]\"=", want=True),  # value: anything
+    ]
+    p = pd.DataFrame(rows)
+    df = spark.createDataFrame(p)
+    got = [
+        r["e"]
+        for r in df.select(
+            rfc5424_encodable().alias("e"), "props_flat"
+        ).collect()
+    ]
+    assert got == [r["want"] for r in rows]
+    duck = _duck_on(p, rfc5424_encodable_sql()).tolist()
+    assert duck == [r["want"] for r in rows]
+
+
+def test_encode_file_null_ts_parity(spark):
+    # pJSON rows can carry NULL time_reported; concat_ws would
+    # silently drop the stamp ('h a msg') while the DuckDB twin's '||'
+    # yields NULL — both engines must NULL-propagate
+    import pandas as pd
+
+    from skewer_spark.encoders import encode_file, encode_file_sql
+
+    p = pd.DataFrame(
+        [{"time_reported": pd.NA, "hostname": "h", "appname": "a",
+          "message": "msg"}]
+    ).astype({"time_reported": "Int64"})
+    df = spark.createDataFrame(p)
+    assert df.select(encode_file().alias("e")).collect()[0]["e"] is None
+    assert _duck_on(p, encode_file_sql()).isna().iloc[0]
+
+
+def test_pipe_in_json_property_key_degrades_identically(spark):
+    # a '|' inside a JSON property name forges the canonical
+    # 'sid|k=v' line; the extraction rule (name = last '|' segment
+    # before the first '=') is shared by both engines, so the
+    # degradation is identical instead of a hash mismatch
+    import json
+
+    import pandas as pd
+
+    from skewer_spark.encoders import decode_json, encode_json, encode_json_sql
+
+    raw = json.dumps(
+        {"facility": "auth", "severity": "crit",
+         "timereported": "2024-01-01T00:00:00Z",
+         "timegenerated": "2024-01-01T00:00:00Z",
+         "message": "m", "properties": {"s": {"a|b": "v"}}}
+    )
+    df = spark.createDataFrame([(raw,)], "line string")
+    p = decode_json(df).toPandas()
+    assert p["props_flat"][0] == "s|a|b=v"
+    p["facility_name"] = "auth"
+    p["severity_name"] = "crit"
+    sdf = spark.createDataFrame(p)
+    got_spark = sdf.select(encode_json().alias("e")).collect()[0]["e"]
+    got_duck = _duck_on(p, encode_json_sql()).iloc[0]
+    assert got_spark == got_duck
+    assert json.loads(got_spark)["properties"] == {"s": {"b": "v"}}
