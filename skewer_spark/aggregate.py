@@ -78,8 +78,14 @@ def metrics_snapshot(status_df: DataFrame, routed: DataFrame) -> DataFrame:
     # rejected rows (the ForwardFail -> writeFailure path, :400-402).
     answers_ok = status_df.agg(
         (
-            F.sum(
-                F.when(F.col("route_status") != "rejected", 1).otherwise(0)
+            # coalesce: sum over ZERO rows is NULL, and NULL + 0 stays
+            # NULL — an empty status_df must report the counter as 0
+            # like every count-based sibling, not a null gauge
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("route_status") != "rejected", 1).otherwise(0)
+                ),
+                F.lit(0),
             )
             # open + close answered on every connection, even one whose
             # every syslog frame is rejected

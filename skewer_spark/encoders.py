@@ -26,6 +26,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from skewer_spark.parsing.syslog import (
+    sd_key_duck,
+    sd_key_spark,
+    sd_sid_duck,
+    sd_sid_spark,
+    sd_val_duck,
+    sd_val_spark,
+)
+
 
 def _ts_us_to_col(ts_us: str) -> Column:
     return F.timestamp_micros(F.col(ts_us))
@@ -94,26 +103,30 @@ def _sd_from_props_flat() -> Column:
     truncated to 32 chars exactly like the reference encoder
     (encoders/rfc5424.go:159-161 ``name = name[:32]``). Lines are
     sorted, so params of one sid are consecutive; built with
-    higher-order funcs (no UDF)."""
+    higher-order funcs (no UDF). One SD param per (sid, name) by
+    construction — the parse kernels dedup with SetProperty
+    last-write-wins, matching the reference's map storage; only a '|'
+    smuggled into a name via a JSON-ish decoder can make two lines
+    re-emit the same extracted name (documented degradation, identical
+    on both engines). Extraction rules come from the shared
+    parsing.syslog sd_* fragments."""
     return F.expr(
-        r"""
+        f"""
         CASE WHEN props_flat = '' THEN '-' ELSE
           aggregate(
-            array_sort(array_distinct(transform(split(props_flat, '\n'),
-                                                l -> split(l, '\\|')[0]))),
+            array_sort(array_distinct(transform(split(props_flat, '\\n'),
+                                                l -> {sd_sid_spark('l')}))),
             CAST('' AS STRING),
             (acc, sid) -> acc || '[' || sid ||
               aggregate(
-                filter(split(props_flat, '\n'), l -> split(l, '\\|')[0] = sid),
+                filter(split(props_flat, '\\n'), l -> {sd_sid_spark('l')} = sid),
                 CAST('' AS STRING),
                 (a2, l) -> a2 || ' ' ||
-                  substring(
-                    substring_index(substring_index(l, '=', 1), '|', -1),
-                    1, 32)
+                  substring({sd_key_spark('l')}, 1, 32)
                   || '="' ||
                   replace(replace(replace(
-                    substring(l, instr(l, '=') + 1),
-                    '\\', '\\\\'), '"', '\\"'), ']', '\\]') || '"'
+                    {sd_val_spark('l')},
+                    '\\\\', '\\\\\\\\'), '"', '\\\\"'), ']', '\\\\]') || '"'
               ) || ']'
           )
         END
@@ -122,21 +135,21 @@ def _sd_from_props_flat() -> Column:
 
 
 def _sd_from_props_flat_sql() -> str:
-    return r"""
+    return f"""
         CASE WHEN props_flat = '' THEN '-' ELSE
           list_aggregate(list_transform(
             list_sort(list_distinct(list_transform(string_split(props_flat, chr(10)),
-                                                   l -> string_split(l, '|')[1]))),
+                                                   l -> {sd_sid_duck('l')}))),
             sid -> '[' || sid ||
               list_aggregate(list_transform(
                 list_filter(string_split(props_flat, chr(10)),
-                            l -> string_split(l, '|')[1] = sid),
+                            l -> {sd_sid_duck('l')} = sid),
                 l -> ' ' ||
-                  substr(split_part(split_part(l, '=', 1), '|', -1), 1, 32)
+                  substr({sd_key_duck('l')}, 1, 32)
                   || '="' ||
                   replace(replace(replace(
-                    substring(l, strpos(l, '=') + 1),
-                    '\', '\\'), '"', '\"'), ']', '\]') || '"'
+                    {sd_val_duck('l')},
+                    '\\', '\\\\'), '"', '\\"'), ']', '\\]') || '"'
               ), 'string_agg', '') || ']'
           ), 'string_agg', '')
         END
@@ -183,9 +196,11 @@ def rfc5424_encodable() -> Column:
         F.col("msgid").rlike(_ASCII_RE) & (F.length("msgid") <= 32),
         # canonical 'sid|k=v' lines: sid = first '|' segment, name =
         # last '|' segment before the first '=' (the same extraction
-        # the SD re-encoder uses, so gate and encoder agree). Column
-        # API only — the \x.. / \z regexes must not pass through a
-        # Spark SQL string literal (escape mangling; see decode_json).
+        # the SD re-encoder uses, so gate and encoder agree — the
+        # Column calls below MUST mirror parsing.syslog.sd_sid_spark /
+        # sd_key_spark; they can't share the string fragments because
+        # the \x.. / \z regexes must not pass through a Spark SQL
+        # string literal (escape mangling; see decode_json).
         (F.col("props_flat") == "")
         | F.forall(
             F.split(F.col("props_flat"), "\n"),
@@ -205,8 +220,8 @@ def rfc5424_encodable_sql() -> str:
     sd_ok = (
         "(props_flat = '' OR list_aggregate(list_transform("
         "string_split(props_flat, chr(10)), "
-        f"l -> regexp_matches(string_split(l, '|')[1], '{_SD_NAME_RE}') AND "
-        "regexp_matches(split_part(split_part(l, '=', 1), '|', -1), "
+        f"l -> regexp_matches({sd_sid_duck('l')}, '{_SD_NAME_RE}') AND "
+        f"regexp_matches({sd_key_duck('l')}, "
         f"'{_SD_NAME_RE}')), 'bool_and'))"
     )
     parts = [
@@ -286,22 +301,31 @@ def _props_map_sql() -> str:
     list_sort'ed — DuckDB's list_distinct is hash-based and does NOT
     preserve first-occurrence order, so an unsorted build diverges
     from Spark's sorted map on any row with >=2 property domains.
-    Extraction rules match the Spark side exactly (sid = first '|'
-    segment, name = last '|' segment before the first '=', value =
-    everything after the first '='), so a '|' smuggled into a
-    property name via decode_json degrades identically on both
-    engines instead of hash-mismatching."""
+    Extraction rules come from the shared parsing.syslog sd_* fragments
+    (sid = first '|' segment, name = last '|' segment before the first
+    '=', value = everything after the first '='), so a '|' smuggled
+    into a property name via decode_json degrades identically on both
+    engines instead of hash-mismatching. The keep-last index filter
+    mirrors Spark's LAST_WIN map dedup: when two distinct lines
+    EXTRACT to the same (sid, name) — only reachable via that smuggled
+    '|' — DuckDB's MAP() would otherwise raise on the duplicate key
+    and abort the correctness gate instead of comparing outputs."""
     lines = "string_split(props_flat, chr(10))"
     sids = (
         "list_sort(list_distinct(list_transform("
-        f"{lines}, l -> string_split(l, '|')[1])))"
+        f"{lines}, l -> {sd_sid_duck('l')})))"
     )
-    k_of = "split_part(split_part(l, '=', 1), '|', -1)"
-    v_of = "substr(l, strpos(l, '=') + 1)"
-    flt = f"list_filter({lines}, l -> string_split(l, '|')[1] = sid)"
+    flt = f"list_filter({lines}, l -> {sd_sid_duck('l')} = sid)"
+    at = lambda i: f"({flt})[{i}]"
+    keep = (
+        f"list_filter(range(1, len({flt}) + 1), "
+        f"i -> NOT list_contains("
+        f"list_transform(({flt})[i+1:], l -> {sd_key_duck('l')}), "
+        f"{sd_key_duck(at('i'))}))"
+    )
     inner = (
-        f"MAP(list_transform({flt}, l -> {k_of}), "
-        f"list_transform({flt}, l -> {v_of}))"
+        f"MAP(list_transform({keep}, i -> {sd_key_duck(at('i'))}), "
+        f"list_transform({keep}, i -> {sd_val_duck(at('i'))}))"
     )
     return f"MAP({sids}, list_transform({sids}, sid -> {inner}))"
 
@@ -462,7 +486,16 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
     # value like "a\nb" would otherwise split into a bogus second line
     # that every downstream consumer (properties_map, the SD
     # re-encoder) misparses. Sanitize to spaces at the boundary.
+    # Domain/param NAMES additionally sanitize '=' -> ' ': the line
+    # form 'sid|name=value' cannot represent a name containing '='
+    # (extraction reads up to the FIRST '='), and the space makes
+    # rfc5424_encodable reject the name exactly where the reference's
+    # validName rejects '=' (encoders/rfc5424.go:112-122) — otherwise
+    # the gate would extract a truncated-but-valid name and pass a
+    # message the reference PermErrors. Kernel twin:
+    # registry.parse_json_batch clean_name.
     _clean = "translate({}, '\\n\\r', '  ')"
+    _clean_name = "translate({}, '\\n\\r=', '   ')"
     # filter nulls before flatten: a properties value that is not an
     # object coerces to a NULL inner map, and flatten() of an array
     # containing a NULL element is NULL — one malformed domain would
@@ -471,8 +504,8 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
     lines = F.expr(
         "array_join(array_sort(flatten(filter(transform(map_entries(_j.properties), "
         "e -> transform(map_entries(e.value), "
-        f"kv -> {_clean.format('e.key')} || '|' || "
-        f"{_clean.format('kv.key')} || '=' || "
+        f"kv -> {_clean_name.format('e.key')} || '|' || "
+        f"{_clean_name.format('kv.key')} || '=' || "
         f"{_clean.format('kv.value')})), x -> x IS NOT NULL))), '\\n')"
     )
     nz = lambda c: F.coalesce(F.col(f"_j.{c}"), F.lit(""))

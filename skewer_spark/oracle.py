@@ -25,6 +25,26 @@ _TAG = r"^([^\[]*)(?:\[([^\]]*)\]?.*)?$"
 _HOSTNAME = r"^[A-Za-z0-9.:_-]+$"
 _TS_FMTS = "['%Y-%m-%dT%H:%M:%S.%fZ', '%Y-%m-%dT%H:%M:%SZ']"
 
+# Occurrence-ordered SD 'sid|name' keys and full 'sid|name=value' lines
+# (parallel lists) — kept separate so the props5424 builder below can
+# apply last-occurrence-wins dedup per key, the DuckDB twin of the
+# reference's SetProperty map overwrite (model/types.go:497-512) that
+# the four Spark kernels implement.
+_SD_KEYS = (
+    f"flatten(list_transform(regexp_extract_all(f_sd, '{_ELEM}', 0), "
+    f"e -> list_transform(range(1, len(regexp_extract_all(e, '{_PARAM}', 1)) + 1), "
+    "i -> regexp_extract(e, '^\\[([^ \\]]+)', 1) || '|' || "
+    f"regexp_extract_all(e, '{_PARAM}', 1)[i])))"
+)
+_SD_LINES = (
+    f"flatten(list_transform(regexp_extract_all(f_sd, '{_ELEM}', 0), "
+    f"e -> list_transform(range(1, len(regexp_extract_all(e, '{_PARAM}', 1)) + 1), "
+    "i -> regexp_extract(e, '^\\[([^ \\]]+)', 1) || '|' || "
+    f"regexp_extract_all(e, '{_PARAM}', 1)[i] || '=' || "
+    f"regexp_replace(regexp_extract_all(e, '{_PARAM}', 2)[i], "
+    "'\\\\(.)', '\\1', 'g'))))"
+)
+
 
 def parse_cte(sf_dir: str, source_sql: str | None = None) -> str:
     """WITH-clause body producing relation ``parsed`` (one row per turn).
@@ -79,15 +99,10 @@ p5424b AS (
               AND try_cast(substring(f_ts, 1, 4) AS INT) BETWEEN 1678 AND 2250
          THEN try_strptime(f_ts, {_TS_FMTS}) END AS ts5424,
     CASE WHEN ok5424 AND f_sd IS NOT NULL AND f_sd <> '' THEN
-      array_to_string(list_sort(flatten(list_transform(
-        regexp_extract_all(f_sd, '{_ELEM}', 0),
-        e -> list_transform(
-               range(1, len(regexp_extract_all(e, '{_PARAM}', 1)) + 1),
-               i -> regexp_extract(e, '^\\[([^ \\]]+)', 1) || '|' ||
-                    regexp_extract_all(e, '{_PARAM}', 1)[i] || '=' ||
-                    regexp_replace(regexp_extract_all(e, '{_PARAM}', 2)[i],
-                                   '\\\\(.)', '\\1', 'g'))
-      ))), chr(10))
+      array_to_string(list_sort(list_transform(
+        list_filter(range(1, len({_SD_KEYS}) + 1),
+                    i -> NOT list_contains(({_SD_KEYS})[i+1:], ({_SD_KEYS})[i])),
+        i -> ({_SD_LINES})[i])), chr(10))
     ELSE '' END AS props5424
   FROM p5424
 ),

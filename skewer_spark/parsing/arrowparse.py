@@ -366,16 +366,20 @@ def parse_batch_arrow(
 
             # SD params -> sorted 'sid|k=v' lines (SetProperty,
             # /root/reference/model/types.go:497-512); per-SD-row loop
-            # over the matched minority only
+            # over the matched minority only. Last occurrence wins per
+            # 'sid|name' (SetProperty is a map overwrite), dedup in
+            # occurrence order BEFORE sorting.
             with_sd = np.flatnonzero((sd != "-") & (sd != ""))
             for i in with_sd:
-                lines = []
+                props: dict[str, str] = {}
                 for em in _SD_ELEM.finditer(sd[i]):
                     sid, params = em.group(1), em.group(2)
                     for pmm in _SD_PARAM.finditer(params):
                         v = _SD_UNESC.sub(r'\1', pmm.group(2))
-                        lines.append(f"{sid}|{pmm.group(1)}={v}")
-                props_flat[okx[i]] = "\n".join(sorted(lines))
+                        props[f"{sid}|{pmm.group(1)}"] = v
+                props_flat[okx[i]] = "\n".join(
+                    sorted(f"{k}={v}" for k, v in props.items())
+                )
 
     # ------------------------------------------------------------- RFC3164
     if is3164.any():

@@ -185,13 +185,15 @@ def parse_one(raw: str, ing: int) -> tuple:
         structured = ""
         if sd != "-":
             structured = sd
-            lines = []
+            # last occurrence wins per 'sid|name' (SetProperty map
+            # overwrite, model/types.go:497-512), then sort
+            pd_: dict[str, str] = {}
             for em in _SD_ELEM.finditer(sd):
                 sid, params = em.group(1), em.group(2)
                 for pmm in _SD_PARAM.finditer(params):
                     v = _SD_UNESC.sub(r'\1', pmm.group(2))
-                    lines.append(f"{sid}|{pmm.group(1)}={v}")
-            props = "\n".join(sorted(lines))
+                    pd_[f"{sid}|{pmm.group(1)}"] = v
+            props = "\n".join(sorted(f"{k}={v}" for k, v in pd_.items()))
         nil = lambda x: "" if x == "-" else x
         return (pri, fac, sev, 1, tr, ing, nil(host), nil(app), nil(proc),
                 nil(msgid), structured, msg, props, "rfc5424", err)

@@ -187,6 +187,17 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
         # sid/key/value would forge extra lines (Column path: translate)
         return str(v).replace("\n", " ").replace("\r", " ")
 
+    def clean_name(v: object) -> str:
+        # sids/param names additionally sanitize '=' -> ' ': the
+        # canonical line form 'sid|name=value' cannot represent a name
+        # containing '=' (extraction reads up to the FIRST '='), and a
+        # space makes the rfc5424_encodable gate reject the name just
+        # like the reference's validName rejects '='
+        # (encoders/rfc5424.go:112-122) — without it the gate would
+        # extract a truncated-but-valid name and wrongly pass a message
+        # the reference PermErrors. Same boundary as the Column path.
+        return clean(v).replace("=", " ")
+
     for i in range(n):
         raw = t.iloc[i]
         fb = int(ing.iloc[i])
@@ -233,7 +244,7 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
             lines = []
         else:
             lines = sorted(
-                f"{clean(sid)}|{clean(k)}={clean(_jstr(v))}"
+                f"{clean_name(sid)}|{clean_name(k)}={clean(_jstr(v))}"
                 for sid, kv in props.items()
                 if kv is not None
                 for k, v in kv.items()

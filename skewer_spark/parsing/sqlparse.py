@@ -96,19 +96,27 @@ def parse_transcripts_sql(
                 + _TS_EXPR.format(c="_f_ts")
                 + " END"
             ),
+            # occurrence-ordered struct(k, v) entries -> map_from_entries
+            # under the session's LAST_WIN dedup policy == the reference's
+            # SetProperty map overwrite (model/types.go:497-512): a param
+            # name repeated in one message keeps its LAST occurrence.
+            # Dedup happens BEFORE array_sort, so the survivor is the
+            # message's last occurrence, not the lexicographic max.
             "_props": F.expr(
                 f"""
                 CASE WHEN _ok5424 AND _f_sd IS NOT NULL AND _f_sd <> '' THEN
-                  array_join(array_sort(flatten(transform(
-                    regexp_extract_all(_f_sd, '{_ELEM}', 0),
-                    e -> transform(
-                      regexp_extract_all(e, '{_PARAM}', 0),
-                      p -> regexp_extract(e, '^\\\\[([^ \\\\]]+)', 1) || '|' ||
-                           regexp_extract(p, '{_PARAM}', 1) || '=' ||
-                           regexp_replace(
-                             regexp_extract(p, '{_PARAM}', 2),
-                             '\\\\\\\\(.)', '$1'))
-                  ))), '\\n')
+                  array_join(array_sort(transform(
+                    map_entries(map_from_entries(flatten(transform(
+                      regexp_extract_all(_f_sd, '{_ELEM}', 0),
+                      e -> transform(
+                        regexp_extract_all(e, '{_PARAM}', 0),
+                        p -> struct(
+                          regexp_extract(e, '^\\\\[([^ \\\\]]+)', 1) || '|' ||
+                            regexp_extract(p, '{_PARAM}', 1) AS k,
+                          regexp_replace(
+                            regexp_extract(p, '{_PARAM}', 2),
+                            '\\\\\\\\(.)', '$1') AS v)))))),
+                    kv -> kv.key || '=' || kv.value)), '\\n')
                 ELSE '' END"""
             ),
         }

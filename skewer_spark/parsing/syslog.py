@@ -235,18 +235,23 @@ def parse_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
             tok = tsp.notna()
             res.loc[tok[tok].index, "time_reported"] = tsp[tok].astype("int64").values
             # SD params -> sorted 'sid|k=v' lines (SetProperty,
-            # /root/reference/model/types.go:497-512)
+            # /root/reference/model/types.go:497-512). SetProperty is a
+            # map OVERWRITE, so a param name repeated within a message
+            # keeps only its LAST occurrence — dedup on 'sid|name' in
+            # occurrence order BEFORE sorting (RFC5424 allows repeats;
+            # dedup-after-sort would keep the lexicographically
+            # greatest value instead of the last one).
             with_sd = sd[(sd != "-") & (sd != "")]
             if len(with_sd):
                 flat = []
                 for raw in with_sd:
-                    lines = []
+                    props: dict[str, str] = {}
                     for elem_m in _SD_ELEM_RE.finditer(raw):
                         sid, params = elem_m.group(1), elem_m.group(2)
                         for pm in _SD_PARAM_RE.finditer(params):
                             v = _SD_UNESC.sub(r'\1', pm.group(2))
-                            lines.append(f"{sid}|{pm.group(1)}={v}")
-                    flat.append("\n".join(sorted(lines)))
+                            props[f"{sid}|{pm.group(1)}"] = v
+                    flat.append("\n".join(sorted(f"{k}={v}" for k, v in props.items())))
                 res.loc[with_sd.index, "props_flat"] = flat
 
     # ---------------- RFC3164 ----------------
@@ -407,6 +412,42 @@ def make_parse_udf():
     return parse_syslog.asNondeterministic()
 
 
+# --- canonical 'sid|name=value' line extraction (shared fragments) ---
+# sid = FIRST '|' segment; name = last '|' segment before the FIRST
+# '='; value = everything after the first '='. The rfc5424_encodable
+# gate, the SD re-encoder and the properties-map builders on BOTH
+# engines must apply these exact rules — always build the SQL from
+# these helpers, never inline the spelling: a drifted copy silently
+# breaks gate/encoder agreement (encoders.py consumes all six; the
+# Column-API gate in encoders.rfc5424_encodable mirrors them with
+# F.split_part/F.substring_index because its \x.. regexes cannot pass
+# through a SQL string literal).
+
+
+def sd_sid_spark(l: str) -> str:
+    return f"split_part({l}, '|', 1)"
+
+
+def sd_sid_duck(l: str) -> str:
+    return f"string_split({l}, '|')[1]"
+
+
+def sd_key_spark(l: str) -> str:
+    return f"substring_index(substring_index({l}, '=', 1), '|', -1)"
+
+
+def sd_key_duck(l: str) -> str:
+    return f"split_part(split_part({l}, '=', 1), '|', -1)"
+
+
+def sd_val_spark(l: str) -> str:
+    return f"substring({l}, instr({l}, '=') + 1)"
+
+
+def sd_val_duck(l: str) -> str:
+    return f"substr({l}, strpos({l}, '=') + 1)"
+
+
 def properties_map(col: str = "props_flat"):
     """Canonical 'sid|k=v' lines -> the reference's two-level
     ``map<string, map<string,string>>`` Properties column
@@ -415,10 +456,13 @@ def properties_map(col: str = "props_flat"):
     The flat sorted-line form is the engine's internal canonical
     representation (map ordering can't leak into equality checks); this
     materializes the MapType view for API parity. Keys within a domain
-    are expected unique — the parse emits SetProperty semantics
-    (model/types.go:497-512, last write wins); set
-    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` if feeding lines that
-    carry duplicates."""
+    are unique by construction — every parse kernel dedups on
+    (sid, name) with SetProperty last-write-wins semantics
+    (model/types.go:497-512). The one residual duplicate source is a
+    '|' smuggled into a property name via a JSON-ish decoder making two
+    distinct lines EXTRACT to the same (sid, name); the session's
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` keeps the later sorted
+    line then, matching the DuckDB twin's keep-last filter."""
     lines = f"split({col}, '\\n')"
     # array_sort, not just array_distinct: lines are sorted by FULL
     # line text, and 'a!b|…' < 'a|…' although sid 'a' < sid 'a!b'
@@ -426,13 +470,15 @@ def properties_map(col: str = "props_flat"):
     # sid-sorted order. The DuckDB twin (encoders._props_map_sql)
     # list_sorts its sid list; the map key order must match for
     # to_json byte parity.
-    sids = f"array_sort(array_distinct(transform({lines}, l -> split_part(l, '|', 1))))"
-    k_of = "substring_index(substring_index(l, '=', 1), '|', -1)"
-    v_of = "substr(l, length(substring_index(l, '=', 1)) + 2)"
+    sids = (
+        f"array_sort(array_distinct(transform({lines}, "
+        f"l -> {sd_sid_spark('l')})))"
+    )
+    flt = f"filter({lines}, l -> {sd_sid_spark('l')} = sid)"
     inner = (
         f"map_from_arrays("
-        f"transform(filter({lines}, l -> split_part(l, '|', 1) = sid), l -> {k_of}), "
-        f"transform(filter({lines}, l -> split_part(l, '|', 1) = sid), l -> {v_of}))"
+        f"transform({flt}, l -> {sd_key_spark('l')}), "
+        f"transform({flt}, l -> {sd_val_spark('l')}))"
     )
     return F.expr(
         f"CASE WHEN {col} = '' THEN map() "

@@ -1595,7 +1595,7 @@ SELECT metric, labels, value FROM (
   FROM statusd WHERE route_status <> 'passing' GROUP BY route_status
   UNION ALL
   SELECT 'skw_relp_answers_total', 'status=200',
-         CAST(sum(CASE WHEN route_status <> 'rejected' THEN 1 ELSE 0 END)
+         CAST(coalesce(sum(CASE WHEN route_status <> 'rejected' THEN 1 ELSE 0 END), 0)
               + 2 * count(DISTINCT conv_id) AS BIGINT)
   FROM statusd
   UNION ALL

@@ -110,3 +110,20 @@ def test_dropped_rows_not_routed(spark, sf_dir, routed):
     )
     leaked = routed.join(dropped_keys, ["conv_id", "turn_idx"], "inner").count()
     assert leaked == 0
+
+
+def test_metrics_on_empty_input_report_zero_not_null(spark):
+    """sum over ZERO rows is NULL and NULL + countDistinct*2 stays
+    NULL — an empty status_df must report skw_relp_answers_total
+    status=200 as 0 like its count-based siblings, not a null gauge."""
+    from skewer_spark.aggregate import metrics_snapshot
+
+    schema = ("conv_id string, route_status string, parse_error boolean, "
+              "parse_format string")
+    empty_status = spark.createDataFrame([], schema)
+    empty_routed = spark.createDataFrame([], "sink string")
+    rows = {(r["metric"], r["labels"]): r["value"]
+            for r in metrics_snapshot(empty_status, empty_routed).collect()}
+    assert rows[("skw_relp_answers_total", "status=200")] == 0
+    assert rows[("skw_incoming_messages_total", "provider=transcripts")] == 0
+    assert all(v is not None for v in rows.values())

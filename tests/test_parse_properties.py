@@ -169,12 +169,15 @@ def test_rfc5424_roundtrip(case):
     epoch = (pd.Timestamp(ts) - pd.Timestamp("1970-01-01")).value // 1000
     assert out["time_reported"] == epoch, (iso, out["time_reported"], epoch)
     # canonical props_flat stores the UNESCAPED logical value: the
-    # wire carries _escape_sd(v), the parse recovers v exactly
-    want_props = sorted(
-        f"{sid}|{k}={v}"
-        for sid, params in sds
-        for k, v in params
-    )
+    # wire carries _escape_sd(v), the parse recovers v exactly.
+    # SetProperty overwrite (model/types.go:497-512): a repeated
+    # (sid, name) keeps only the LAST occurrence — mirror it with a
+    # dict built in occurrence order.
+    want: dict[str, str] = {}
+    for sid, params in sds:
+        for k, v in params:
+            want[f"{sid}|{k}"] = v
+    want_props = sorted(f"{k}={v}" for k, v in want.items())
     assert out["props_flat"] == "\n".join(want_props)
     _assert_agree([line])
 

@@ -587,6 +587,8 @@ def test_json_kernel_matches_column_decoder_hostile(spark):
         _json.dumps({"message": "too many fraction digits",
                      "timereported": "2024-06-01T01:02:03.1234567Z",
                      "timegenerated": "2024-06-01T01:02:03.9Z"}),
+        _json.dumps({"message": "eq in names", "properties":
+                     {"si=d": {"k=x": "v", "ok": "a=b"}}}),
     ]
     df = spark.createDataFrame([(l,) for l in lines], "line string")
     want = decode_json(df).toPandas()
@@ -605,11 +607,16 @@ def test_json_kernel_matches_column_decoder_hostile(spark):
         assert (g.dropna() == w.dropna()).all(), col
     # the injected line terminators were sanitized, not forwarded
     assert got["props_flat"][0] == "s id|k ey=a b\ns id|ok=v"
+    # '=' in domain/param NAMES sanitized to ' ' (values untouched):
+    # the canonical line form cannot carry it, and the space makes the
+    # encodable gate reject the name like the reference's validName
+    # rejects '='
+    assert got["props_flat"][6] == "si d|k x=v\nsi d|ok=a=b"
     # grammar gate: rows 1-3 NULL, rows 4-5 parsed
     assert got["time_reported"].isna().tolist() == [
-        True, True, True, True, False, True]
+        True, True, True, True, False, True, True]
     assert got["time_generated"].isna().tolist() == [
-        True, True, True, True, False, False]
+        True, True, True, True, False, False, True]
 
 
 def test_json_kernel_degrades_on_invalid():
@@ -696,9 +703,11 @@ def test_sd_values_unescaped_and_roundtrip_stable(spark):
 
 def test_duplicate_sd_param_names_encode_last_wins(spark):
     # RFC5424 allows repeated PARAM-NAMEs; the reference's SetProperty
-    # is last-write-wins. props_flat keeps both lines; map-building
-    # consumers (encode_gelf/properties_map) must not crash — the
-    # session pins mapKeyDedupPolicy=LAST_WIN
+    # is a map OVERWRITE (model/types.go:497-512) so only the LAST
+    # occurrence survives — the parse dedups in occurrence order, so
+    # props_flat carries ONE line per (sid, name). The ordering matters:
+    # 'k="b" k="a"' must keep 'a' (the message's last occurrence), not
+    # 'b' (the lexicographic max a sort-then-LAST_WIN would keep).
     import json
 
     import pandas as pd
@@ -706,15 +715,26 @@ def test_duplicate_sd_param_names_encode_last_wins(spark):
     from skewer_spark.encoders import encode_gelf
     from skewer_spark.parsing.syslog import parse_batch
 
-    line = '<34>1 2024-01-01T00:00:00Z h a p m [ex@1 k="a" k="b"] hi'
-    p = parse_batch(pd.Series([line]), pd.Series([0]))
-    assert p["props_flat"][0] == "ex@1|k=a\nex@1|k=b"
+    lines = [
+        '<34>1 2024-01-01T00:00:00Z h a p m [ex@1 k="a" k="b"] hi',
+        '<34>1 2024-01-01T00:00:00Z h a p m [ex@1 k="b" k="a"] hi',
+        # same sid split across two SD elements: still one map
+        '<34>1 2024-01-01T00:00:00Z h a p m [s1 a="1"][s1 a="3" b="x"] hi',
+    ]
+    p = parse_batch(pd.Series(lines), pd.Series([0, 0, 0]))
+    assert p["props_flat"][0] == "ex@1|k=b"
+    assert p["props_flat"][1] == "ex@1|k=a"
+    assert p["props_flat"][2] == "s1|a=3\ns1|b=x"
     df = spark.createDataFrame(p).withColumn(
         "facility_name", __import__("pyspark.sql.functions",
                                     fromlist=["F"]).lit("auth")
     )
-    gelf = json.loads(df.select(encode_gelf().alias("g")).collect()[0]["g"])
-    assert gelf["_props"]["ex@1"]["k"] == "b"  # last wins, no crash
+    gelf = json.loads(
+        df.where("props_flat = 'ex@1|k=a'")
+        .select(encode_gelf().alias("g"))
+        .collect()[0]["g"]
+    )
+    assert gelf["_props"]["ex@1"]["k"] == "a"  # message's LAST occurrence
 
 
 def test_trailing_newline_rejected_by_topic_and_encodable(spark):
@@ -1035,6 +1055,64 @@ def test_rfc5424_encodable_checks_sd_names(spark):
     assert got == [r["want"] for r in rows]
     duck = _duck_on(p, rfc5424_encodable_sql()).tolist()
     assert duck == [r["want"] for r in rows]
+
+
+def test_eq_in_json_property_name_is_unencodable(spark):
+    # a JSON property name 'k=x' is a validName PermError in the
+    # reference ('=' excluded, rfc5424.go:112-122) but the flat-line
+    # extraction would read only 'k' (valid) — the decode_json/
+    # parse_json_batch boundary sanitizes '=' -> ' ' in names so the
+    # gate verdict matches the reference on BOTH engines
+    import json as _json
+
+    import pandas as pd
+
+    from skewer_spark.encoders import (
+        decode_json,
+        rfc5424_encodable,
+        rfc5424_encodable_sql,
+    )
+
+    line = _json.dumps(
+        {"message": "m", "properties": {"sid": {"k=x": "v"}}}
+    )
+    df = decode_json(spark.createDataFrame([(line,)], "line string"))
+    got = df.select(
+        rfc5424_encodable().alias("e"), "props_flat"
+    ).collect()[0]
+    assert got["props_flat"] == "sid|k x=v"
+    assert got["e"] is False
+    p = pd.DataFrame(
+        [dict(hostname="h", appname="a", procid="p", msgid="m",
+              props_flat="sid|k x=v")]
+    )
+    assert _duck_on(p, rfc5424_encodable_sql()).tolist() == [False]
+
+
+def test_duplicate_extracted_keys_do_not_crash_gelf_oracle(spark):
+    # two distinct lines that EXTRACT to the same (sid, name) — only
+    # reachable via a '|' smuggled into a property name — previously
+    # crashed the DuckDB twin's MAP() ('Map keys must be unique'),
+    # aborting the correctness gate; both engines must now keep the
+    # LAST sorted line (Spark: mapKeyDedupPolicy=LAST_WIN) and agree
+    import json
+
+    import pandas as pd
+
+    from skewer_spark.encoders import encode_gelf, encode_gelf_sql
+
+    p = pd.DataFrame([dict(
+        hostname="h", appname="a", procid="p", msgid="m", message="x",
+        priority=34, severity=2, time_reported=1_700_000_000_000_000,
+        time_generated=1_700_000_000_000_000,
+        facility_name="auth", severity_name="crit",
+        props_flat="s|a=1\ns|x|a=2",
+    )])
+    df = spark.createDataFrame(p)
+    sg = df.select(encode_gelf().alias("g")).collect()[0]["g"]
+    dg = _duck_on(p, encode_gelf_sql()).iloc[0]
+    assert sg == dg
+    assert json.loads(sg)["_props"]["s"]["a"] == "2"
 
 
 def test_encode_file_null_ts_parity(spark):
