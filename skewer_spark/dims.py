@@ -68,6 +68,36 @@ TOOLS: list[tuple[str, str, str]] = [
 TOOL_NAMES = [t[0] for t in TOOLS]
 
 
+def facility_code_col(col):
+    """FacilityFromString (model/types.go:189-194) as a Column expr:
+    known name -> code, anything else (incl. NULL) -> user(1). The ONE
+    name->code lookup shared by every decoder (encoders.decode_json,
+    wire_formats GELF, …) — a table edit here reaches all of them;
+    keep the dict twin below in sync for pandas kernels."""
+    from pyspark.sql import functions as F
+
+    pairs = []
+    for code, name in FACILITIES:
+        pairs += [F.lit(name), F.lit(code)]
+    return F.coalesce(F.create_map(*pairs)[col], F.lit(1))
+
+
+def severity_code_col(col):
+    """SeverityFromString (model/types.go:196-208) twin: unknown ->
+    info(6)."""
+    from pyspark.sql import functions as F
+
+    pairs = []
+    for code, name in SEVERITIES:
+        pairs += [F.lit(name), F.lit(code)]
+    return F.coalesce(F.create_map(*pairs)[col], F.lit(6))
+
+
+# dict twins for the pandas kernels (registry.parse_json_batch)
+FACILITY_CODE = {name: code for code, name in FACILITIES}
+SEVERITY_CODE = {name: code for code, name in SEVERITIES}
+
+
 def _values_df(spark: SparkSession, rows, cols: str) -> DataFrame:
     """Literal dim as a JVM-side LocalTableScan (no Python RDD scan), so
     the broadcast build side never touches a Python worker."""

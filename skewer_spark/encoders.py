@@ -447,7 +447,7 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
     two-level properties map flattens back to the canonical sorted
     'sid|k=v' lines. Pure Column expressions (from_json + map lookups),
     JVM-side."""
-    from skewer_spark.dims import FACILITIES, SEVERITIES
+    from skewer_spark.dims import facility_code_col, severity_code_col
 
     schema = (
         "facility string, severity string, timereported string, "
@@ -456,12 +456,6 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
         "properties map<string,map<string,string>>"
     )
     x = df.withColumn("_j", F.from_json(F.col(col), schema))
-    fmap = F.create_map(
-        *[F.lit(v) for code, name in FACILITIES for v in (name, code)]
-    )
-    smap = F.create_map(
-        *[F.lit(v) for code, name in SEVERITIES for v in (name, code)]
-    )
     # pJSON timestamp grammar is RFC3339 (what encode_json emits and the
     # Go reference's time.RFC3339 accepts) — gate the cast behind the
     # shared regex so this path and the dispatchable kernel twin
@@ -479,8 +473,8 @@ def decode_json(df: DataFrame, col: str = "line") -> DataFrame:
         F.when(F.col(c).rlike("^" + JSON_TS_RE + "\\z"), F.col(c))
         .try_cast("timestamp")
     )
-    fac = F.coalesce(F.try_element_at(fmap, F.col("_j.facility")), F.lit(1))
-    sev = F.coalesce(F.try_element_at(smap, F.col("_j.severity")), F.lit(6))
+    fac = facility_code_col(F.col("_j.facility"))
+    sev = severity_code_col(F.col("_j.severity"))
     # canonical props_flat is newline-DELIMITED, so domain/key/value
     # text from arbitrary JSON must never carry line terminators — a
     # value like "a\nb" would otherwise split into a bogus second line

@@ -70,7 +70,10 @@ def _dec_str(buf: bytes, i: int) -> tuple[str, int]:
 def encode_record(row: dict) -> bytes:
     out = bytearray()
     for f in FIELDS:
-        out += _enc_str(str(row[f]))
+        # a NULL field must encode as '' — str(None) would smuggle the
+        # literal text 'None' through the round trip
+        v = row[f]
+        out += _enc_str("" if v is None else str(v))
     # Properties: map<string, map<string,string>> from canonical lines
     domains: dict[str, list[tuple[str, str]]] = {}
     flat = row.get("props_flat", "")

@@ -149,14 +149,13 @@ def parse_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFrame:
     import re
     from datetime import datetime, timedelta, timezone
 
-    from skewer_spark.dims import FACILITIES, SEVERITIES
+    from skewer_spark.dims import FACILITY_CODE as fmap
+    from skewer_spark.dims import SEVERITY_CODE as smap
     from skewer_spark.encoders import JSON_TS_RE
 
     ts_re = re.compile(JSON_TS_RE)
     epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
     us = timedelta(microseconds=1)
-    fmap = {name: code for code, name in FACILITIES}
-    smap = {name: code for code, name in SEVERITIES}
     t = text.fillna("").reset_index(drop=True)
     ing = pd.to_numeric(ingest_us, errors="coerce").fillna(0).astype("int64")
     ing = ing.reset_index(drop=True)
@@ -290,45 +289,56 @@ def parse_rsyslog_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFr
     Column-based ``wire_formats.decode_rsyslog_json``
     (decoders/json_format.go:22-98), parity-pinned by
     ``tests/test_parse_units.py::test_rsyslog_kernel_matches_column_decoder``:
-    pri string -> int (junk or >int32 -> decode ERROR with zeroed
-    header), '-'/missing fields -> '' with trimming, RFC3339 times
-    (seconds or exactly-6-digit fraction) with ingest fallback for
-    '-'/empty and ERROR for junk, '$!' bag -> sorted
-    'rsyslog|k=v' lines with trimmed keys/values."""
+    pri string -> strconv.Atoi (optional sign, any int64; >int64 or
+    junk -> decode ERROR with zeroed header) then Go's int32 narrowing
+    on priority and on facility/severity computed from the UNNARROWED
+    int with trunc-toward-zero division and sign-following mod
+    (json_format.go:29-32,81-84), '-' fields (compared UNTRIMMED) ->
+    '' with trimming otherwise, RFC3339 times on the shared
+    encoders.JSON_TS_RE grammar with ingest fallback for '-'/empty and
+    ERROR for junk, '$!' bag -> sorted 'rsyslog|k=v' lines with
+    trimmed keys/values."""
     import json
     import re
-    from datetime import datetime, timezone
+    from datetime import datetime, timedelta, timezone
+
+    from skewer_spark.encoders import JSON_TS_RE
 
     global _RS_TS_RE
     if _RS_TS_RE is None:
-        _RS_TS_RE = re.compile(
-            r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(?:\.(\d{6}))?Z"
-        )
+        _RS_TS_RE = re.compile(JSON_TS_RE)
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    us = timedelta(microseconds=1)
 
     def ts_us(v: object, fallback: int) -> int | None:
         """None = decode error; mirrors _rs_ts exactly."""
         if v is None or v == "-" or v == "":
             return fallback
-        m = _RS_TS_RE.fullmatch(str(v))
-        if not m:
+        if not _RS_TS_RE.fullmatch(str(v)):
             return None
-        y, mo, d, h, mi, sec, frac = m.groups()
         try:
-            dt = datetime(int(y), int(mo), int(d), int(h), int(mi),
-                          int(sec), tzinfo=timezone.utc)
+            dt = datetime.fromisoformat(str(v))
         except ValueError:
+            # regex-valid but calendar-invalid: Column try_cast -> NULL
             return None
-        return int(dt.timestamp()) * 1_000_000 + (int(frac) if frac else 0)
+        return (dt - epoch) // us
+
+    def wrap32(x: int) -> int:
+        """Go int32(x) two's-complement truncation (_wrap_int32 twin)."""
+        low = x % 2**32
+        return low - 2**32 if low >= 2**31 else low
 
     def nil(v: object) -> str:
         s = _jstr(v)
-        if s is None:
+        if s is None or s == "-":
+            # compare UNTRIMMED to '-' (json_format.go:55-77): ' - '
+            # must survive as '-', only the exact sentinel nils to ''
             return ""
         # strip(' ') not strip(): the Column twin's F.trim removes
         # SPACES only — Python's all-whitespace strip would also eat
         # tabs/newlines and diverge on padded fields
-        s = s.strip(" ")
-        return "" if s == "-" else s
+        return s.strip(" ")
 
     t = text.fillna("").reset_index(drop=True)
     ing = pd.to_numeric(ingest_us, errors="coerce").fillna(0).astype("int64")
@@ -344,8 +354,10 @@ def parse_rsyslog_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFr
         except ValueError:
             obj = {}
         pri_s = _jstr(obj.get("pri")) or ""
-        pri = int(pri_s) if re.fullmatch(r"[0-9]{1,10}", pri_s) else None
-        if pri is not None and pri > 2**31 - 1:
+        pri = int(pri_s) if re.fullmatch(r"[+-]?[0-9]+", pri_s) else None
+        if pri is not None and not (-(2**63) <= pri <= 2**63 - 1):
+            # Column twin's try_cast('long') nulls exactly where Atoi
+            # overflows int64
             pri = None
         tr = ts_us(obj.get("timereported"), fb)
         tg = ts_us(obj.get("timegenerated"), fb)
@@ -360,8 +372,13 @@ def parse_rsyslog_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFr
                 _jstr(v).strip(" ").replace("\n", " ").replace("\r", " ")
             )
 
+        def _pk(v) -> str:
+            # keys additionally sanitize '=' (the canonical 'k=v' line
+            # can't represent it in a name) — Column twin's _san_k
+            return _pv(v).replace("=", " ")
+
         props = "\n".join(sorted(
-            f"rsyslog|{_pv(k)}={_pv(v)}"
+            f"rsyslog|{_pk(k)}={_pv(v)}"
             for k, v in bag.items()
             # a null bag value nulls the whole line JVM-side and
             # array_join drops it — mirror by skipping the entry
@@ -370,8 +387,13 @@ def parse_rsyslog_json_batch(text: pd.Series, ingest_us: pd.Series) -> pd.DataFr
         if err:
             rows.append((0, 0, 0, 0, fb, fb, "", "", "", "", "", "", "", True))
         else:
+            # Go % follows the dividend's sign; facility divides the
+            # UNNARROWED int trunc-toward-zero, then each narrows
+            r = pri % 8
+            if pri < 0 and r:
+                r -= 8
             rows.append((
-                pri, pri // 8, pri % 8, 1, tr, tg,
+                wrap32(pri), wrap32((pri - r) // 8), wrap32(r), 1, tr, tg,
                 nil(obj.get("hostname")), nil(obj.get("app-name")),
                 nil(obj.get("procid")), nil(obj.get("msgid")),
                 nil(obj.get("structured-data")),

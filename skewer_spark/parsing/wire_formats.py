@@ -34,17 +34,30 @@ RSYSLOG_SCHEMA = (
     "`structured-data` string, `$!` map<string,string>"
 )
 
-_RFC3339_FMTS = ["yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"]
-
-
 def _rs_ts(col, ing):
     """RFC3339Nano parse (µs): '-'/empty -> ingest time (the reference
     uses now(), json_format.go:34-52 — ingest keeps it deterministic);
-    unparseable -> null (caller flags the decode error)."""
-    parsed = F.coalesce(
-        *[F.unix_micros(F.try_to_timestamp(col, F.lit(f))) for f in _RFC3339_FMTS]
+    unparseable -> null (caller flags the decode error). The grammar is
+    the shared encoders.JSON_TS_RE gate over try_cast — numeric UTC
+    offsets and 1-6 fractional digits all parse (time.RFC3339Nano
+    accepts them; the previous fixed-format list rejected rsyslog's own
+    date-rfc3339 output like '...T00:00:00.123+02:00'). 7-9 digit
+    fractions stay rejected on both engines: Spark truncates to µs
+    where DuckDB rounds, so admitting them would split the twins."""
+    from skewer_spark.encoders import JSON_TS_RE
+
+    parsed = F.unix_micros(
+        F.when(col.rlike("^" + JSON_TS_RE + "\\z"), col).try_cast("timestamp")
     )
     return F.when(col.isNull() | (col == "-") | (col == ""), ing).otherwise(parsed)
+
+
+def _wrap_int32(c):
+    """Go's int32(x) two's-complement truncation as an expression.
+    pmod first so the +/- 2^31 shift can never overflow int64 ANSI
+    arithmetic on extreme inputs."""
+    low = F.pmod(c, F.lit(2**32))
+    return F.when(low >= 2**31, low - F.lit(2**32)).otherwise(low).cast("int")
 
 
 def decode_rsyslog_json(
@@ -56,37 +69,53 @@ def decode_rsyslog_json(
     properties['rsyslog'] (keys and values trimmed)."""
     j = F.from_json(F.col(col), RSYSLOG_SCHEMA)
     ing = F.col(ing_col)
-    pri = F.when(j["pri"].rlike("^[0-9]{1,10}$"), j["pri"].cast("long"))
-    pri = F.when(pri <= 2**31 - 1, pri)
+    # strconv.Atoi semantics (json_format.go:29-32): optional sign, any
+    # int64 — NOT digits-only-int31 (pri='-1' or '3000000000' decode in
+    # the reference; the int32 narrowing happens at model.Priority).
+    # try_cast nulls on >int64 exactly where Atoi errors.
+    pri = F.when(j["pri"].rlike(r"^[+-]?[0-9]+$"), j["pri"].try_cast("long"))
     tr = _rs_ts(j["timereported"], ing)
     tg = _rs_ts(j["timegenerated"], ing)
     err = pri.isNull() | tr.isNull() | tg.isNull()
+    # compare the UNTRIMMED field to '-' and only then TrimSpace, like
+    # the reference (json_format.go:55-77: `if m.Hostname != "-"` THEN
+    # TrimSpace) — hostname ' - ' must survive as '-', not nil to ''
     nil = lambda c: F.when(
-        c.isNull() | (F.trim(c) == "-"), F.lit("")
+        c.isNull() | (c == "-"), F.lit("")
     ).otherwise(F.trim(c))
     guard = lambda c, d: F.when(err, d).otherwise(c)
     # keys/values \n\r-sanitized to spaces: props_flat is
     # newline-delimited, so an embedded terminator in arbitrary JSON
     # would forge extra property lines downstream (same boundary rule
-    # as decode_json / parse_json_batch)
+    # as decode_json / parse_json_batch). Keys additionally sanitize
+    # '=' (the canonical line form can't represent it in a name).
     _san = lambda c: F.translate(F.trim(c), "\n\r", "  ")
+    _san_k = lambda c: F.translate(F.trim(c), "\n\r=", "   ")
     props = F.array_join(
         F.array_sort(
             F.transform(
                 F.map_entries(F.coalesce(j["$!"], F.expr("map()"))),
                 lambda e: F.concat(
-                    F.lit("rsyslog|"), _san(e["key"]), F.lit("="), _san(e["value"])
+                    F.lit("rsyslog|"), _san_k(e["key"]), F.lit("="), _san(e["value"])
                 ),
             )
         ),
         "\n",
     )
+    # Go: Priority(pri) wraps to int32; Facility(pri / 8) / Severity(
+    # pri % 8) run on the UNNARROWED int with trunc-toward-zero
+    # division and sign-following mod (pri=-1 -> fac 0, sev -1), each
+    # then wrapped to int32 (json_format.go:81-84)
     return df.select(
         "*",
         err.alias("parse_error"),
-        guard(pri, F.lit(0)).cast("int").alias("priority"),
-        guard((pri / 8).cast("int"), F.lit(0)).alias("facility"),
-        guard(F.pmod(pri, F.lit(8)).cast("int"), F.lit(0)).alias("severity"),
+        guard(_wrap_int32(pri), F.lit(0)).alias("priority"),
+        # (pri - pri%8) is an exact multiple of 8, so the arithmetic
+        # shift IS trunc-toward-zero division — no float round trip
+        guard(
+            _wrap_int32(F.shiftright(pri - pri % F.lit(8), 3)), F.lit(0)
+        ).alias("facility"),
+        guard(_wrap_int32(pri % F.lit(8)), F.lit(0)).alias("severity"),
         F.when(err, 0).otherwise(1).cast("int").alias("version"),
         guard(tr, ing).alias("time_reported"),
         guard(tg, ing).alias("time_generated"),
@@ -109,15 +138,11 @@ GELF_SCHEMA = (
 
 
 def _facility_from_name(col):
-    """FacilityFromString (model/types.go:189-194): known name -> code,
-    anything else -> user(1). Literal map, constant-folded."""
-    from skewer_spark.dims import FACILITIES
+    """FacilityFromString: the shared dims helper (one copy of the
+    name->code table for every decoder)."""
+    from skewer_spark.dims import facility_code_col
 
-    pairs = []
-    for code, name in FACILITIES:
-        pairs += [F.lit(name), F.lit(code)]
-    m = F.create_map(*pairs)
-    return F.coalesce(m[col], F.lit(1))
+    return facility_code_col(col)
 
 
 def decode_gelf(df: DataFrame, col: str = "line") -> DataFrame:
@@ -125,20 +150,49 @@ def decode_gelf(df: DataFrame, col: str = "line") -> DataFrame:
     level -> severity, facility NAME (from the _facility extra) ->
     facility code with user(1) default, priority recomputed, version 1,
     appname/procid/msgid from their extras, full_message ->
-    properties['gelf']['full'], other extras -> the gelf domain."""
+    properties['gelf']['full'] (only when non-empty, gelf.go:73-75),
+    and EVERY other '_'-prefixed extra -> the gelf domain under its
+    underscored key (gelf.go:76-90 iterates gelfm.Extra; the vendored
+    go-gelf keeps the '_' prefix on Extra keys) — a second map-typed
+    from_json pass enumerates arbitrary extra keys the fixed schema
+    can't. Scalar extras coerce to their JSON text on both engines;
+    nested-object extras are out of scope (the reference's %s of a
+    map prints Go gibberish there). GELF is JSON, so \\n\\r must be
+    sanitized out of every value that lands in the newline-delimited
+    props_flat (and '=' out of key names) — same boundary rule as
+    decode_json / parse_json_batch; an unsanitized full_message could
+    otherwise forge property lines."""
     j = F.from_json(F.col(col), GELF_SCHEMA)
     sev = F.coalesce(j["level"], F.lit(0))
     fac = _facility_from_name(j["_facility"])
+    _san = lambda c: F.translate(c, "\n\r", "  ")
+    _san_k = lambda c: F.translate(c, "\n\r=", "   ")
     full = F.coalesce(j["full_message"], F.lit(""))
-    ev = F.coalesce(j["_ev"], F.lit(""))
+    extras = F.from_json(F.col(col), "map<string,string>")
+    _header = ("_facility", "_appname", "_procid", "_msgid")
+    extra_lines = F.transform(
+        F.filter(
+            F.map_entries(F.coalesce(extras, F.expr("map()"))),
+            lambda e: e["key"].startswith("_")
+            & ~e["key"].isin(*_header)
+            & e["value"].isNotNull(),
+        ),
+        lambda e: F.concat(
+            F.lit("gelf|"), _san_k(e["key"]), F.lit("="), _san(e["value"])
+        ),
+    )
     props = F.array_join(
         F.array_sort(
-            F.filter(
-                F.array(
-                    F.when(full != "", F.concat(F.lit("gelf|full="), full)),
-                    F.when(ev != "", F.concat(F.lit("gelf|_ev="), ev)),
+            F.concat(
+                F.filter(
+                    F.array(
+                        F.when(
+                            full != "", F.concat(F.lit("gelf|full="), _san(full))
+                        )
+                    ),
+                    lambda x: x.isNotNull(),
                 ),
-                lambda x: x.isNotNull(),
+                extra_lines,
             )
         ),
         "\n",
@@ -190,17 +244,32 @@ _FIELD_CASE = (
 
 
 def decode_influx(df: DataFrame, col: str = "line") -> DataFrame:
+    """Tags and the trailing timestamp are both OPTIONAL in the line
+    protocol ('cpu value=1' is valid; the reference's models.ParsePoints
+    accepts it, falling back to now() for the time): measurement reads
+    up to the first ',' OR ' ', the tag list only materializes when the
+    first token actually carries a ',', the field set is the second
+    space token whether or not a timestamp follows, and a missing
+    timestamp yields NULL ts_ns (the deterministic stand-in for the
+    reference's wall-clock fallback)."""
     line = F.col(col)
-    meas = F.regexp_extract(line, r"^([^, ]+),", 1)
+    meas = F.regexp_extract(line, r"^([^, ]+)[, ]", 1)
+    tags_raw = F.regexp_extract(line, r"^[^, ]+,([^ ]*) ", 1)
+    # get(), not [0]: a tagless line filters down to an EMPTY array and
+    # indexing it throws under ANSI mode
     host = F.expr(
-        f"coalesce(filter(transform(split(regexp_extract({col}, "
+        f"coalesce(get(filter(transform(split(regexp_extract({col}, "
         f"'^[^, ]+,([^ ]*) ', 1), ','), t -> CASE WHEN t LIKE 'host=%' "
-        f"THEN substr(t, 6) END), x -> x IS NOT NULL)[0], '')"
+        f"THEN substr(t, 6) END), x -> x IS NOT NULL), 0), '')"
     )
-    ts = F.regexp_extract(line, r" (\d+)$", 1).cast("long")
-    tags_arr = F.expr(
-        f"transform(split(regexp_extract({col}, '^[^, ]+,([^ ]*) ', 1), ','), "
-        f"t -> 'influxdb_tags|' || t)"
+    # try_cast: no-match extracts '' (NULL ts), and a >int64 digit run
+    # must degrade to NULL on both engines rather than throw under ANSI
+    ts = F.regexp_extract(line, r" (\d+)$", 1).try_cast("long")
+    tags_arr = F.when(tags_raw == "", F.expr("array()")).otherwise(
+        F.expr(
+            f"transform(split(regexp_extract({col}, '^[^, ]+,([^ ]*) ', 1), ','), "
+            f"t -> 'influxdb_tags|' || t)"
+        )
     )
     # value = everything after the FIRST '=' (quoted string values may
     # contain '='); key = before the first '='
@@ -213,9 +282,16 @@ def decode_influx(df: DataFrame, col: str = "line") -> DataFrame:
            "'\\\\\"', '\"')",
         v=vraw,
     )
-    fields_arr = F.expr(
-        f"transform(split(regexp_extract({col}, '^[^ ]+ ([^ ]+) ', 1), ','), "
-        f"f -> {case})"
+    # the field set is the 2nd space-separated token with or without a
+    # trailing timestamp (tags never contain unescaped spaces; escaped
+    # separators inside string fields stay out of scope for this
+    # split-based demo, as documented above)
+    fields_raw = F.expr(f"coalesce(try_element_at(split({col}, ' '), 2), '')")
+    fields_arr = F.when(fields_raw == "", F.expr("array()")).otherwise(
+        F.expr(
+            f"transform(split(coalesce(try_element_at(split({col}, ' '), 2), ''), "
+            f"','), f -> {case})"
+        )
     )
     return df.select(
         "*",
@@ -249,7 +325,7 @@ def influx_oracle_exprs() -> str:
 
     case = _re.sub(r"__F__ __RL__ '([^']*)'", r"regexp_matches(f, '\1')", case)
     return f"""
-    regexp_extract(line, '^([^, ]+),', 1) AS measurement,
+    regexp_extract(line, '^([^, ]+)[, ]', 1) AS measurement,
     cast(134 AS INT) AS priority, cast(16 AS INT) AS facility,
     cast(6 AS INT) AS severity, cast(1 AS INT) AS version,
     'influxdb' AS appname,
@@ -257,14 +333,16 @@ def influx_oracle_exprs() -> str:
       string_split(regexp_extract(line, '^[^, ]+,([^ ]*) ', 1), ','),
       t -> CASE WHEN t LIKE 'host=%' THEN substr(t, 6) END),
       x -> x IS NOT NULL)[1], '') AS hostname,
-    regexp_extract(line, '^([^, ]+),', 1) AS message,
-    array_to_string(list_sort(list_transform(
+    regexp_extract(line, '^([^, ]+)[, ]', 1) AS message,
+    CASE WHEN regexp_extract(line, '^[^, ]+,([^ ]*) ', 1) = '' THEN ''
+    ELSE array_to_string(list_sort(list_transform(
       string_split(regexp_extract(line, '^[^, ]+,([^ ]*) ', 1), ','),
-      t -> 'influxdb_tags|' || t)), chr(10)) AS tags_flat,
-    array_to_string(list_sort(list_transform(
-      string_split(regexp_extract(line, '^[^ ]+ ([^ ]+) ', 1), ','),
-      f -> {case})), chr(10)) AS fields_flat,
-    cast(regexp_extract(line, ' (\\d+)$', 1) AS BIGINT) AS ts_ns"""
+      t -> 'influxdb_tags|' || t)), chr(10)) END AS tags_flat,
+    CASE WHEN coalesce(string_split(line, ' ')[2], '') = '' THEN ''
+    ELSE array_to_string(list_sort(list_transform(
+      string_split(coalesce(string_split(line, ' ')[2], ''), ','),
+      f -> {case})), chr(10)) END AS fields_flat,
+    try_cast(nullif(regexp_extract(line, ' (\\d+)$', 1), '') AS BIGINT) AS ts_ns"""
 
 
 # ------------------------------------------ GELF chunked reassembly
@@ -293,7 +371,15 @@ def reassemble_gelf_chunks(df: DataFrame) -> DataFrame:
     g = df.groupBy("msg_id").agg(
         F.countDistinct("seq_nr").alias("n_chunks"),
         F.max("seq_count").alias("seq_count"),
-        F.max((F.col("seq_nr") >= F.col("seq_count")).cast("int")).alias("oob"),
+        # negative seq_nr is as out-of-band as seq_nr >= seq_count: the
+        # reference's byte-typed seq can never be negative, and without
+        # the guard chunk -1 could stand in for a missing chunk and
+        # emit a wrongly-assembled message
+        F.max(
+            (
+                (F.col("seq_nr") >= F.col("seq_count")) | (F.col("seq_nr") < 0)
+            ).cast("int")
+        ).alias("oob"),
         F.array_sort(F.collect_set(F.struct("seq_nr", "chunk"))).alias("parts"),
     )
     return (

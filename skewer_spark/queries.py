@@ -1444,12 +1444,21 @@ def _gelf_field_sql() -> str:
   coalesce(json_extract_string(line, '$.short_message'), '') AS message,
   coalesce(cast(try_cast(json_extract_string(line, '$.timestamp') AS DOUBLE)
                 * 1000000 AS BIGINT), 0) AS time_reported,
-  coalesce(array_to_string(list_sort(list_filter([
-    CASE WHEN coalesce(json_extract_string(line, '$.full_message'), '') <> ''
-         THEN 'gelf|full=' || json_extract_string(line, '$.full_message') END,
-    CASE WHEN coalesce(json_extract_string(line, '$._ev'), '') <> ''
-         THEN 'gelf|_ev=' || json_extract_string(line, '$._ev') END
-  ], x -> x IS NOT NULL)), chr(10)), '') AS props_flat"""
+  coalesce(array_to_string(list_sort(list_filter(
+    [CASE WHEN coalesce(json_extract_string(line, '$.full_message'), '') <> ''
+          THEN 'gelf|full=' || replace(replace(
+            json_extract_string(line, '$.full_message'),
+            chr(10), ' '), chr(13), ' ') END]
+    || list_transform(
+         list_filter(json_keys(line),
+                     k -> k[1] = '_' AND k NOT IN
+                          ('_facility', '_appname', '_procid', '_msgid')),
+         k -> CASE WHEN (line ->> k) IS NOT NULL THEN
+           'gelf|' || replace(replace(replace(k,
+             chr(10), ' '), chr(13), ' '), '=', ' ')
+           || '=' || replace(replace((line ->> k),
+             chr(10), ' '), chr(13), ' ') END),
+  x -> x IS NOT NULL)), chr(10)), '') AS props_flat"""
 
 
 def _gelf_chunked_oracle() -> str:

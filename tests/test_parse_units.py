@@ -1159,3 +1159,184 @@ def test_pipe_in_json_property_key_degrades_identically(spark):
     got_duck = _duck_on(p, encode_json_sql()).iloc[0]
     assert got_spark == got_duck
     assert json.loads(got_spark)["properties"] == {"s": {"b": "v"}}
+
+
+def test_rsyslog_pri_atoi_semantics(spark):
+    # strconv.Atoi + model int32 narrowing (json_format.go:29-32,81-84):
+    # signed pri decodes (fac = trunc-div, sev sign-follows), int32
+    # overflow WRAPS (Priority(int32(pri))), >int64 is a decode error —
+    # the old digits-only-int31 gate rejected rows the reference accepts
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from skewer_spark.parsing.wire_formats import decode_rsyslog_json
+
+    mk = lambda pri: (f'{{"pri":"{pri}","msg":"m","timereported":"-",'
+                      '"timegenerated":"-","hostname":"h","app-name":"a",'
+                      '"procid":"1","msgid":"-","structured-data":"-"}')
+    cases = [
+        ("-1", False, -1, 0, -1),
+        ("+5", False, 5, 0, 5),
+        ("34", False, 34, 4, 2),
+        # 3e9 wraps to 3000000000 - 2^32 = -1294967296; fac/sev are
+        # computed on the UNNARROWED 3e9 (Go int), then narrowed
+        ("3000000000", False, -1294967296, 375000000, 0),
+        ("oops", True, 0, 0, 0),
+        ("99999999999999999999", True, 0, 0, 0),  # Atoi range error
+    ]
+    df = spark.createDataFrame(
+        [(mk(p),) for p, *_ in cases], "line string"
+    ).withColumn("ing_us", F.lit(0).cast("long"))
+    got = decode_rsyslog_json(df).select(
+        "line", "parse_error", "priority", "facility", "severity"
+    ).toPandas()
+    for (pri, err, p_, f_, s_), (_, g_err, g_p, g_f, g_s) in zip(
+        cases, got.itertuples(index=False)
+    ):
+        assert bool(g_err) == err, pri
+        assert (g_p, g_f, g_s) == (p_, f_, s_), pri
+
+
+def test_rsyslog_rfc3339nano_offsets_and_fractions(spark):
+    # time.RFC3339Nano accepts numeric offsets and millisecond
+    # fractions (rsyslog's own date-rfc3339 emits them); the old
+    # fixed-format list flagged such rows as decode errors
+    from pyspark.sql import functions as F
+
+    from skewer_spark.parsing.wire_formats import decode_rsyslog_json
+
+    mk = lambda ts: ('{"pri":"34","msg":"m","timereported":"' + ts +
+                     '","timegenerated":"-","hostname":"h","app-name":"a",'
+                     '"procid":"1","msgid":"-","structured-data":"-"}')
+    rows = [
+        (mk("2024-03-01T00:00:00.123+02:00"), False,
+         1709244000123000),  # 2024-02-29T22:00:00.123Z
+        (mk("2024-03-01T00:00:00Z"), False, 1709251200000000),
+        (mk("2024-03-01 00:00:00"), True, None),   # space, not RFC3339
+        (mk("2024-13-01T00:00:00Z"), True, None),  # calendar-invalid
+    ]
+    df = spark.createDataFrame(
+        [(l,) for l, *_ in rows], "line string"
+    ).withColumn("ing_us", F.lit(7).cast("long"))
+    got = decode_rsyslog_json(df).select(
+        "parse_error", "time_reported"
+    ).collect()
+    for (_, err, us), r in zip(rows, got):
+        assert r["parse_error"] == err
+        if not err:
+            assert r["time_reported"] == us
+
+
+def test_rsyslog_untrimmed_dash_and_eq_key(spark):
+    # ' - ' != '-' pre-trim, so it survives as '-' (json_format.go:55-57
+    # compares THEN trims); a '$!' key with '=' sanitizes to ' ' at the
+    # canonical-line boundary
+    from pyspark.sql import functions as F
+
+    from skewer_spark.parsing.wire_formats import decode_rsyslog_json
+
+    line = ('{"pri":"34","msg":"m","timereported":"-","timegenerated":"-",'
+            '"hostname":" - ","app-name":"a","procid":"1","msgid":"-",'
+            '"structured-data":"-","$!":{"k=x":" v "}}')
+    df = spark.createDataFrame([(line,)], "line string").withColumn(
+        "ing_us", F.lit(0).cast("long")
+    )
+    r = decode_rsyslog_json(df).collect()[0]
+    assert not r["parse_error"]
+    assert r["hostname"] == "-"
+    assert r["props_flat"] == "rsyslog|k x=v"
+
+
+def test_gelf_generic_extras_and_sanitization(spark):
+    # every non-header '_' extra reaches the gelf domain under its
+    # underscored key (gelf.go:76-90 iterates Extra; go-gelf keeps the
+    # '_' prefix), numbers coerce to their JSON text, \n in
+    # full_message can't forge property lines, and the DuckDB oracle
+    # twin agrees byte-for-byte
+    import duckdb
+
+    from skewer_spark.parsing.wire_formats import decode_gelf
+    from skewer_spark.queries import _gelf_field_sql
+
+    line = ('{"version":"1.1","host":"h","short_message":"m","level":6,'
+            '"full_message":"a\\nevil|k=v","_facility":"daemon",'
+            '"_appname":"app","_user_id":42,"_note":"x=y","_empty":"",'
+            '"_nil":null}')
+    df = spark.createDataFrame([(line,)], "line string")
+    r = decode_gelf(df).collect()[0]
+    lines = r["props_flat"].split("\n")
+    assert "gelf|full=a evil|k=v" in lines       # \n sanitized, no forge
+    assert "gelf|_user_id=42" in lines           # arbitrary extra, coerced
+    assert "gelf|_note=x=y" in lines             # '=' fine in VALUES
+    assert "gelf|_empty=" in lines               # empty string still set
+    assert not any(l.startswith("gelf|_nil") for l in lines)  # null skipped
+    assert not any(l.startswith("gelf|_appname") for l in lines)  # header
+    assert r["appname"] == "app" and r["facility"] == 3
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {_gelf_field_sql()} FROM (SELECT ? AS line) s", [line]
+    ).df().iloc[0]
+    assert duck["props_flat"] == r["props_flat"]
+
+
+def test_gelf_negative_seq_nr_discards_group(spark):
+    # a negative seq_nr must not stand in for a missing chunk: the
+    # reference's byte-typed seq can never be negative, so a group
+    # {-1, 0} with seq_count=2 is out-of-band, not complete
+    from skewer_spark.parsing.wire_formats import reassemble_gelf_chunks
+
+    rows = [("m1", -1, 2, "a"), ("m1", 0, 2, "b"),
+            ("m2", 0, 1, "ok")]
+    df = spark.createDataFrame(
+        rows, "msg_id string, seq_nr int, seq_count int, chunk string"
+    )
+    got = {r["msg_id"]: r["line"] for r in reassemble_gelf_chunks(df).collect()}
+    assert got == {"m2": "ok"}
+
+
+def test_influx_tagless_and_timestampless_lines(spark):
+    # both are valid line protocol (reference models.ParsePoints):
+    # tagless lines must not emit a phantom 'influxdb_tags|' entry, and
+    # a missing trailing timestamp must not blank the field set
+    import duckdb
+
+    from skewer_spark.parsing.wire_formats import decode_influx, influx_oracle_exprs
+
+    rows = [
+        ("cpu value=1 123",),            # tagless, with ts
+        ("cpu,host=h9 value=2",),        # tagged, no ts
+        ("cpu value=3",),                # neither
+    ]
+    df = spark.createDataFrame(rows, "line string")
+    got = decode_influx(df).select(
+        "line", "measurement", "hostname", "tags_flat", "fields_flat", "ts_ns"
+    ).toPandas().set_index("line")
+    assert got.loc["cpu value=1 123", "measurement"] == "cpu"
+    assert got.loc["cpu value=1 123", "tags_flat"] == ""
+    assert got.loc["cpu value=1 123", "fields_flat"] == "influxdb_fields|value_float=1"
+    assert got.loc["cpu value=1 123", "ts_ns"] == 123
+    assert got.loc["cpu,host=h9 value=2", "hostname"] == "h9"
+    assert got.loc["cpu,host=h9 value=2", "fields_flat"] == "influxdb_fields|value_float=2"
+    assert pd.isna(got.loc["cpu,host=h9 value=2", "ts_ns"])
+    assert got.loc["cpu value=3", "tags_flat"] == ""
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT line, " + influx_oracle_exprs() +
+        " FROM (SELECT unnest(?) AS line) s", [[r[0] for r in rows]]
+    ).df().set_index("line")
+    for line in duck.index:
+        for c in ("measurement", "hostname", "tags_flat", "fields_flat"):
+            assert duck.loc[line, c] == got.loc[line, c], (line, c)
+
+
+def test_avro_null_field_encodes_empty():
+    # str(None) would smuggle the literal 'None' through the round trip
+    from skewer_spark.parsing.avro_wire import FIELDS, decode_record, encode_record
+
+    row = {f: f"v{i}" for i, f in enumerate(FIELDS)}
+    row[FIELDS[2]] = None
+    row["props_flat"] = ""
+    dec = decode_record(encode_record(row))
+    assert dec[FIELDS[2]] == ""
+    assert dec[FIELDS[0]] == "v0"
