@@ -2189,3 +2189,100 @@ sel AS (
 SELECT doc_id, n_feats, score,
        (score * sel.fn >= n_feats * sel.fs) AS selected
 FROM score CROSS JOIN sel"""
+
+
+# ------------------------ LM quality filter (CCNet-style ppl buckets)
+# CCNet (Wenzek et al. 2020) scores every document under a language
+# model TRAINED ON A HIGH-QUALITY TARGET SLICE (their KenLM 5-gram on
+# Wikipedia) and keeps/buckets docs by that score — the "perplexity
+# filter" step of the CCNet/LLaMA data pipelines, and the model-based
+# complement to the heuristic quality_score rules. Here the LM is an
+# add-one-smoothed bigram model trained on the corpus's own `lang='en'`
+# slice (the in-domain stand-in; production swaps in any curated
+# reference slice).
+LM_SCALE = 1_000_000  # gate scale factor; see headroom note below
+
+
+def lm_bigram_score_sql(scale: int = LM_SCALE) -> str:
+    """Per-document LM quality score under a target-slice bigram model:
+    (doc_id, n_bigrams, score, mean_sp, bucket, kept).
+
+    INTEGER-EXACT cross-engine variant (the dsir_weights/bm25 rule):
+    the canonical CCNet statistic is log-perplexity, but ln() drifts in
+    the last ulp across libm implementations, so this op scores each
+    bigram with the scaled add-one probability
+        sp = IDIV(scale * (cb + 1), cu + V)
+    where cb = count(w1 w2) and cu = count(w1 _) in the TARGET slice
+    and V = |target vocab| — an exact integer (p = (cb+1)/(cu+V) is the
+    add-one-smoothed conditional; unseen contexts degrade to 1/V).
+    The per-doc sum of integers is order-insensitive, so both engines
+    agree hash-exactly. Deviation from CCNet, documented: ranking by
+    mean probability instead of mean log-probability weights one
+    high-probability bigram more than log-space would; the integer
+    contract is what the driver's value-hash gate requires, and the
+    head/middle/tail separation this filter exists for survives the
+    substitution (pytest-asserted: en docs land in better buckets).
+
+    Outputs per scored doc (>= 1 bigram): `score` = sum(sp) BIGINT,
+    `mean_sp` = IDIV(score * scale, n_bigrams) (exact scaled mean),
+    `bucket` = CCNet's head/middle/tail as ntile(3) over mean_sp DESC
+    (doc_id tiebreak — deterministic), `kept` = above-corpus-mean rule
+    via integer cross-multiplication, never a float division.
+
+    Scale shape at 10^12 docs: the bigram explode is linear and
+    map-side; cb/cu/voc are built from the TARGET slice only (CCNet's
+    reference corpus — curated, orders of magnitude smaller than the
+    raw corpus) so both model tables broadcast; scoring is then one
+    broadcast-probe per raw bigram plus a doc_id groupBy — ONE data-
+    sized shuffle. The ntile/global-mean tail runs on the per-DOC
+    frame; at 10^12 docs swap ntile for the blocked two-phase rank
+    (ops/packing.py pattern) and the sel CTE is a scalar aggregate.
+    Integer headroom: sp <= scale, so score <= scale * n_bigrams and
+    score * fn needs scale * bigrams_per_doc * total_bigrams < 2^63 —
+    at scale=1e6 that bounds total scored bigrams to ~1e10/doc_len;
+    production corpora lower scale to 1e3 (exact to ~1e13 bigrams) or
+    move the two cross-products to DECIMAL(38,0), same plan either
+    way."""
+    return f"""
+WITH w AS (SELECT doc_id, lang, SPLIT(text, ' ') AS words FROM documents),
+bg AS (
+  SELECT doc_id, lang, ARR_GET(words, i) AS w1, ARR_GET(words, i + 1) AS w2
+  FROM (
+    SELECT doc_id, lang, words, EXPLODE(SEQ1(ASIZE(words) - 1)) AS i FROM w
+  ) x
+),
+train AS (SELECT w1, w2 FROM bg WHERE lang = 'en'),
+cb AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM train GROUP BY w1, w2
+),
+cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM train GROUP BY w1),
+voc AS (
+  SELECT CAST(count(DISTINCT tw) AS BIGINT) AS v
+  FROM (SELECT w1 AS tw FROM train UNION ALL SELECT w2 FROM train) u
+),
+sc AS (
+  SELECT b.doc_id,
+         IDIV({scale} * (COALESCE(cb.cb, 0) + 1),
+              COALESCE(cu.cu, 0) + voc.v) AS sp
+  FROM bg b
+  LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+  LEFT JOIN cu ON cu.w1 = b.w1
+  CROSS JOIN voc
+),
+score AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(sp) AS BIGINT) AS score
+  FROM sc GROUP BY doc_id
+),
+sel AS (
+  SELECT CAST(sum(n_bigrams) AS BIGINT) AS fn,
+         CAST(sum(score) AS BIGINT) AS fs
+  FROM score
+)
+SELECT doc_id, n_bigrams, score,
+       IDIV(score * {scale}, n_bigrams) AS mean_sp,
+       CAST(ntile(3) OVER (
+         ORDER BY IDIV(score * {scale}, n_bigrams) DESC, doc_id
+       ) AS INT) AS bucket,
+       (score * sel.fn >= n_bigrams * sel.fs) AS kept
+FROM score CROSS JOIN sel"""

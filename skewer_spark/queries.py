@@ -669,6 +669,7 @@ def _ops_registry() -> dict[str, str]:
             "ann_pq_recall_clustered": C.ann_pq_recall_clustered_sql(),
             "hot_keys_cms": C.hot_keys_cms_sql(),
             "dsir_weights": C.dsir_weights_sql(),
+            "lm_bigram_score": C.lm_bigram_score_sql(),
         }
     return _OPS_SQL
 
@@ -1898,16 +1899,18 @@ TWIN_EXEMPT: set[str] = {
 # driver slot (they lead next round's ROTATION_HEAD). Gate-shaped
 # cross-engine tests cover them meanwhile, and the driver replica
 # (tools/check_correctness.py) can verify them on demand — a name
-# leaves this set the round it gets its first artifact row. Empty
-# this round: the r4 pending names moved into ROTATION_HEAD slots
-# 1-4, and ann_pq_recall_clustered got slot 5.
-PENDING_FIRST_WINDOW: set[str] = set()
+# leaves this set the round it gets its first artifact row.
+# lm_bigram_score (the CCNet-style LM quality filter) was registered
+# after the r5 window filled with the 45 longest-stale veterans; it is
+# green under the local replica and pinned by the from-scratch integer
+# recomputation test (tests/test_ops.py::test_lm_bigram_score_*).
+PENDING_FIRST_WINDOW: set[str] = {"lm_bigram_score"}
 # The newest CORRECTNESS round at registration time. The exemption
 # EXPIRES once a newer artifact exists: from that round on, pending
 # names must sit inside the driver window (or be green) like any
 # other name — the rotation gate enforces this, so "pending" can
 # never become "skipped forever".
-PENDING_SINCE_ROUND = 4
+PENDING_SINCE_ROUND = 5
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

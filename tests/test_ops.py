@@ -657,6 +657,78 @@ def test_dsir_matches_from_scratch_python(spark):
     assert en > other + 0.2, f"no domain separation: en {en} other {other}"
 
 
+def test_lm_bigram_score_matches_from_scratch_python(spark):
+    # recompute the CCNet-style bigram-LM filter in plain Python
+    # integers (target-slice counts, add-1 smoothed scaled probs,
+    # ntile buckets, cross-multiplied keep rule) — integer-exact, so
+    # every field must match EXACTLY
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    out = {
+        r.doc_id: r
+        for r in spark.sql(to_spark(C.lm_bigram_score_sql())).collect()
+    }
+    assert out
+
+    S = C.LM_SCALE
+    bgs: dict[int, list[tuple[str, str]]] = {}
+    langs: dict[int, str] = {}
+    for r in docs.select("doc_id", "lang", "text").collect():
+        ws = r.text.split(" ")
+        bgs[r.doc_id] = list(zip(ws, ws[1:]))
+        langs[r.doc_id] = r.lang
+    cb: dict[tuple[str, str], int] = {}
+    cu: dict[str, int] = {}
+    vocab: set[str] = set()
+    for d, bl in bgs.items():
+        if langs[d] != "en":
+            continue
+        for w1, w2 in bl:
+            cb[(w1, w2)] = cb.get((w1, w2), 0) + 1
+            cu[w1] = cu.get(w1, 0) + 1
+            vocab.add(w1)
+            vocab.add(w2)
+    v = len(vocab)
+    score = {
+        d: sum(S * (cb.get(p, 0) + 1) // (cu.get(p[0], 0) + v) for p in bl)
+        for d, bl in bgs.items()
+        if bl
+    }
+    nbg = {d: len(bl) for d, bl in bgs.items() if bl}
+    # docs without a single bigram are unscored and absent
+    assert set(out) == set(score)
+    fn, fs = sum(nbg.values()), sum(score.values())
+    mean_sp = {d: score[d] * S // nbg[d] for d in score}
+    # ntile(3): rows in mean_sp-desc order, extras to the first tiles
+    order = sorted(score, key=lambda d: (-mean_sp[d], d))
+    base, extra = divmod(len(order), 3)
+    want_bucket: dict[int, int] = {}
+    i = 0
+    for b in (1, 2, 3):
+        size = base + (1 if b <= extra else 0)
+        for d in order[i : i + size]:
+            want_bucket[d] = b
+        i += size
+    kept_rates = {"en": [0, 0], "other": [0, 0]}
+    for d, r in out.items():
+        assert (r.n_bigrams, r.score) == (nbg[d], score[d]), f"doc {d}"
+        assert r.mean_sp == mean_sp[d], f"doc {d} mean"
+        assert r.bucket == want_bucket[d], f"doc {d} bucket"
+        want_kept = score[d] * fn >= nbg[d] * fs
+        assert r.kept == want_kept, f"doc {d} keep rule"
+        k = "en" if langs[d] == "en" else "other"
+        kept_rates[k][0] += int(want_kept)
+        kept_rates[k][1] += 1
+    # the point of the op: docs from the LM's own domain score into
+    # the keep set at a clearly higher rate than out-of-domain docs
+    en = kept_rates["en"][0] / kept_rates["en"][1]
+    other = kept_rates["other"][0] / max(kept_rates["other"][1], 1)
+    assert en > other + 0.2, f"no domain separation: en {en} other {other}"
+
+
 def test_ann_numpy_zero_norm_vector_is_deterministic(spark, tmp_path):
     # a zero-norm embedding must yield cosine 0 (never NaN): NaN sorts
     # LAST in the numpy prune but FIRST in Spark's descending window,
