@@ -2237,6 +2237,10 @@ def lm_bigram_score_sql(scale: int = LM_SCALE) -> str:
     sized shuffle. The ntile/global-mean tail runs on the per-DOC
     frame; at 10^12 docs swap ntile for the blocked two-phase rank
     (ops/packing.py pattern) and the sel CTE is a scalar aggregate.
+    The score CTE is referenced twice (corpus-mean keep rule + output)
+    and Spark INLINES CTEs, so the gate plan runs the scoring subtree
+    twice — at production scale stage the per-doc score frame to
+    parquet first (the dsir_weights/tfidf_terms rule).
     Integer headroom: sp <= scale, so score <= scale * n_bigrams and
     score * fn needs scale * bigrams_per_doc * total_bigrams < 2^63 —
     at scale=1e6 that bounds total scored bigrams to ~1e10/doc_len;

@@ -163,6 +163,21 @@ def main() -> None:
         formatted(_make_ops_query("dsir_weights")(spark, sf_dir)),
     ))
 
+    sections.append((
+        "LM bigram quality filter (round 5)",
+        "All model-side tables (bigram counts, context counts, vocab "
+        "scalar) come from the SMALL target slice and return by "
+        "BroadcastHashJoin / 1-row broadcast cross join — the raw-side "
+        "scoring probe never shuffles document rows; the only "
+        "data-sized exchange is the doc_id HashAggregate (map-side "
+        "combined). Integer-only arithmetic end to end. Gate-scale "
+        "caveats carried in the docstring: the score CTE is inlined "
+        "twice (stage it to parquet at production scale) and the "
+        "ntile(3) window is the bounded per-DOC frame (swap for the "
+        "blocked two-phase rank at 10^12 docs).",
+        formatted(_make_ops_query("lm_bigram_score")(spark, sf_dir)),
+    ))
+
     from skewer_spark.ops.curation import curate_pack, funnel_tok_df
     sections.append((
         "Curation funnel (round 5: single-pass Arrow kernel form)",
