@@ -2246,7 +2246,13 @@ def lm_bigram_score_sql(scale: int = LM_SCALE) -> str:
     at scale=1e6 that bounds total scored bigrams to ~1e10/doc_len;
     production corpora lower scale to 1e3 (exact to ~1e13 bigrams) or
     move the two cross-products to DECIMAL(38,0), same plan either
-    way."""
+    way (this session factory runs Spark-4 ANSI mode, so an overflow
+    FAILS LOUDLY instead of wrapping). Degenerate-input contract: an
+    EMPTY target slice (no lang='en' doc with a bigram) clamps V to 1
+    — every bigram scores exactly `scale` and every doc is kept —
+    instead of dividing by zero, which would ABORT the Spark job
+    under ANSI while DuckDB silently returned NULL scores
+    (cross-engine divergence, test-pinned)."""
     return f"""
 WITH w AS (SELECT doc_id, lang, SPLIT(text, ' ') AS words FROM documents),
 bg AS (
@@ -2267,7 +2273,7 @@ voc AS (
 sc AS (
   SELECT b.doc_id,
          IDIV({scale} * (COALESCE(cb.cb, 0) + 1),
-              COALESCE(cu.cu, 0) + voc.v) AS sp
+              COALESCE(cu.cu, 0) + GREATEST(voc.v, 1)) AS sp
   FROM bg b
   LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
   LEFT JOIN cu ON cu.w1 = b.w1

@@ -729,6 +729,80 @@ def test_lm_bigram_score_matches_from_scratch_python(spark):
     assert en > other + 0.2, f"no domain separation: en {en} other {other}"
 
 
+def test_lm_bigram_score_hostile_corpus_cross_engine(spark):
+    # hostile rows: empty text, one-word doc (no bigrams -> absent),
+    # doubled spaces (empty-string words), unicode, embedded quote —
+    # Spark and DuckDB must produce IDENTICAL rows
+    import duckdb
+
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_duck
+
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "", "en"),
+        (3, "solo", "de"),
+        (4, "a  b", "en"),  # doubled space -> ['a','','b']
+        (5, "héllo wörld héllo wörld", "fr"),
+        (6, "it's the cat", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.createOrReplaceTempView("documents")
+    try:
+        got = sorted(
+            map(tuple, _ops_sql_on_view(spark, C.lm_bigram_score_sql()).collect())
+        )
+    finally:
+        spark.catalog.dropTempView("documents")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'the cat sat', 'en'), (2, '', 'en'), (3, 'solo', 'de'), "
+        "(4, 'a  b', 'en'), "
+        "(5, 'héllo wörld héllo wörld', 'fr'), "
+        "(6, 'it''s the cat', 'en')) t(doc_id, text, lang)"
+    )
+    want = sorted(map(tuple, con.execute(to_duck(C.lm_bigram_score_sql())).fetchall()))
+    assert got == want
+    scored = {t[0] for t in got}
+    assert scored == {1, 4, 5, 6}  # 2 (no words->1 empty word) and 3 drop
+
+
+def test_lm_bigram_score_empty_target_slice_degrades_identically(spark):
+    # NO en doc contributes a bigram -> V clamps to 1 instead of a
+    # division by zero: under Spark-4 ANSI a 0 divisor ABORTS the job
+    # while DuckDB silently yields NULL scores — the clamp pins both
+    # engines to the same defined output (every bigram scores `scale`,
+    # every doc kept)
+    import duckdb
+
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_duck
+
+    rows = [(1, "solo", "en"), (2, "two words here", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.createOrReplaceTempView("documents")
+    try:
+        got = sorted(
+            map(tuple, _ops_sql_on_view(spark, C.lm_bigram_score_sql()).collect())
+        )
+    finally:
+        spark.catalog.dropTempView("documents")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'solo', 'en'), (2, 'two words here', 'de')"
+        ") t(doc_id, text, lang)"
+    )
+    want = sorted(map(tuple, con.execute(to_duck(C.lm_bigram_score_sql())).fetchall()))
+    assert got == want
+    assert [t[0] for t in got] == [2]
+    (_, n_bg, score, mean_sp, bucket, kept) = got[0]
+    assert (n_bg, score, mean_sp, kept) == (
+        2, 2 * C.LM_SCALE, C.LM_SCALE * C.LM_SCALE, True
+    )
+
+
 def test_ann_numpy_zero_norm_vector_is_deterministic(spark, tmp_path):
     # a zero-norm embedding must yield cosine 0 (never NaN): NaN sorts
     # LAST in the numpy prune but FIRST in Spark's descending window,
