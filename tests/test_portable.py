@@ -73,6 +73,57 @@ def test_rreplace_refuses_divergent_replacement_semantics():
             to_duck(f"RREPLACE(x, 'p', {bad})")
 
 
+def test_every_ops_query_is_total_on_empty_corpus(spark, tmp_path):
+    """Run every macro-SQL op against EMPTY production-schema tables in
+    BOTH engines: none may throw, and the engines must agree. This is
+    the hazard class the lm_bigram_score V=0 bug lived in — Spark 4
+    runs ANSI mode, so a divisor/index that only a degenerate corpus
+    zeroes out ABORTS a 10^12-row job at the very end, while DuckDB
+    silently NULLs: totality on empty input is the cheap gate that
+    catches the whole class."""
+    import duckdb
+
+    from skewer_spark.queries import _ops_registry
+
+    base = str(tmp_path / "emptysf")
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(0)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(0)
+    for name, df in (("documents", docs), ("embeddings", emb), ("events", ev)):
+        df.write.mode("overwrite").parquet(f"{base}/{name}.parquet")
+    for t in ("documents", "embeddings", "events"):
+        spark.read.parquet(f"{base}/{t}.parquet").createOrReplaceTempView(t)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{base}/{t}.parquet/*.parquet')"
+        )
+    failures = []
+    try:
+        for name, sql in _ops_registry().items():
+            try:
+                srows = sorted(map(tuple, spark.sql(to_spark(sql)).collect()))
+            except Exception as e:  # noqa: BLE001 — collecting a report
+                failures.append(f"{name}: SPARK {str(e).splitlines()[0][:120]}")
+                continue
+            try:
+                drows = sorted(map(tuple, con.execute(to_duck(sql)).fetchall()))
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"{name}: DUCK {str(e).splitlines()[0][:120]}")
+                continue
+            if srows != drows:
+                failures.append(
+                    f"{name}: MISMATCH spark={len(srows)} duck={len(drows)}"
+                )
+    finally:
+        for t in ("documents", "embeddings", "events"):
+            spark.catalog.dropTempView(t)
+    assert not failures, failures
+
+
 def test_every_registered_oracle_translates_clean():
     # no macro token may survive translation in either dialect — a
     # leftover means a new op used a macro the tables don't know
