@@ -2201,6 +2201,53 @@ FROM score CROSS JOIN sel"""
 # slice (the in-domain stand-in; production swaps in any curated
 # reference slice).
 LM_SCALE = 1_000_000  # gate scale factor; see headroom note below
+LM_TARGET_LANG = "en"  # gate target slice; production passes a corpus
+
+
+def lm_bg_ctes(src: str = "documents") -> str:
+    """w/bg CTEs: per-doc (w1, w2) bigram rows over ``src`` — shared
+    VERBATIM between the batch op and streaming.lm_score_stream (the
+    cms_pos_macro discipline: one tokenization, zero drift)."""
+    return f"""w AS (SELECT doc_id, lang, SPLIT(text, ' ') AS words FROM {src}),
+bg AS (
+  SELECT doc_id, lang, ARR_GET(words, i) AS w1, ARR_GET(words, i + 1) AS w2
+  FROM (
+    SELECT doc_id, lang, words, EXPLODE(SEQ1(ASIZE(words) - 1)) AS i FROM w
+  ) x
+)"""
+
+
+def lm_model_ctes(train_src: str) -> str:
+    """cb/cu/voc model CTEs from ``train_src`` (w1, w2) rows: bigram
+    counts, left-context counts, vocabulary size."""
+    return f"""cb AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM {train_src} GROUP BY w1, w2
+),
+cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM {train_src} GROUP BY w1),
+voc AS (
+  SELECT CAST(count(DISTINCT tw) AS BIGINT) AS v
+  FROM (SELECT w1 AS tw FROM {train_src} UNION ALL SELECT w2 FROM {train_src}) u
+)"""
+
+
+def lm_score_ctes(scale: int = LM_SCALE) -> str:
+    """sc/score CTEs: per-bigram scaled add-one probability under the
+    cb/cu/voc model, aggregated per doc. The GREATEST(v, 1) clamp is
+    the empty-target-slice contract (see lm_bigram_score_sql)."""
+    return f"""sc AS (
+  SELECT b.doc_id,
+         IDIV({scale} * (COALESCE(cb.cb, 0) + 1),
+              COALESCE(cu.cu, 0) + GREATEST(voc.v, 1)) AS sp
+  FROM bg b
+  LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+  LEFT JOIN cu ON cu.w1 = b.w1
+  CROSS JOIN voc
+),
+score AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(sp) AS BIGINT) AS score
+  FROM sc GROUP BY doc_id
+)"""
 
 
 def lm_bigram_score_sql(scale: int = LM_SCALE) -> str:
@@ -2254,36 +2301,10 @@ def lm_bigram_score_sql(scale: int = LM_SCALE) -> str:
     under ANSI while DuckDB silently returned NULL scores
     (cross-engine divergence, test-pinned)."""
     return f"""
-WITH w AS (SELECT doc_id, lang, SPLIT(text, ' ') AS words FROM documents),
-bg AS (
-  SELECT doc_id, lang, ARR_GET(words, i) AS w1, ARR_GET(words, i + 1) AS w2
-  FROM (
-    SELECT doc_id, lang, words, EXPLODE(SEQ1(ASIZE(words) - 1)) AS i FROM w
-  ) x
-),
-train AS (SELECT w1, w2 FROM bg WHERE lang = 'en'),
-cb AS (
-  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM train GROUP BY w1, w2
-),
-cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM train GROUP BY w1),
-voc AS (
-  SELECT CAST(count(DISTINCT tw) AS BIGINT) AS v
-  FROM (SELECT w1 AS tw FROM train UNION ALL SELECT w2 FROM train) u
-),
-sc AS (
-  SELECT b.doc_id,
-         IDIV({scale} * (COALESCE(cb.cb, 0) + 1),
-              COALESCE(cu.cu, 0) + GREATEST(voc.v, 1)) AS sp
-  FROM bg b
-  LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
-  LEFT JOIN cu ON cu.w1 = b.w1
-  CROSS JOIN voc
-),
-score AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         CAST(sum(sp) AS BIGINT) AS score
-  FROM sc GROUP BY doc_id
-),
+WITH {lm_bg_ctes()},
+train AS (SELECT w1, w2 FROM bg WHERE lang = '{LM_TARGET_LANG}'),
+{lm_model_ctes('train')},
+{lm_score_ctes(scale)},
 sel AS (
   SELECT CAST(sum(n_bigrams) AS BIGINT) AS fn,
          CAST(sum(score) AS BIGINT) AS fs

@@ -1036,3 +1036,142 @@ def curation_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+def lm_train_model(
+    spark: SparkSession,
+    ref_docs: DataFrame,
+    model_dir: str,
+    target_lang: str | None = None,
+) -> dict[str, int]:
+    """Freeze a reference bigram LM for lm_score_stream: write the
+    cb/cu/voc model tables plus the keep-rule constants (fn, fs) —
+    CCNet's offline step, where the reference-corpus LM and the
+    perplexity cutoff are computed once and shipped to every scoring
+    job. Training reuses the batch op's CTE fragments VERBATIM
+    (corpus_ops.lm_bg_ctes/lm_model_ctes/lm_score_ctes — the
+    cms_pos_macro no-drift discipline), so a doc scores identically
+    under the frozen model and under lm_bigram_score_sql run on the
+    reference corpus.
+
+    ``target_lang=None`` trains on ALL of ref_docs (the caller already
+    curated the reference slice — the production shape); passing a
+    lang filters like the batch op's gate config. (fn, fs) are the
+    reference corpus's total (bigrams, score) — the keep rule
+    `score * fn >= n_bigrams * fs` is the batch op's corpus-mean rule
+    with the mean FROZEN at reference time, integer-exact. Returns the
+    constants; everything is also persisted under ``model_dir``."""
+    import json
+
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    ref_docs.select("doc_id", "lang", "text").createOrReplaceTempView(
+        "lm_ref_docs"
+    )
+    where = (
+        f"WHERE lang = '{target_lang}'" if target_lang is not None else ""
+    )
+    head = (
+        f"WITH {C.lm_bg_ctes('lm_ref_docs')},\n"
+        f"train AS (SELECT w1, w2 FROM bg {where}),\n"
+        f"{C.lm_model_ctes('train')}"
+    )
+    for t in ("cb", "cu", "voc"):
+        spark.sql(to_spark(f"{head}\nSELECT * FROM {t}")).coalesce(
+            4
+        ).write.mode("overwrite").parquet(os.path.join(model_dir, t))
+    row = spark.sql(
+        to_spark(
+            f"{head},\n{C.lm_score_ctes()}\n"
+            "SELECT CAST(sum(n_bigrams) AS BIGINT) AS fn, "
+            "CAST(sum(score) AS BIGINT) AS fs FROM score"
+        )
+    ).collect()[0]
+    consts = {"fn": int(row.fn or 0), "fs": int(row.fs or 0)}
+    tmp = os.path.join(model_dir, "threshold.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(consts, f)
+    os.replace(tmp, os.path.join(model_dir, "threshold.json"))
+    return consts
+
+
+def lm_score_stream(
+    stream: DataFrame,
+    spark: SparkSession,
+    model_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Ingest-time LM quality scoring: every arriving document is
+    scored under the FROZEN reference model from ``lm_train_model`` —
+    the deployment shape CCNet actually runs (model + cutoff computed
+    once offline, applied to every shard of the crawl). Appends
+    (doc_id, n_bigrams, score, mean_sp, kept) rows to ``out_dir``.
+
+    Twin contract (test-pinned): streaming the reference corpus itself
+    through this operator reproduces the batch op's rows EXACTLY —
+    same scores, and the frozen (fn, fs) make `kept` the batch op's
+    corpus-mean rule. The batch `bucket` column (a corpus-global
+    ntile) has no per-row streaming analog and is deliberately absent;
+    rank-dependent selection belongs in a batch pass over the scored
+    table.
+
+    Scale shape: the model tables are reference-corpus-sized
+    (broadcast), so a micro-batch costs one linear bigram explode, two
+    broadcast probes, and one doc_id aggregate — no data-sized
+    shuffle, no cross-batch state at all (the model is read-only),
+    which is why this twin needs no checkpoint-dir state files unlike
+    bloom/curation. Replayed batches re-append their rows —
+    at-least-once, the start_fanout_stream caveat; compose the
+    exactly-once ledger pattern where byte-exact replays matter.
+    Docs with no bigram (empty text / one word) are unscored and
+    produce no row, matching the batch op."""
+    import json
+
+    from skewer_spark.ops import corpus_ops as C
+    from skewer_spark.ops.portable import to_spark
+
+    with open(os.path.join(model_dir, "threshold.json")) as f:
+        consts = json.load(f)
+    fn, fs = int(consts["fn"]), int(consts["fs"])
+    # model CTE names point at the frozen tables; scoring CTEs are the
+    # batch op's, verbatim (AQE broadcasts the small model tables —
+    # the reference corpus is curated, orders of magnitude smaller
+    # than the raw feed)
+    sql = to_spark(
+        "WITH "
+        + C.lm_bg_ctes("lm_stream_batch")
+        + ",\ncb AS (SELECT * FROM lm_model_cb),\n"
+        "cu AS (SELECT * FROM lm_model_cu),\n"
+        "voc AS (SELECT * FROM lm_model_voc),\n"
+        + C.lm_score_ctes()
+        + f"""
+SELECT doc_id, n_bigrams, score,
+       IDIV(score * {C.LM_SCALE}, n_bigrams) AS mean_sp,
+       (score * {fn} >= n_bigrams * {fs}) AS kept
+FROM score"""
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands a frame owned by a CLONED session; temp
+        # views and the query must live in THAT session, not the outer
+        # one (same discipline as curation_stream's state reads)
+        s = batch_df.sparkSession
+        for t in ("cb", "cu", "voc"):
+            s.read.parquet(
+                os.path.join(model_dir, t)
+            ).createOrReplaceTempView(f"lm_model_{t}")
+        batch_df.select("doc_id", "lang", "text").createOrReplaceTempView(
+            "lm_stream_batch"
+        )
+        s.sql(sql).write.mode("append").parquet(
+            os.path.join(out_dir, "scored")
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", os.path.join(checkpoint_dir, "engine")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1358,3 +1358,54 @@ def test_curation_stream_new_incarnation_cannot_bypass_guard(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="out-of-order"):
         q2.awaitTermination(120)
+
+def test_lm_score_stream_matches_batch_op(spark, tmp_path):
+    # the frozen-model streaming twin replaying the reference corpus
+    # must reproduce the batch op's rows EXACTLY: same integer scores,
+    # and the frozen (fn, fs) constants make `kept` the batch op's
+    # corpus-mean rule (bucket — a corpus-global ntile — is the
+    # documented batch-only column)
+    from skewer_spark.queries import _make_ops_query
+    from skewer_spark.streaming import lm_score_stream, lm_train_model
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    model_dir = str(tmp_path / "model")
+    consts = lm_train_model(spark, docs, model_dir, target_lang="en")
+    assert consts["fn"] > 0 and consts["fs"] > 0
+
+    want = sorted(
+        (r.doc_id, r.n_bigrams, r.score, r.mean_sp, r.kept)
+        for r in _make_ops_query("lm_bigram_score")(spark, sf).collect()
+    )
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    cols = ["doc_id", "lang", "text"]
+    slices = [
+        docs.where("doc_id < 150").select(*cols),
+        docs.where("doc_id >= 150 AND doc_id < 300").select(*cols),
+        docs.where("doc_id >= 300").select(*cols),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(str(indir / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "f*"))
+    )
+    q = lm_score_stream(
+        stream, spark, model_dir, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(tmp_path / "out" / "scored"))
+            .select("doc_id", "n_bigrams", "score", "mean_sp", "kept")
+            .collect(),
+        )
+    )
+    assert got == want
