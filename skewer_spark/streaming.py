@@ -1097,7 +1097,6 @@ def lm_train_model(
 
 def lm_score_stream(
     stream: DataFrame,
-    spark: SparkSession,
     model_dir: str,
     out_dir: str,
     checkpoint_dir: str,

@@ -1396,7 +1396,7 @@ def test_lm_score_stream_matches_batch_op(spark, tmp_path):
         .parquet(str(indir / "f*"))
     )
     q = lm_score_stream(
-        stream, spark, model_dir, str(tmp_path / "out"), str(tmp_path / "ck")
+        stream, model_dir, str(tmp_path / "out"), str(tmp_path / "ck")
     )
     q.awaitTermination(180)
 
