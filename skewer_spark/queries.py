@@ -1886,8 +1886,12 @@ ROTATION_HEAD: list[str] = [
 #                             dedup_canonical's verdicts (in-window)
 #   embed_canonical         — same dedup_cc machinery over
 #                             embed_neardup's pairs (r4-green)
-# All four were r3-green; the widened two-artifact gate keeps them
-# covered, and they lead the next rotation.
+# All four were r3-green (first verification happened — the gate
+# asserts each has a green artifact row SOMEWHERE), and while exempt
+# their coverage is transitive: test_twin_exempt_names_have_live_pins
+# requires each pinning twin to be in the current window or green in
+# the last two artifacts, so the exemption can never outlive the
+# evidence it leans on. They lead the next rotation if one happens.
 TWIN_EXEMPT: set[str] = {
     "value_percentiles",
     "dedup_simhash_canonical",

@@ -67,6 +67,7 @@ def test_registry_rotation_covers_every_query():
     from skewer_spark.queries import (
         PENDING_FIRST_WINDOW,
         PENDING_SINCE_ROUND,
+        TWIN_EXEMPT,
         build_queries,
     )
 
@@ -100,12 +101,27 @@ def test_registry_rotation_covers_every_query():
         if pos >= DRIVER_CAP
         and n not in green_recent
         and n not in pending
+        and n not in TWIN_EXEMPT
     ]
     assert not stale, (
         "these queries were not green in either of the last two "
         f"CORRECTNESS artifacts and are outside the driver's "
         f"first-{DRIVER_CAP} window — move them into ROTATION_HEAD: "
         f"{stale}"
+    )
+    ever_green = {
+        n
+        for art in arts
+        for n, row in art.items()
+        if row.get("err") is None and row.get("rows_match")
+    }
+    # the twin exemption covers CADENCE only, never first verification:
+    # an exempted name must have its own green artifact row somewhere,
+    # and its pinning twin's liveness is enforced by
+    # test_twin_exempt_names_have_live_pins
+    never = sorted(TWIN_EXEMPT - ever_green)
+    assert not never, (
+        f"TWIN_EXEMPT names with no green artifact row ever: {never}"
     )
     ever_seen = {n for art in arts for n in art}
     not_pending = sorted(PENDING_FIRST_WINDOW & ever_seen)
@@ -130,9 +146,10 @@ def test_twin_exempt_names_have_live_pins():
     """TWIN_EXEMPT names sit out the driver window on the claim that
     another query transitively pins their semantics — enforce the
     claim: each exempted name's pinning twin must itself be in the
-    current window or green in the latest artifact, and an exempted
-    name must actually be outside the window (else the exemption is
-    moot and should be deleted)."""
+    current window or green in one of the LAST TWO artifacts (the same
+    recency rule the rotation gate applies to every name), and an
+    exempted name must actually be outside the window (else the
+    exemption is moot and should be deleted)."""
     from skewer_spark.queries import TWIN_EXEMPT, build_queries
 
     pins = {
@@ -152,9 +169,10 @@ def test_twin_exempt_names_have_live_pins():
     )
     if not paths:
         pytest.skip("no CORRECTNESS artifacts yet")
-    latest = json.load(open(paths[-1]))
     green = {
-        n for n, row in latest.items()
+        n
+        for p in paths[-2:]
+        for n, row in json.load(open(p)).items()
         if row.get("err") is None and row.get("rows_match")
     }
     dead = {n: t for n, t in pins.items() if t not in window | green}
