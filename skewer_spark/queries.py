@@ -1847,11 +1847,11 @@ FROM frames"""
 #   slots 6-50  : 45 of the 49 longest-stale names (green in r02+r03,
 #                 no r04 row), in registry order.
 #   left out    : 4 twins whose semantics an in-window or r4-green
-#                 row transitively pins (see TWIN_EXEMPT below) —
-#                 they stay covered by the two-artifact green window.
+#                 row transitively pins (see TWIN_EXEMPT below).
 # tests/test_queries_contract.py gates this rotation: every registry
-# name must be green in the union of the last TWO CORRECTNESS files
-# or sit inside the current first-50 window.
+# name must be green in the union of the last TWO CORRECTNESS files,
+# sit inside the current first-50 window, be PENDING_FIRST_WINDOW, or
+# be TWIN_EXEMPT with a live pin and a green row in some artifact.
 ROTATION_HEAD: list[str] = [
     # -- first driver rows (r4 pending + new clustered-recall) --
     "curate_pack", "curation_ledger", "dsir_weights", "hot_keys_cms",
