@@ -1088,6 +1088,20 @@ def lm_train_model(
         )
     ).collect()[0]
     consts = {"fn": int(row.fn or 0), "fs": int(row.fs or 0)}
+    v = spark.read.parquet(os.path.join(model_dir, "voc")).collect()[0].v
+    if v == 0 or consts["fn"] == 0:
+        # an empty MODEL (train slice yielded no bigrams — wrong
+        # target_lang, empty input) or an empty reference frame is
+        # always a caller bug; the batch op's V-clamp would score every
+        # doc identically and the frozen constants would keep
+        # everything, silently. Fail at train time instead.
+        # threshold.json is deliberately not written, so a scorer
+        # pointed at this model_dir fails too.
+        raise ValueError(
+            "lm_train_model: the target slice produced no bigrams "
+            f"(vocab={v}, scored_bigrams={consts['fn']}) — check the "
+            "target_lang filter and the input frame"
+        )
     tmp = os.path.join(model_dir, "threshold.json.tmp")
     with open(tmp, "w") as f:
         json.dump(consts, f)

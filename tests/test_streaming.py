@@ -1409,3 +1409,21 @@ def test_lm_score_stream_matches_batch_op(spark, tmp_path):
         )
     )
     assert got == want
+
+def test_lm_train_model_refuses_empty_reference(spark, tmp_path):
+    # wrong target_lang / empty input must fail at TRAIN time: frozen
+    # (0, 0) constants would make the keep rule vacuously true, and
+    # the missing threshold.json also stops a scorer pointed at the
+    # half-written model dir
+    import os
+
+    import pytest as _pytest
+
+    from skewer_spark.streaming import lm_train_model
+
+    docs = spark.createDataFrame(
+        [(1, "zz", "two words here")], "doc_id long, lang string, text string"
+    )
+    with _pytest.raises(ValueError, match="no bigrams"):
+        lm_train_model(spark, docs, str(tmp_path / "m"), target_lang="en")
+    assert not os.path.exists(tmp_path / "m" / "threshold.json")
