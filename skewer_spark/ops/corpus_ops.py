@@ -2290,11 +2290,14 @@ def lm_bigram_score_sql(scale: int = LM_SCALE) -> str:
     parquet first (the dsir_weights/tfidf_terms rule).
     Integer headroom: sp <= scale, so score <= scale * n_bigrams and
     score * fn needs scale * bigrams_per_doc * total_bigrams < 2^63 —
-    at scale=1e6 that bounds total scored bigrams to ~1e10/doc_len;
-    production corpora lower scale to 1e3 (exact to ~1e13 bigrams) or
-    move the two cross-products to DECIMAL(38,0), same plan either
-    way (this session factory runs Spark-4 ANSI mode, so an overflow
-    FAILS LOUDLY instead of wrapping). Degenerate-input contract: an
+    at scale=1e6 that bounds total scored bigrams to ~1e10/doc_len.
+    The mitigation at larger corpora is moving the two cross-products
+    to DECIMAL(38,0) — NOT lowering scale: sp floors to 0 whenever
+    cu+V > scale*(cb+1), so scale must stay well ABOVE the target
+    vocabulary size or every rare bigram quantizes to zero and the
+    filter silently keeps everything (lm_train_model refuses to
+    freeze such a model; this session factory runs Spark-4 ANSI mode,
+    so a BIGINT overflow also FAILS LOUDLY instead of wrapping). Degenerate-input contract: an
     EMPTY target slice (no lang='en' doc with a bigram) clamps V to 1
     — every bigram scores exactly `scale` and every doc is kept —
     instead of dividing by zero, which would ABORT the Spark job

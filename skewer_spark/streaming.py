@@ -1055,57 +1055,92 @@ def lm_train_model(
 
     ``target_lang=None`` trains on ALL of ref_docs (the caller already
     curated the reference slice — the production shape); passing a
-    lang filters like the batch op's gate config. (fn, fs) are the
-    reference corpus's total (bigrams, score) — the keep rule
-    `score * fn >= n_bigrams * fs` is the batch op's corpus-mean rule
-    with the mean FROZEN at reference time, integer-exact. Returns the
-    constants; everything is also persisted under ``model_dir``."""
+    lang filters like the batch op's gate config. The filter is
+    applied as a DataFrame predicate producing a sentinel marker
+    column BEFORE any SQL sees it, so no caller string is ever
+    interpolated into SQL. (fn, fs) are the reference corpus's total
+    (bigrams, score) — the keep rule `score * fn >= n_bigrams * fs`
+    is the batch op's corpus-mean rule with the mean FROZEN at
+    reference time, integer-exact. Returns the constants; everything
+    is also persisted under ``model_dir``.
+
+    Retrain safety: threshold.json is removed FIRST, so a retrain that
+    fails validation (or crashes) can never leave a stale cutoff next
+    to fresh model tables — a scorer pointed at the dir fails loudly
+    until a train run completes. The bigram explode runs ONCE: bg is
+    staged to parquet and the three model dumps + the constants
+    aggregate all read the staged frame."""
     import json
+    import shutil
 
     from skewer_spark.ops import corpus_ops as C
     from skewer_spark.ops.portable import to_spark
 
-    ref_docs.select("doc_id", "lang", "text").createOrReplaceTempView(
-        "lm_ref_docs"
+    os.makedirs(model_dir, exist_ok=True)
+    thresh_path = os.path.join(model_dir, "threshold.json")
+    try:  # invalidate any previous model BEFORE the tables change
+        os.remove(thresh_path)
+    except FileNotFoundError:
+        pass
+    # the train-slice membership is decided HERE (DataFrame predicate),
+    # and rides into the shared CTEs as a sentinel in the lang column —
+    # lm_bg_ctes/`WHERE lang = '...'` then only ever sees the constant
+    is_train = (
+        F.lit(True)
+        if target_lang is None
+        else (F.col("lang") == F.lit(target_lang))
     )
-    where = (
-        f"WHERE lang = '{target_lang}'" if target_lang is not None else ""
-    )
-    head = (
-        f"WITH {C.lm_bg_ctes('lm_ref_docs')},\n"
-        f"train AS (SELECT w1, w2 FROM bg {where}),\n"
-        f"{C.lm_model_ctes('train')}"
-    )
-    for t in ("cb", "cu", "voc"):
-        spark.sql(to_spark(f"{head}\nSELECT * FROM {t}")).coalesce(
-            4
-        ).write.mode("overwrite").parquet(os.path.join(model_dir, t))
-    row = spark.sql(
-        to_spark(
-            f"{head},\n{C.lm_score_ctes()}\n"
-            "SELECT CAST(sum(n_bigrams) AS BIGINT) AS fn, "
-            "CAST(sum(score) AS BIGINT) AS fs FROM score"
+    marker = "__train__"
+    ref_docs.select(
+        "doc_id",
+        F.when(is_train, F.lit(marker)).otherwise(F.lit("")).alias("lang"),
+        "text",
+    ).createOrReplaceTempView("lm_ref_docs")
+    staging = os.path.join(model_dir, "_bg_staging")
+    try:
+        spark.sql(
+            to_spark(f"WITH {C.lm_bg_ctes('lm_ref_docs')} SELECT * FROM bg")
+        ).write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).createOrReplaceTempView("lm_ref_bg")
+        head = (
+            "WITH bg AS (SELECT * FROM lm_ref_bg),\n"
+            f"train AS (SELECT w1, w2 FROM bg WHERE lang = '{marker}'),\n"
+            f"{C.lm_model_ctes('train')}"
         )
-    ).collect()[0]
+        for t in ("cb", "cu", "voc"):
+            spark.sql(to_spark(f"{head}\nSELECT * FROM {t}")).coalesce(
+                4
+            ).write.mode("overwrite").parquet(os.path.join(model_dir, t))
+        row = spark.sql(
+            to_spark(
+                f"{head},\n{C.lm_score_ctes()}\n"
+                "SELECT CAST(sum(n_bigrams) AS BIGINT) AS fn, "
+                "CAST(sum(score) AS BIGINT) AS fs FROM score"
+            )
+        ).collect()[0]
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     consts = {"fn": int(row.fn or 0), "fs": int(row.fs or 0)}
     v = spark.read.parquet(os.path.join(model_dir, "voc")).collect()[0].v
-    if v == 0 or consts["fn"] == 0:
+    if v == 0 or consts["fn"] == 0 or consts["fs"] == 0:
         # an empty MODEL (train slice yielded no bigrams — wrong
-        # target_lang, empty input) or an empty reference frame is
-        # always a caller bug; the batch op's V-clamp would score every
-        # doc identically and the frozen constants would keep
-        # everything, silently. Fail at train time instead.
-        # threshold.json is deliberately not written, so a scorer
-        # pointed at this model_dir fails too.
+        # target_lang, empty input), an empty reference frame, OR a
+        # model whose every score quantizes to zero (scale too small
+        # for the vocab — see the batch op's headroom note) is always
+        # a caller bug; freezing it would make the keep rule
+        # vacuously true for every doc, silently. Fail at train time —
+        # threshold.json was already removed, so a scorer pointed at
+        # this model_dir fails too.
         raise ValueError(
-            "lm_train_model: the target slice produced no bigrams "
-            f"(vocab={v}, scored_bigrams={consts['fn']}) — check the "
-            "target_lang filter and the input frame"
+            "lm_train_model: degenerate model (vocab="
+            f"{v}, scored_bigrams={consts['fn']}, total_score="
+            f"{consts['fs']}) — check the target_lang filter, the "
+            "input frame, and that LM_SCALE exceeds the vocab size"
         )
-    tmp = os.path.join(model_dir, "threshold.json.tmp")
+    tmp = thresh_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(consts, f)
-    os.replace(tmp, os.path.join(model_dir, "threshold.json"))
+    os.replace(tmp, thresh_path)
     return consts
 
 

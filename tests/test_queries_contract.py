@@ -109,19 +109,23 @@ def test_registry_rotation_covers_every_query():
         f"first-{DRIVER_CAP} window — move them into ROTATION_HEAD: "
         f"{stale}"
     )
-    ever_green = {
+    recent3_green = {
         n
-        for art in arts
+        for art in arts[-3:]
         for n, row in art.items()
         if row.get("err") is None and row.get("rows_match")
     }
-    # the twin exemption covers CADENCE only, never first verification:
-    # an exempted name must have its own green artifact row somewhere,
-    # and its pinning twin's liveness is enforced by
-    # test_twin_exempt_names_have_live_pins
-    never = sorted(TWIN_EXEMPT - ever_green)
-    assert not never, (
-        f"TWIN_EXEMPT names with no green artifact row ever: {never}"
+    # the twin exemption covers ONE extra round of cadence, never first
+    # verification and never forever: an exempted name must have its
+    # own green row within the last THREE artifacts (one round older
+    # than the normal two-artifact rule), and its pinning twin's
+    # recency is enforced by test_twin_exempt_names_have_live_pins —
+    # so if rotation resumes, exempt names must re-enter the window
+    # within a round
+    stale_twins = sorted(TWIN_EXEMPT - recent3_green)
+    assert not stale_twins, (
+        "TWIN_EXEMPT names with no green row in the last three "
+        f"artifacts — rotate them into the window: {stale_twins}"
     )
     ever_seen = {n for art in arts for n in art}
     not_pending = sorted(PENDING_FIRST_WINDOW & ever_seen)

@@ -1427,3 +1427,28 @@ def test_lm_train_model_refuses_empty_reference(spark, tmp_path):
     with _pytest.raises(ValueError, match="no bigrams"):
         lm_train_model(spark, docs, str(tmp_path / "m"), target_lang="en")
     assert not os.path.exists(tmp_path / "m" / "threshold.json")
+
+def test_lm_retrain_failure_invalidates_stale_threshold(spark, tmp_path):
+    # a retrain that fails validation must not leave the PREVIOUS
+    # cutoff usable next to freshly-overwritten degenerate model
+    # tables — the threshold is removed before any table write, so the
+    # scorer fails loudly until a train run completes
+    import os
+
+    import pytest as _pytest
+
+    from skewer_spark.streaming import lm_train_model
+
+    model_dir = str(tmp_path / "m")
+    good = spark.createDataFrame(
+        [(1, "en", "the cat sat"), (2, "en", "the cat ran")],
+        "doc_id long, lang string, text string",
+    )
+    lm_train_model(spark, good, model_dir, target_lang="en")
+    assert os.path.exists(os.path.join(model_dir, "threshold.json"))
+    bad = spark.createDataFrame(
+        [(3, "de", "zwei worte hier")], "doc_id long, lang string, text string"
+    )
+    with _pytest.raises(ValueError, match="degenerate model"):
+        lm_train_model(spark, bad, model_dir, target_lang="en")
+    assert not os.path.exists(os.path.join(model_dir, "threshold.json"))
