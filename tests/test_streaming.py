@@ -1424,7 +1424,7 @@ def test_lm_train_model_refuses_empty_reference(spark, tmp_path):
     docs = spark.createDataFrame(
         [(1, "zz", "two words here")], "doc_id long, lang string, text string"
     )
-    with _pytest.raises(ValueError, match="no bigrams"):
+    with _pytest.raises(ValueError, match="degenerate model"):
         lm_train_model(spark, docs, str(tmp_path / "m"), target_lang="en")
     assert not os.path.exists(tmp_path / "m" / "threshold.json")
 
